@@ -1,0 +1,216 @@
+"""Thermophysical atmosphere profiles.
+
+Replaces the reference's external ``joseki`` dependency
+(``src/eradiate/scenes/atmosphere/_molecular.py:80-84`` builds
+``joseki.make("afgl_1986-us_standard")``): provides altitude profiles of
+pressure, temperature, air number density and species mole fractions.
+
+Implementation notes
+--------------------
+- The ``us_standard`` profile is computed **analytically** from the
+  U.S. Standard Atmosphere 1976 hydrostatic equations (geopotential layers
+  with piecewise-linear temperature up to 84.852 km', isothermal extension
+  above — where the atmosphere holds <4e-6 of its mass, so the deviation
+  from the tabulated USSA thermosphere is radiometrically negligible).
+- AFGL 1986 seasonal variants (tropical, midlatitude/subarctic
+  summer/winter) are provided as temperature/humidity re-parameterizations
+  of the same hydrostatic solver; they approximate (not reproduce bit-exact)
+  the AFGL tabulations, which ship with the external data distribution the
+  reference downloads at runtime. Loaders accept user-provided tabulated
+  profiles (`from_arrays`) for exact data.
+- Trace-gas mole fraction profiles (H2O, O3, ...) use standard analytic
+  parameterizations; they only matter when molecular absorption is enabled,
+  which requires an absorption database.
+
+Units: altitude km, pressure Pa, temperature K, number density km^-3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["ThermoProfile", "ussa1976", "afgl_1986", "make_profile"]
+
+# Physical constants (CODATA)
+K_BOLTZMANN = 1.380649e-23  # J/K
+G0 = 9.80665  # m/s^2
+M_AIR = 0.0289644  # kg/mol
+R_STAR = 8.31432  # J/(mol K)  (USSA76 value)
+R_EARTH_KM = 6356.766  # USSA76 effective Earth radius for geopotential [km]
+
+# USSA76 geopotential layer table: (h_base [km'], T_base [K], L [K/km'])
+_USSA_LAYERS = [
+    (0.0, 288.15, -6.5),
+    (11.0, 216.65, 0.0),
+    (20.0, 216.65, 1.0),
+    (32.0, 228.65, 2.8),
+    (47.0, 270.65, 0.0),
+    (51.0, 270.65, -2.8),
+    (71.0, 214.65, -2.0),
+    (84.852, 186.946, 0.0),  # isothermal extension (see module docstring)
+]
+_P0 = 101325.0  # Pa
+
+# Dry-air composition (AFGL-era CO2 at 330 ppmv, matching AFGL 1986 tables)
+_DRY_AIR = {"N2": 0.78084, "O2": 0.209476, "Ar": 0.00934, "CO2": 0.000330}
+
+
+def _geometric_to_geopotential(z_km):
+    return R_EARTH_KM * z_km / (R_EARTH_KM + z_km)
+
+
+def _ussa_p_T(h_km):
+    """Pressure [Pa] and temperature [K] at geopotential altitudes h [km']."""
+    h = np.atleast_1d(np.asarray(h_km, dtype=np.float64))
+    p = np.empty_like(h)
+    T = np.empty_like(h)
+    gmr = G0 * M_AIR / R_STAR * 1e3  # K/km' exponent scale: g0 M / R*
+    # Precompute base pressures
+    bases = [(_USSA_LAYERS[0][0], _P0)]
+    for i in range(1, len(_USSA_LAYERS)):
+        h_b, T_b, L_b = _USSA_LAYERS[i - 1]
+        h_t = _USSA_LAYERS[i][0]
+        p_b = bases[-1][1]
+        if L_b == 0.0:
+            p_t = p_b * np.exp(-gmr * (h_t - h_b) / T_b)
+        else:
+            p_t = p_b * (T_b / (T_b + L_b * (h_t - h_b))) ** (gmr / L_b)
+        bases.append((h_t, p_t))
+    h_bases = np.array([b[0] for b in bases])
+    idx = np.clip(np.searchsorted(h_bases, h, side="right") - 1, 0, len(bases) - 1)
+    for i in range(len(_USSA_LAYERS)):
+        sel = idx == i
+        if not np.any(sel):
+            continue
+        h_b, T_b, L_b = _USSA_LAYERS[i]
+        p_b = bases[i][1]
+        dh = h[sel] - h_b
+        if L_b == 0.0:
+            T[sel] = T_b
+            p[sel] = p_b * np.exp(-gmr * dh / T_b)
+        else:
+            T[sel] = T_b + L_b * dh
+            p[sel] = p_b * (T_b / T[sel]) ** (gmr / L_b)
+    return p, T
+
+
+def _x_h2o(z_km, surface_x=7.75e-3, scale_km=2.3, strat_x=4.0e-6):
+    """Analytic water-vapor mole fraction: exponential decay to a
+    stratospheric floor."""
+    return np.maximum(surface_x * np.exp(-np.asarray(z_km) / scale_km), strat_x)
+
+
+def _x_o3(z_km, peak_x=8.0e-6, peak_km=35.0, width_km=10.0, surface_x=3.0e-8):
+    """Analytic ozone mole fraction: Gaussian stratospheric layer + floor."""
+    z = np.asarray(z_km)
+    return surface_x + peak_x * np.exp(-0.5 * ((z - peak_km) / width_km) ** 2)
+
+
+@dataclass(frozen=True)
+class ThermoProfile:
+    """Thermophysical profile sampled at altitude *levels*.
+
+    Fields: ``z`` [km], ``p`` [Pa], ``t`` [K], ``n`` [km^-3] (air number
+    density), ``x`` mapping species name -> mole fraction profile.
+    """
+
+    z: np.ndarray
+    p: np.ndarray
+    t: np.ndarray
+    n: np.ndarray
+    x: dict = field(default_factory=dict)
+    id: str = "custom"
+
+    @classmethod
+    def from_arrays(cls, z_km, p_pa, t_k, x=None, id="custom"):
+        z = np.asarray(z_km, dtype=np.float64)
+        p = np.asarray(p_pa, dtype=np.float64)
+        t = np.asarray(t_k, dtype=np.float64)
+        # number density n = p/(kT) in m^-3; convert to km^-3 (1 m^-3 = 1e9 km^-3)
+        n = p / (K_BOLTZMANN * t) * 1e9
+        return cls(z, p, t, n, dict(x or {}), id=id)
+
+    def interp(self, z_km) -> "ThermoProfile":
+        """Linear-in-log-p interpolation onto new altitudes (mirror of the
+        reference's profile regridding, ``radprops/_atmosphere.py:149-157``)."""
+        z_new = np.atleast_1d(np.asarray(z_km, dtype=np.float64))
+        logp = np.interp(z_new, self.z, np.log(self.p))
+        t = np.interp(z_new, self.z, self.t)
+        p = np.exp(logp)
+        n = p / (K_BOLTZMANN * t) * 1e9
+        x = {k: np.interp(z_new, self.z, v) for k, v in self.x.items()}
+        return ThermoProfile(z_new, p, t, n, x, id=self.id)
+
+
+def ussa1976(z_km=None) -> ThermoProfile:
+    """U.S. Standard Atmosphere 1976 analytic profile at altitudes z [km]."""
+    if z_km is None:
+        z_km = np.linspace(0.0, 120.0, 121)
+    z = np.atleast_1d(np.asarray(z_km, dtype=np.float64))
+    h = _geometric_to_geopotential(z)
+    p, T = _ussa_p_T(h)
+    n = p / (K_BOLTZMANN * T) * 1e9  # km^-3
+    x = dict(_DRY_AIR)
+    x = {k: np.full_like(z, v) for k, v in x.items()}
+    x["H2O"] = _x_h2o(z)
+    x["O3"] = _x_o3(z)
+    return ThermoProfile(z, p, T, n, x, id="ussa_1976")
+
+
+# AFGL 1986 variants: (surface T offset [K], H2O surface mole fraction)
+_AFGL_VARIANTS = {
+    "us_standard": (0.0, 7.75e-3),
+    "tropical": (11.85, 2.59e-2),
+    "midlatitude_summer": (6.05, 1.88e-2),
+    "midlatitude_winter": (-16.0, 4.3e-3),
+    "subarctic_summer": (-1.0, 1.19e-2),
+    "subarctic_winter": (-29.0, 1.4e-3),
+}
+
+
+def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
+    """AFGL 1986 profile family (approximate; see module docstring).
+
+    ``identifier`` may be the bare variant name or the reference-style
+    ``afgl_1986-<variant>`` id.
+    """
+    ident = identifier.replace("afgl_1986-", "")
+    if ident not in _AFGL_VARIANTS:
+        raise ValueError(
+            f"unknown AFGL 1986 variant '{identifier}'; "
+            f"available: {sorted(_AFGL_VARIANTS)}"
+        )
+    dT, x_h2o_s = _AFGL_VARIANTS[ident]
+    base = ussa1976(z_km)
+    if ident == "us_standard":
+        prof = base
+    else:
+        # Shift the temperature profile near the surface (decaying with
+        # altitude over ~10 km) and rescale pressure hydrostatically by the
+        # perturbed temperature via the ideal-gas relation at fixed p(0).
+        T = base.t + dT * np.exp(-base.z / 10.0)
+        prof = ThermoProfile.from_arrays(base.z, base.p, T, base.x, id=identifier)
+    x = dict(prof.x)
+    x["H2O"] = _x_h2o(prof.z, surface_x=x_h2o_s)
+    return ThermoProfile(prof.z, prof.p, prof.t, prof.n, x, id=f"afgl_1986-{ident}")
+
+
+def make_profile(identifier, z_km=None) -> ThermoProfile:
+    """Profile factory: 'afgl_1986-*', 'ussa_1976', or a ThermoProfile."""
+    if isinstance(identifier, ThermoProfile):
+        return identifier if z_km is None else identifier.interp(z_km)
+    if isinstance(identifier, dict):
+        return ThermoProfile.from_arrays(
+            identifier["z"],
+            identifier["p"],
+            identifier["t"],
+            identifier.get("x"),
+            id=identifier.get("id", "custom"),
+        )
+    if identifier.startswith("afgl_1986"):
+        return afgl_1986(identifier, z_km)
+    if identifier in ("ussa_1976", "ussa1976", "us76"):
+        return ussa1976(z_km)
+    raise ValueError(f"unknown thermophysical profile '{identifier}'")

@@ -1,0 +1,120 @@
+"""Unit tests: spectral layer (SRFs, grids, indexes, CKD quad)."""
+
+import numpy as np
+import pytest
+
+from eradiate_tpu.spectral import (
+    BandSRF,
+    CKDQuadConfig,
+    CKDSpectralGrid,
+    CKDSpectralIndex,
+    DeltaSRF,
+    MonoSpectralGrid,
+    MonoSpectralIndex,
+    UniformSRF,
+    srf_converter,
+)
+from eradiate_tpu.spectral.response import make_gaussian_srf
+
+
+class TestSRF:
+    def test_uniform(self):
+        srf = UniformSRF(400.0, 700.0)
+        np.testing.assert_allclose(srf.eval([350.0, 500.0, 750.0]), [0, 1, 0])
+
+    def test_delta(self):
+        srf = DeltaSRF([660.0, 550.0])
+        np.testing.assert_allclose(srf.wavelengths, [550.0, 660.0])
+
+    def test_band_eval_interp(self):
+        srf = BandSRF([500.0, 510.0, 520.0], [0.0, 1.0, 0.0])
+        assert srf.eval(505.0) == pytest.approx(0.5)
+        assert srf.eval(400.0) == 0.0
+
+    def test_band_integrate(self):
+        srf = BandSRF([500.0, 510.0, 520.0], [0.0, 1.0, 0.0])
+        assert srf.integrate() == pytest.approx(10.0)
+        assert srf.integrate(505.0, 515.0) == pytest.approx(7.5)
+
+    def test_gaussian(self):
+        srf = make_gaussian_srf(550.0, 10.0)
+        assert srf.eval(550.0) == pytest.approx(1.0, rel=1e-6)
+        assert srf.eval(555.0) == pytest.approx(0.5, rel=1e-2)
+
+    def test_converter(self):
+        assert isinstance(srf_converter(550.0), DeltaSRF)
+        assert isinstance(srf_converter({"type": "uniform", "wmin": 1, "wmax": 2}), UniformSRF)
+        s = srf_converter({"type": "delta", "wavelengths": [550.0]})
+        assert isinstance(s, DeltaSRF)
+
+
+class TestMonoGrid:
+    def test_select_delta(self):
+        grid = MonoSpectralGrid(np.arange(300.0, 800.0, 10.0))
+        sel = grid.select(DeltaSRF([555.0]))
+        np.testing.assert_allclose(sel.wavelengths, [555.0])
+
+    def test_select_band(self):
+        grid = MonoSpectralGrid(np.arange(300.0, 800.0, 10.0))
+        sel = grid.select(BandSRF([500.0, 520.0, 540.0], [0.0, 1.0, 0.0]))
+        assert sel.wavelengths.min() >= 500.0
+        assert sel.wavelengths.max() <= 540.0
+
+    def test_walk(self):
+        grid = MonoSpectralGrid([500.0, 600.0])
+        idx = list(grid.walk_indices())
+        assert idx == [MonoSpectralIndex(500.0), MonoSpectralIndex(600.0)]
+
+    def test_merge(self):
+        a = MonoSpectralGrid([500.0])
+        b = MonoSpectralGrid([600.0])
+        assert len(a.merge(b)) == 2
+
+
+class TestCKDGrid:
+    def test_arange(self):
+        grid = CKDSpectralGrid.arange(500.0, 600.0, 10.0)
+        assert len(grid) == 10
+        np.testing.assert_allclose(grid.wcenters[0], 505.0)
+
+    def test_select_delta_inside_bin(self):
+        grid = CKDSpectralGrid.arange(500.0, 600.0, 10.0)
+        sel = grid.select(DeltaSRF([555.0]))
+        assert len(sel) == 1
+        assert sel.wmins[0] == 550.0
+
+    def test_select_uniform(self):
+        grid = CKDSpectralGrid.arange(500.0, 600.0, 10.0)
+        sel = grid.select(UniformSRF(525.0, 545.0))
+        assert len(sel) == 3  # bins [520,530], [530,540], [540,550]
+
+    def test_walk_quads_and_indices(self):
+        grid = CKDSpectralGrid.arange(500.0, 520.0, 10.0)
+        grid = grid.walk_quads(CKDQuadConfig(ng_max=4))
+        idx = list(grid.walk_indices())
+        assert len(idx) == 8
+        assert all(isinstance(i, CKDSpectralIndex) for i in idx)
+        assert all(0.0 <= i.g <= 1.0 for i in idx)
+
+    def test_quadrature_weights_integrate(self):
+        grid = CKDSpectralGrid.arange(500.0, 510.0, 10.0).walk_quads(
+            CKDQuadConfig(ng_max=8)
+        )
+        q = grid.quad_for_bin(0)
+        g = q.eval_nodes((0.0, 1.0))
+        # integral of g over [0,1] = 0.5
+        assert q.integrate(g, (0.0, 1.0)) == pytest.approx(0.5)
+
+
+class TestIndex:
+    def test_mode_dispatch(self, mode_mono):
+        from eradiate_tpu.spectral import SpectralIndex
+
+        assert isinstance(SpectralIndex.new(w=550.0), MonoSpectralIndex)
+
+    def test_mode_dispatch_ckd(self, mode_ckd):
+        from eradiate_tpu.spectral import SpectralIndex
+
+        i = SpectralIndex.new(w=550.0, g=0.5)
+        assert isinstance(i, CKDSpectralIndex)
+        assert i.as_hashable == (550.0, 0.5)
