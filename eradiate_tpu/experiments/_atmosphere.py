@@ -1,0 +1,207 @@
+"""One-dimensional atmosphere experiment.
+
+Mirror of ``AtmosphereExperiment`` (``src/eradiate/experiments/_atmosphere.py:42``):
+surface + 1D atmosphere + directional sun + distant measures. The TPU build
+compiles the whole spectral grid into one device batch (SURVEY §7.1
+"spectral driver").
+"""
+
+from __future__ import annotations
+
+import attrs
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.modes import mode
+from ..ops.scene_state import (
+    IlluminationArrays,
+    MediumArrays,
+    SceneArrays,
+    SceneConfig,
+    SensorArrays,
+    SurfaceArrays,
+)
+from ..ops.medium import cumulative_tau
+from ..scenes.atmosphere import Atmosphere, MolecularAtmosphere, atmosphere_factory
+from ..scenes.geometry import PlaneParallelGeometry, SceneGeometry
+from ..scenes.measure import TargetPoint
+from ..scenes.surface import Surface, surface_converter
+from ..spectral.grid import CKDSpectralGrid, MonoSpectralGrid
+from ._core import EarthObservationExperiment
+
+__all__ = ["AtmosphereExperiment"]
+
+
+def _atmosphere_converter(value):
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        return atmosphere_factory.convert(value)
+    if isinstance(value, Atmosphere):
+        return value
+    raise TypeError(f"cannot convert {type(value)} to Atmosphere")
+
+
+@attrs.define(eq=False, slots=False)
+class AtmosphereExperiment(EarthObservationExperiment):
+    """1D atmosphere experiment (alias of the reference's
+    ``OneDimExperiment``)."""
+
+    geometry: SceneGeometry = attrs.field(
+        factory=PlaneParallelGeometry, converter=SceneGeometry.convert
+    )
+    atmosphere: Atmosphere | None = attrs.field(
+        factory=lambda: atmosphere_factory.convert({"type": "molecular"}),
+        converter=_atmosphere_converter,
+    )
+    surface: Surface | None = attrs.field(
+        default={"type": "lambertian", "reflectance": 0.5},
+        converter=lambda v: None if v is None else surface_converter(v),
+    )
+
+    def __attrs_post_init__(self):
+        # Default measure targets: scene origin (mirror of
+        # ``_atmosphere.py:140-163``)
+        for m in self.measures:
+            if m.target is None and m.is_distant:
+                m.target = TargetPoint(
+                    xyz=np.array([0.0, 0.0, self.geometry.ground_altitude])
+                )
+
+    # -- spectral driver ---------------------------------------------------
+    def spectral_grid_for(self, measure):
+        m = mode()
+        if m.is_mono:
+            grid = None
+            if (
+                isinstance(self.atmosphere, MolecularAtmosphere)
+                and self.atmosphere.absorption_data is not None
+                and self.atmosphere.absorption_data.kind == "mono"
+            ):
+                grid = MonoSpectralGrid(self.atmosphere.absorption_data.wavelengths)
+            if grid is None:
+                grid = MonoSpectralGrid.default()
+            return grid.select(measure.srf)
+        else:
+            grid = None
+            db = getattr(self.atmosphere, "absorption_data", None)
+            if db is not None and getattr(db, "kind", None) == "ckd":
+                grid = db.spectral_grid()
+            if grid is None:
+                grid = CKDSpectralGrid.default()
+            grid = grid.select(measure.srf)
+            return grid.walk_quads(self.ckd_quad_config, db)
+
+    def spectral_context(self, measure) -> dict:
+        m = mode()
+        grid = self.spectral_grid_for(measure)
+        if m.is_mono:
+            return {"w": grid.wavelengths}
+        # CKD: flatten (bin, g) pairs
+        ws, gs, bidx, gw = [], [], [], []
+        for i in range(len(grid)):
+            quad = grid.quad_for_bin(i)
+            nodes = quad.eval_nodes((0.0, 1.0))
+            # normalized weights on [0, 1]: sum to 1 per bin
+            weights = quad.weights / 2.0
+            for gnode, wt in zip(nodes, weights):
+                ws.append(grid.wcenters[i])
+                gs.append(gnode)
+                bidx.append(i)
+                gw.append(wt)
+        return {
+            "w": np.asarray(ws),
+            "g": np.asarray(gs),
+            "bin_index": np.asarray(bidx, dtype=np.int64),
+            "g_weights": np.asarray(gw),
+            "bin_wcenters": grid.wcenters,
+        }
+
+    # -- scene compilation -------------------------------------------------
+    def compile_scene(self, measure, spectral_ctx):
+        m = mode()
+        w = np.asarray(spectral_ctx["w"], dtype=np.float64)
+        g = spectral_ctx.get("g")
+        S = w.size
+        zgrid = self.geometry.zgrid
+        L = zgrid.n_layers
+        dtype = m.device_dtype
+
+        # Medium
+        if self.atmosphere is not None:
+            sigma_t = self.atmosphere.eval_sigma_t(w, g, zgrid)
+            albedo = self.atmosphere.eval_albedo(w, g, zgrid)
+            kinds, params, weights = self.atmosphere.eval_phase(w, zgrid)
+        else:
+            sigma_t = np.zeros((S, L))
+            albedo = np.ones((S, L))
+            kinds = ("rayleigh",)
+            params = ({"depol": np.zeros((S, L))},)
+            weights = np.ones((S, 1, L))
+
+        z_levels = jnp.asarray(zgrid.levels, dtype=dtype)
+        tau_levels = cumulative_tau(jnp.asarray(sigma_t, dtype=dtype), z_levels)
+        medium = MediumArrays(
+            z_levels=z_levels,
+            tau_levels=tau_levels,
+            albedo=jnp.asarray(albedo, dtype=dtype),
+            phase_weights=jnp.asarray(weights, dtype=dtype),
+            phase_params=tuple(
+                {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
+                for p in params
+            ),
+        )
+
+        # Surface
+        if self.surface is not None:
+            surf_kind = self.surface.bsdf_kind
+            sparams = {
+                k: jnp.asarray(v, dtype=dtype) if not isinstance(v, str) else v
+                for k, v in self.surface.eval_bsdf_params(w).items()
+            }
+        else:
+            surf_kind = "black"
+            sparams = {}
+        surface = SurfaceArrays(params=sparams)
+
+        # Illumination
+        illum = IlluminationArrays(
+            direction=jnp.asarray(self.illumination.direction, dtype=dtype),
+            irradiance=jnp.asarray(
+                self.illumination.eval_irradiance(w), dtype=dtype
+            ),
+            cos_cutoff=jnp.asarray(self.illumination.cos_cutoff, dtype=dtype),
+        )
+
+        scene = SceneArrays(medium=medium, surface=surface, illumination=illum)
+
+        # Sensor
+        target = (
+            measure.target.xyz
+            if isinstance(measure.target, TargetPoint)
+            else np.zeros(3)
+        )
+        sensor = SensorArrays(
+            directions=jnp.asarray(measure.sensor_directions(), dtype=dtype),
+            target=jnp.asarray(target, dtype=dtype),
+            ray_offset=jnp.asarray(
+                np.nan
+                if getattr(measure, "ray_offset", None) is None
+                else measure.ray_offset,
+                dtype=dtype,
+            ),
+        )
+
+        integrator = self.integrator
+        config = SceneConfig(
+            geometry=self.geometry.kind,
+            surface_kind=surf_kind,
+            phase_kinds=tuple(kinds),
+            polarized=m.is_polarized,
+            max_depth=integrator.max_depth if integrator else 32,
+            rr_depth=integrator.rr_depth if integrator else 5,
+            ground_altitude=self.geometry.ground_altitude,
+            toa_altitude=self.geometry.toa_altitude,
+            has_surface=self.surface is not None,
+        )
+        return scene, sensor, config

@@ -1,0 +1,216 @@
+"""Phase function evaluation and sampling (pure JAX, path-batched).
+
+TPU-native equivalents of the reference's C++ phase plugins (SURVEY §2.1:
+``rayleigh``, ``rayleigh_polarized``, ``hg``, ``isotropic``, ``tabphase``
+family, ``blendphase``). All functions operate per path on a single
+spectral row (the tracer vmaps over the spectral axis) and are branchless:
+blend dispatch evaluates every (statically known) component and selects.
+
+Conventions: ``cos_theta`` is the cosine of the scattering angle between the
+*incident propagation direction* and the *scattered propagation direction*.
+Phase functions are normalized to integrate to 1 over the sphere; values
+are [1/sr]. Sampling draws the scattered direction exactly from the phase
+function (importance weight 1).
+
+Component parameter pytrees (per spectral row):
+- ``rayleigh``: ``{"depol": [L]}`` per-layer depolarization factor
+- ``hg``: ``{"g": []}`` asymmetry parameter
+- ``isotropic``: ``{}``
+- ``tab``: ``{"mu": [M], "values": [M], "cdf": [M]}`` tabulated on
+  mu = cos(theta), ascending; ``cdf`` is the sampling CDF over mu.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ortho_frame",
+    "direction_from_cos",
+    "phase_eval",
+    "phase_sample",
+    "tab_phase_tables",
+]
+
+
+def ortho_frame(d):
+    """Branchless orthonormal basis around unit vector d (Duff et al. 2017).
+
+    Returns (t1, t2) with (t1, t2, d) right-handed.
+    """
+    z = d[..., 2]
+    sign = jnp.where(z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + z)
+    b = d[..., 0] * d[..., 1] * a
+    t1 = jnp.stack(
+        [1.0 + sign * d[..., 0] ** 2 * a, sign * b, -sign * d[..., 0]], axis=-1
+    )
+    t2 = jnp.stack([b, sign + d[..., 1] ** 2 * a, -d[..., 1]], axis=-1)
+    return t1, t2
+
+
+def direction_from_cos(d_in, cos_theta, phi):
+    """Scattered direction at angle (theta, phi) around incident d_in."""
+    t1, t2 = ortho_frame(d_in)
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0))
+    return (
+        t1 * (sin_theta * jnp.cos(phi))[..., None]
+        + t2 * (sin_theta * jnp.sin(phi))[..., None]
+        + d_in * cos_theta[..., None]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-kind scalar phase functions p(cos_theta) [1/sr]
+# ---------------------------------------------------------------------------
+
+
+def _rayleigh_ab(depol):
+    """Coefficients (a, b) of p ∝ a + b cos^2 with Chandrasekhar
+    depolarization: gamma = depol / (2 - depol)."""
+    gamma = depol / (2.0 - depol)
+    return 1.0 + 3.0 * gamma, 1.0 - gamma
+
+
+def rayleigh_eval(depol, cos_theta):
+    a, b = _rayleigh_ab(depol)
+    norm = 3.0 / (16.0 * jnp.pi * (1.0 + 2.0 * (depol / (2.0 - depol))))
+    return norm * (a + b * cos_theta * cos_theta)
+
+
+def rayleigh_sample_cos(depol, u):
+    """Exact inverse-CDF sample of cos_theta from a + b cos^2.
+
+    Mixture decomposition: uniform (mass 2a) + cubic |u|^(1/3) (mass 2b/3);
+    both components sampled in closed form — branchless and TPU-friendly.
+    """
+    a, b = _rayleigh_ab(depol)
+    w_uniform = (2.0 * a) / (2.0 * a + 2.0 * b / 3.0)
+    u1, u2 = u[..., 0], u[..., 1]
+    t = 2.0 * u2 - 1.0
+    cos_uniform = t
+    cos_cubic = jnp.cbrt(t)
+    return jnp.where(u1 < w_uniform, cos_uniform, cos_cubic)
+
+
+def hg_eval(g, cos_theta):
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return (1.0 - g * g) / (4.0 * jnp.pi * jnp.power(jnp.maximum(denom, 1e-12), 1.5))
+
+
+def hg_sample_cos(g, u):
+    u1 = u[..., 0]
+    g_safe = jnp.where(jnp.abs(g) < 1e-4, 1e-4, g)
+    sqr = (1.0 - g * g) / (1.0 - g_safe + 2.0 * g_safe * u1)
+    cos_hg = (1.0 + g * g - sqr * sqr) / (2.0 * g_safe)
+    cos_iso = 2.0 * u1 - 1.0
+    return jnp.where(jnp.abs(g) < 1e-4, cos_iso, jnp.clip(cos_hg, -1.0, 1.0))
+
+
+def iso_eval(cos_theta):
+    return jnp.full(jnp.shape(cos_theta), 1.0 / (4.0 * jnp.pi))
+
+
+def tab_phase_tables(mu, values):
+    """Precompute the sampling CDF for a tabulated phase function.
+
+    ``mu`` ascending [M], ``values`` [.., M] phase values [1/sr]. Returns
+    (values_normalized, cdf) where cdf is over mu via trapezoid, and values
+    are rescaled so 2*pi * integral(values dmu) = 1.
+    """
+    import numpy as np
+
+    mu = np.asarray(mu, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    seg = 0.5 * (v[..., 1:] + v[..., :-1]) * np.diff(mu)
+    integral = 2.0 * np.pi * np.sum(seg, axis=-1, keepdims=True)
+    v = v / integral
+    seg = seg / integral
+    cdf = np.concatenate(
+        [np.zeros(v.shape[:-1] + (1,)), np.cumsum(seg * 2.0 * np.pi, axis=-1)], axis=-1
+    )
+    # guard: force cdf[-1] = 1 exactly
+    cdf = cdf / cdf[..., -1:]
+    return v, cdf
+
+
+def tab_eval(params, cos_theta):
+    return jnp.interp(cos_theta, params["mu"], params["values"])
+
+
+def tab_sample_cos(params, u):
+    u1 = u[..., 0]
+    cdf = params["cdf"]
+    mu = params["mu"]
+    i = jnp.clip(jnp.searchsorted(cdf, u1, side="right") - 1, 0, cdf.shape[0] - 2)
+    c0 = cdf[i]
+    dc = cdf[i + 1] - c0
+    frac = jnp.clip((u1 - c0) / jnp.maximum(dc, 1e-30), 0.0, 1.0)
+    return mu[i] + frac * (mu[i + 1] - mu[i])
+
+
+# ---------------------------------------------------------------------------
+# Blend dispatch (static component list)
+# ---------------------------------------------------------------------------
+
+
+def _component_eval(kind, params, layer, cos_theta):
+    if kind == "rayleigh":
+        return rayleigh_eval(params["depol"][layer], cos_theta)
+    if kind == "hg":
+        return hg_eval(params["g"], cos_theta)
+    if kind == "isotropic":
+        return iso_eval(cos_theta)
+    if kind == "tab":
+        return tab_eval(params, cos_theta)
+    raise ValueError(f"unknown phase kind '{kind}'")
+
+
+def _component_sample_cos(kind, params, layer, u):
+    if kind == "rayleigh":
+        return rayleigh_sample_cos(params["depol"][layer], u)
+    if kind == "hg":
+        return hg_sample_cos(params["g"], u)
+    if kind == "isotropic":
+        return 2.0 * u[..., 0] - 1.0
+    if kind == "tab":
+        return tab_sample_cos(params, u)
+    raise ValueError(f"unknown phase kind '{kind}'")
+
+
+def phase_eval(phase_kinds, phase_params, phase_weights, layer, cos_theta):
+    """Blend-weighted phase value at a collision.
+
+    phase_weights: [C, L]; layer: [] int; cos_theta: [].
+    """
+    total = 0.0
+    for c, kind in enumerate(phase_kinds):
+        w = phase_weights[c, layer]
+        total = total + w * _component_eval(kind, phase_params[c], layer, cos_theta)
+    return total
+
+
+def phase_sample(phase_kinds, phase_params, phase_weights, layer, d_in, key):
+    """Sample a scattered direction from the blend at ``layer``.
+
+    Component selection by weight, then exact per-component cos sampling;
+    all components are evaluated branchlessly and selected (C is small and
+    static). Returns the new propagation direction.
+    """
+    k_sel, k_cos, k_phi = jax.random.split(key, 3)
+    u_sel = jax.random.uniform(k_sel)
+    u = jax.random.uniform(k_cos, (2,))
+    phi = 2.0 * jnp.pi * jax.random.uniform(k_phi)
+
+    C = len(phase_kinds)
+    w = phase_weights[:, layer]
+    w = w / jnp.maximum(jnp.sum(w), 1e-30)
+    cdf = jnp.cumsum(w)
+    sel = jnp.searchsorted(cdf, u_sel, side="right").clip(0, C - 1)
+
+    cos_theta = 0.0
+    for c, kind in enumerate(phase_kinds):
+        cos_c = _component_sample_cos(kind, phase_params[c], layer, u)
+        cos_theta = jnp.where(sel == c, cos_c, cos_theta)
+    return direction_from_cos(d_in, cos_theta, phi)

@@ -1,0 +1,128 @@
+"""Compiled scene state: the pytree the device engine consumes.
+
+TPU-first design (SURVEY §7.1 "scene IR"): the declarative scene-element
+tree (``eradiate_tpu.scenes``) compiles to a flat **pytree of arrays** plus a
+hashable **static config** — not an object tree like the reference's Mitsuba
+scene (``kernel/_render.py:186-209``). Re-rendering with new spectral data
+is a plain function call with new pytree leaves; there is no mutable
+parameter table (the functional equivalent of ``mi.traverse``/
+``SceneParameters.update``, ``kernel/_render.py:212-371``).
+
+Array shape conventions: ``S`` = spectral batch axis (wavelengths or
+(bin, g) pairs), ``L`` = atmosphere layers, ``C`` = phase components,
+``N`` = sensor directions/pixels. All lengths in km, sigma in km^-1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = [
+    "MediumArrays",
+    "SurfaceArrays",
+    "IlluminationArrays",
+    "SensorArrays",
+    "SceneArrays",
+    "SceneConfig",
+]
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree (all fields are children)."""
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class MediumArrays:
+    """Layered 1D medium, spectrally batched.
+
+    ``tau_levels[s, i]`` is the cumulative *vertical* optical depth from the
+    bottom boundary up to level ``i`` — the closed-form equivalent of the
+    reference's ``piecewise`` medium (SURVEY §2.1): transmittance along any
+    straight ray is ``exp(-|dtau|/|mu|)`` with no tracking loop.
+    """
+
+    z_levels: Any  # [L+1]
+    tau_levels: Any  # [S, L+1]
+    albedo: Any  # [S, L]
+    phase_weights: Any  # [S, C, L] normalized over C
+    phase_params: Any  # tuple of per-component param pytrees (rows: [S, ...])
+
+
+@_pytree_dataclass
+class SurfaceArrays:
+    """Surface BSDF parameters, spectrally batched: dict name -> [S] array
+    (or [S, ...] for tabulated data)."""
+
+    params: Any
+
+
+@_pytree_dataclass
+class IlluminationArrays:
+    """Directional illumination.
+
+    ``direction``: propagation direction of sunlight (unit, pointing *down*
+    into the scene). ``irradiance``: [S] spectral irradiance on a plane
+    perpendicular to the beam [W/m^2/nm]. ``cos_cutoff``: cosine of the
+    angular radius for finite-size astro objects (1.0 = ideal directional).
+    """
+
+    direction: Any  # [3]
+    irradiance: Any  # [S]
+    cos_cutoff: Any  # scalar
+
+
+@_pytree_dataclass
+class SensorArrays:
+    """Distant sensor bank: one pixel per direction.
+
+    ``directions``: [N, 3] unit vectors pointing from the scene *toward the
+    sensor* (i.e. outgoing/viewing directions, z > 0 for TOA sensors).
+    ``ray_offset``: altitude offset [km] below TOA for in-atmosphere
+    placement (mirror of mdistant's ``ray_offset``,
+    ``scenes/measure/_distant.py:334-361``); NaN = at TOA.
+    ``target``: [3] target point (plane-parallel scenes are x,y-invariant
+    unless the surface is textured).
+    """
+
+    directions: Any  # [N, 3]
+    target: Any  # [3]
+    ray_offset: Any  # scalar
+
+
+@_pytree_dataclass
+class SceneArrays:
+    medium: MediumArrays
+    surface: SurfaceArrays
+    illumination: IlluminationArrays
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    """Static (hashable) scene compilation config — part of the jit cache
+    key."""
+
+    geometry: str = "plane_parallel"  # | "spherical_shell"
+    surface_kind: str = "lambertian"
+    phase_kinds: tuple = ("rayleigh",)
+    polarized: bool = False
+    max_depth: int = 32
+    rr_depth: int = 5
+    #: planet radius [km] for spherical-shell geometry
+    planet_radius: float = 6378.1
+    #: bottom altitude of the surface [km]
+    ground_altitude: float = 0.0
+    #: top-of-atmosphere altitude [km]
+    toa_altitude: float = 120.0
+    #: whether a surface exists (False -> rays exiting at the bottom die)
+    has_surface: bool = True
+    #: whether the sensor measures at TOA looking down (True) or is placed
+    #: inside the medium via ray_offset
+    sensor_at_toa: bool = True

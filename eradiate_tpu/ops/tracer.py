@@ -1,0 +1,287 @@
+"""Wavefront volumetric path tracer (plane-parallel geometry).
+
+The TPU-native replacement for the reference's hot path — the C++
+``mi.render`` call driving ``piecewise_volpath``/``volpath`` integrators
+inside a serial spectral loop (``kernel/_render.py:379-468``; SURVEY §3.4).
+
+Design (SURVEY §7.1 "engine"):
+
+- **SoA path state** batched over {spectral index x pixel x sample}; the
+  whole spectral dimension is device-resident and vmapped — there is no
+  per-wavelength host round trip.
+- **Exact free-flight sampling** through the layered medium via closed-form
+  inversion of the cumulative vertical optical depth (see
+  :mod:`eradiate_tpu.ops.medium`) — the deterministic-transmittance
+  equivalent of the reference's ``piecewise`` medium.
+- **Next-event estimation** toward the directional emitter at every volume
+  collision and surface bounce. Directional emitters are delta
+  distributions, so NEE is the only sampling strategy that reaches them and
+  carries MIS weight 1 (finite-size astro objects add a cone term later).
+- **Static-depth scan** with alive masking: ``lax.scan`` over ``max_depth``
+  iterations keeps shapes static for XLA; Russian roulette kills paths after
+  ``rr_depth``.
+- Radiance and second-moment accumulators are computed per (pixel), the
+  moment being over per-sample path contributions (mirror of the reference's
+  ``moment`` integrator semantics, ``_path_tracers.py:68-69``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .bsdf_ops import bsdf_eval, bsdf_sample
+from .medium import clamp_mu, tau_at_z, z_at_tau
+from .phase_ops import phase_eval, phase_sample
+from .scene_state import (
+    IlluminationArrays,
+    MediumArrays,
+    SceneArrays,
+    SceneConfig,
+    SensorArrays,
+    SurfaceArrays,
+)
+
+__all__ = ["render", "trace_paths"]
+
+
+def trace_paths(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    keys,
+):
+    """Trace a batch of paths through one spectral slice.
+
+    All per-path inputs have leading batch axis [B]; medium/surface/illum
+    rows are per-spectral-index slices (no S axis). Returns per-path
+    radiance estimates [B].
+    """
+    z_levels = medium_row.z_levels
+    tau_levels = medium_row.tau_levels
+    tau_top = tau_levels[-1]
+    z_bottom = z_levels[0]
+
+    d_sun = illum_row.direction  # propagation, pointing down
+    mu_sun = clamp_mu(-d_sun[2])  # cos of solar zenith (> 0)
+    w_sun = -d_sun  # unit vector toward the sun
+    E_sun = illum_row.irradiance  # scalar for this spectral slice
+
+    def tau_z(z):
+        return tau_at_z(z, z_levels, tau_levels)
+
+    def sun_transmittance(z):
+        return jnp.exp(-(tau_top - tau_z(z)) / mu_sun)
+
+    B = init_z.shape[0]
+
+    def body(carry):
+        depth, z, xy, d, beta, L, alive, keys = carry
+
+        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
+        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+        mu = clamp_mu(d[:, 2])
+        tau_here = tau_z(z)
+        tau_exit = jnp.where(
+            mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu)
+        )
+        u = jax.vmap(jax.random.uniform)(k_dist)
+        tau_s = -jnp.log1p(-u)
+        collide = tau_s < tau_exit
+
+        # ---- volume collision ------------------------------------------
+        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
+        z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        s_col = (z_col - z) / mu
+        xy_col = xy + d[:, :2] * s_col[:, None]
+        albedo_col = medium_row.albedo[layer]
+
+        # NEE: sun propagation d_sun scattered into -d (toward sensor path)
+        cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
+        p_nee = jax.vmap(
+            lambda l, c: phase_eval(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_nee)
+        L_col = beta * albedo_col * p_nee * sun_transmittance(z_col) * E_sun
+
+        d_col = jax.vmap(
+            lambda l, dd, kk: phase_sample(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                dd,
+                kk,
+            )
+        )(layer, d, k_scat)
+        beta_col = beta * albedo_col
+
+        # ---- surface hit ------------------------------------------------
+        hit_surface = (~collide) & (mu < 0.0) & config.has_surface
+        s_surf = (z_bottom - z) / mu
+        xy_surf = xy + d[:, :2] * s_surf[:, None]
+        wo = -d  # toward the sensor path (upward at surface hits)
+        T_sun_bottom = jnp.exp(-tau_top / mu_sun)
+        f_nee = bsdf_eval(
+            config.surface_kind, surface_row.params, w_sun[None, :], wo, xy_surf
+        )
+        L_surf = beta * f_nee * mu_sun * T_sun_bottom * E_sun
+        d_surf, w_surf = jax.vmap(
+            lambda w, k, p: bsdf_sample(
+                config.surface_kind, surface_row.params, w, k, p
+            )
+        )(wo, k_srf, xy_surf)
+        beta_surf = beta * w_surf
+
+        # ---- combine ----------------------------------------------------
+        L = L + jnp.where(
+            alive, jnp.where(collide, L_col, jnp.where(hit_surface, L_surf, 0.0)), 0.0
+        )
+        z = jnp.where(collide, z_col, z_bottom)
+        xy = jnp.where(collide[:, None], xy_col, xy_surf)
+        d = jnp.where(collide[:, None], d_col, d_surf)
+        beta = jnp.where(collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0))
+        alive = alive & (collide | hit_surface) & (beta > 0.0)
+
+        # ---- Russian roulette ------------------------------------------
+        do_rr = depth >= config.rr_depth
+        q = jnp.clip(beta, 0.0, 0.95)
+        u_rr = jax.vmap(jax.random.uniform)(k_rr)
+        survive = u_rr < q
+        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
+        alive = alive & jnp.where(do_rr, survive, True)
+
+        return (depth + 1, z, xy, d, beta, L, alive, keys)
+
+    def cond(carry):
+        depth = carry[0]
+        alive = carry[6]
+        return (depth < config.max_depth) & jnp.any(alive)
+
+    init = (
+        jnp.asarray(0),
+        init_z,
+        init_xy,
+        init_d,
+        jnp.ones(B, init_z.dtype),
+        jnp.zeros(B, init_z.dtype),
+        jnp.ones(B, dtype=bool),
+        keys,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[5]
+
+
+def _render_row(config, n_pix, spp, medium_row, surface_row, illum_row, directions, key):
+    """Render one spectral slice: [N] pixels x spp samples."""
+    B = n_pix * spp
+    z_top = medium_row.z_levels[-1]
+
+    # Initial rays: at TOA, traveling against the viewing direction.
+    pix = jnp.repeat(jnp.arange(n_pix), spp)
+    init_d = -directions[pix]  # into the scene
+    init_z = jnp.full(B, z_top)
+    init_xy = jnp.zeros((B, 2))
+
+    path_ids = jnp.arange(B)
+    keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(key, (B,)), path_ids
+    )
+
+    L = trace_paths(
+        config, medium_row, surface_row, illum_row, init_z, init_xy, init_d, keys
+    )
+    L = L.reshape(n_pix, spp)
+    radiance = jnp.mean(L, axis=1)
+    m2 = jnp.mean(L * L, axis=1)
+    return radiance, m2
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _render_batch(config, n_pix, spp, medium, surface, illum, directions, keys):
+    """Jitted spectral-batched render; cached on (config, n_pix, spp)."""
+    med_axes = MediumArrays(
+        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
+    )
+    surf_axes = SurfaceArrays(
+        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
+    )
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    return jax.vmap(
+        lambda mr, sr, ir, k: _render_row(
+            config, n_pix, spp, mr, sr, ir, directions, k
+        ),
+        in_axes=(med_axes, surf_axes, illum_axes, 0),
+    )(medium, surface, illum, keys)
+
+
+def render(
+    scene: SceneArrays,
+    sensor: SensorArrays,
+    config: SceneConfig,
+    spp: int,
+    seed: int = 0,
+    spp_chunk: int | None = None,
+):
+    """Render the full spectral batch for one distant-sensor bank.
+
+    Returns dict with ``radiance`` [S, N], ``m2`` [S, N] (second moment of
+    per-sample contributions), ``spp``.
+    """
+    directions = jnp.asarray(sensor.directions)
+    n_pix = directions.shape[0]
+    S = scene.medium.tau_levels.shape[0]
+
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    if spp_chunk is None or spp_chunk >= spp:
+        chunks = [(0, spp)]
+    else:
+        chunks = []
+        start = 0
+        while start < spp:
+            chunks.append((start, min(spp_chunk, spp - start)))
+            start += spp_chunk
+
+    rad_sum = jnp.zeros((S, n_pix))
+    m2_sum = jnp.zeros((S, n_pix))
+    traced = 0
+    for chunk_id, (_, n) in enumerate(chunks):
+        chunk_keys = jax.vmap(jax.random.fold_in)(
+            row_keys, jnp.full(S, chunk_id)
+        )
+        rad, m2 = _render_batch(
+            config,
+            n_pix,
+            n,
+            scene.medium,
+            scene.surface,
+            scene.illumination,
+            directions,
+            chunk_keys,
+        )
+        rad_sum = rad_sum + rad * n
+        m2_sum = m2_sum + m2 * n
+        traced += n
+
+    return {
+        "radiance": rad_sum / traced,
+        "m2": m2_sum / traced,
+        "spp": traced,
+    }

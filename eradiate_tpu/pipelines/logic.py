@@ -1,0 +1,220 @@
+"""Post-processing: raw engine outputs -> labeled result datasets.
+
+Mirror of the reference's pipeline DAG nodes
+(``src/eradiate/pipelines/logic.py`` + ``definitions.py:20-353``); the DAG
+engine itself is replaced by direct function composition with the same node
+semantics (SURVEY §7.1 "postprocess"):
+
+gather_bitmaps -> moment2_to_variance -> aggregate_ckd_quad ->
+extract_irradiance -> compute_bidirectional_reflectance ->
+apply_spectral_response -> radiosity/albedo -> degree_of_linear_polarization
+
+Output conventions follow the reference: variables ``radiance``, ``var``,
+``irradiance``, ``brdf``, ``brf``, ``albedo``, ``radiosity``, ``dolp``;
+spectral dim ``w`` [nm]; angular coords ``vza``/``vaa`` [deg] on the pixel
+dim. Deviation from the reference: film pixel dims collapse to ``x_index``
+for 1D sensor banks (the reference carries a length-1 ``y_index``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import xr
+from ..core.quad import Quad
+from ..spectral.response import BandSRF, DeltaSRF, UniformSRF
+
+__all__ = [
+    "gather",
+    "moment2_to_variance",
+    "aggregate_ckd_quad",
+    "extract_irradiance",
+    "compute_bidirectional_reflectance",
+    "apply_spectral_response",
+    "compute_albedo",
+    "radiosity",
+    "postprocess_measure",
+]
+
+
+def moment2_to_variance(radiance, m2, spp):
+    """Variance of the per-pixel mean estimate
+    (mirror of ``logic.py:896``)."""
+    return np.maximum(m2 - radiance**2, 0.0) / spp
+
+
+def aggregate_ckd_quad(values, bin_index, g_weights, n_bins, power=1):
+    """Quadrature-weighted reduction over g nodes per CKD bin.
+
+    ``values`` [S, ...] where S runs over flattened (bin, g) pairs;
+    ``bin_index`` [S] maps each row to its bin; ``g_weights`` [S] are the
+    normalized quadrature weights on [0, 1] (summing to 1 per bin).
+    ``power=2`` applies squared weights — the variance aggregation rule
+    (mirror of ``logic.py:64-208``).
+    """
+    w = g_weights**power
+    out_shape = (n_bins,) + values.shape[1:]
+    out = np.zeros(out_shape, dtype=values.dtype)
+    np.add.at(out, bin_index, values * w.reshape((-1,) + (1,) * (values.ndim - 1)))
+    return out
+
+
+def extract_irradiance(illumination, w_nm):
+    """Solar irradiance on a horizontal plane: E(w) * cos(SZA)
+    (mirror of ``logic.py:417``)."""
+    E = illumination.eval_irradiance(w_nm)
+    return E * illumination.cos_sza
+
+
+def compute_bidirectional_reflectance(radiance, irradiance):
+    """brdf = L / E_horiz ; brf = pi * brdf (mirror of ``logic.py:358-414``)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        brdf = np.where(
+            irradiance.reshape((-1,) + (1,) * (radiance.ndim - 1)) > 0,
+            radiance / irradiance.reshape((-1,) + (1,) * (radiance.ndim - 1)),
+            0.0,
+        )
+    return brdf, np.pi * brdf
+
+
+def apply_spectral_response(values, w_nm, srf):
+    """SRF-weighted spectral mean over the measure band
+    (mirror of ``logic.py:211-319``): trapezoid of srf*value / trapezoid of
+    srf on the evaluation grid."""
+    w = np.asarray(w_nm, dtype=np.float64)
+    r = srf.eval(w)
+    if w.size == 1:
+        return values[0]
+    num = np.trapezoid(
+        r.reshape((-1,) + (1,) * (values.ndim - 1)) * values, w, axis=0
+    )
+    den = np.trapezoid(r, w)
+    return num / max(den, 1e-300)
+
+
+def compute_albedo(radiosity_arr, irradiance):
+    """albedo = radiosity / horizontal irradiance (``logic.py:322``)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(irradiance > 0, radiosity_arr / irradiance, 0.0)
+
+
+def radiosity(radiance, flux_weights):
+    """Exitant flux from a hemispherical radiance map
+    (``logic.py:763``): sum of cos-weighted solid angles."""
+    return np.tensordot(radiance, flux_weights, axes=([-1], [0]))
+
+
+def _angular_coords(measure):
+    va = measure.viewing_angles
+    coords = {"vza": va[:, 0], "vaa": va[:, 1]}
+    if getattr(measure, "hplane_azimuth", None) is not None:
+        # signed zenith parametrization for principal-plane plots
+        coords["vza"] = va[:, 0]
+    return coords
+
+
+def postprocess_measure(
+    measure,
+    illumination,
+    raw,
+    spectral_ctx,
+    mode,
+):
+    """Assemble the final result dataset for one measure.
+
+    ``raw``: dict from the engine (radiance [S, N], m2 [S, N], spp).
+    ``spectral_ctx``: dict with keys ``w`` [S] (wavelengths, nm) and — in
+    CKD mode — ``bin_index`` [S], ``g_weights`` [S], ``bin_wcenters`` [B].
+    """
+    radiance = np.asarray(raw["radiance"], dtype=np.float64)
+    m2 = np.asarray(raw["m2"], dtype=np.float64)
+    spp = raw["spp"]
+    w = np.asarray(spectral_ctx["w"], dtype=np.float64)
+
+    var = moment2_to_variance(radiance, m2, spp)
+    irr = extract_irradiance(illumination, w)
+
+    # CKD: aggregate g nodes into bins
+    if mode.is_ckd:
+        bin_index = spectral_ctx["bin_index"]
+        g_weights = spectral_ctx["g_weights"]
+        n_bins = int(spectral_ctx["bin_wcenters"].size)
+        radiance = aggregate_ckd_quad(radiance, bin_index, g_weights, n_bins)
+        var = aggregate_ckd_quad(var, bin_index, g_weights, n_bins, power=2)
+        irr = aggregate_ckd_quad(irr, bin_index, g_weights, n_bins)
+        w_out = np.asarray(spectral_ctx["bin_wcenters"], dtype=np.float64)
+    else:
+        w_out = w
+
+    brdf, brf = compute_bidirectional_reflectance(radiance, irr)
+
+    ds = xr.Dataset(attrs={"source": "eradiate_tpu", "measure_id": measure.id})
+    coords = {"w": w_out}
+    pix_coords = _angular_coords(measure)
+    n = radiance.shape[1]
+    ds.coords.update(coords)
+    ds.coords["x_index"] = np.arange(n)
+
+    def add(name, arr, units, long_name):
+        da = xr.DataArray(
+            arr,
+            dims=("w", "x_index"),
+            coords={"w": w_out, "x_index": np.arange(n)},
+            attrs={"units": units, "long_name": long_name},
+            name=name,
+        )
+        # attach angular coords on the pixel dim
+        for k, v in pix_coords.items():
+            da.coords[k] = v
+        ds[name] = da
+
+    add("radiance", radiance, "W/m^2/sr/nm", "leaving radiance")
+    if not mode.is_ckd:
+        add("m2", m2, "W^2/m^4/sr^2/nm^2", "second moment")
+    add("var", var, "W^2/m^4/sr^2/nm^2", "variance of the radiance estimate")
+    add("brdf", brdf, "1/sr", "bi-directional reflectance distribution function")
+    add("brf", brf, "dimensionless", "bi-directional reflectance factor")
+    ds["irradiance"] = xr.DataArray(
+        irr,
+        dims=("w",),
+        coords={"w": w_out},
+        attrs={"units": "W/m^2/nm", "long_name": "horizontal solar irradiance"},
+        name="irradiance",
+    )
+
+    # band aggregation for band SRFs (reference ``*_srf`` variables)
+    srf = measure.srf
+    if isinstance(srf, BandSRF) or (
+        isinstance(srf, UniformSRF) and w_out.size > 1
+    ):
+        for name in ("radiance", "brdf", "brf"):
+            band = apply_spectral_response(ds[name].data, w_out, srf)
+            da = xr.DataArray(
+                band,
+                dims=("x_index",),
+                attrs=dict(ds[name].attrs),
+                name=f"{name}_srf",
+            )
+            for k, v in pix_coords.items():
+                da.coords[k] = v
+            ds[f"{name}_srf"] = da
+        ds["irradiance_srf"] = xr.DataArray(
+            np.atleast_1d(apply_spectral_response(irr, w_out, srf)),
+            dims=("srf_band",),
+            name="irradiance_srf",
+        )
+
+    # radiosity / albedo for flux measures
+    if hasattr(measure, "flux_weights"):
+        fw = measure.flux_weights
+        rad_flux = radiosity(ds["radiance"].data, fw)
+        ds["radiosity"] = xr.DataArray(
+            rad_flux, dims=("w",), coords={"w": w_out},
+            attrs={"units": "W/m^2/nm", "long_name": "radiosity"},
+        )
+        ds["albedo"] = xr.DataArray(
+            compute_albedo(rad_flux, irr), dims=("w",), coords={"w": w_out},
+            attrs={"units": "dimensionless", "long_name": "surface albedo"},
+        )
+
+    return ds

@@ -1,0 +1,90 @@
+"""Scene geometries.
+
+Mirror of ``src/eradiate/scenes/geometry.py``: plane-parallel and
+spherical-shell 1D scene geometries; both carry the altitude grid used to
+discretize atmospheric profiles (default 100 m step over [0, 120] km,
+``geometry.py:22-97``).
+"""
+
+from __future__ import annotations
+
+import attrs
+import numpy as np
+
+from ..core.units import to_quantity
+from ..physics.zgrid import ZGrid
+from .core import Factory, SceneElement
+
+__all__ = [
+    "SceneGeometry",
+    "PlaneParallelGeometry",
+    "SphericalShellGeometry",
+    "geometry_factory",
+]
+
+geometry_factory = Factory("geometry")
+
+EARTH_RADIUS_KM = 6378.1  # reference ``constants.py``
+
+
+def _km(value, default):
+    if value is None:
+        return default
+    return float(np.asarray(to_quantity(value, "km").m_as("km")))
+
+
+@attrs.define(eq=False, slots=False)
+class SceneGeometry(SceneElement):
+    """Base geometry (``geometry.py:22``)."""
+
+    toa_altitude: float = 120.0  # km
+    ground_altitude: float = 0.0  # km
+    zgrid: ZGrid | None = None
+
+    def __attrs_post_init__(self):
+        self.toa_altitude = _km(self.toa_altitude, 120.0)
+        self.ground_altitude = _km(self.ground_altitude, 0.0)
+        if self.zgrid is None:
+            self.zgrid = ZGrid.regular(
+                self.ground_altitude, self.toa_altitude, 0.1
+            )
+        elif not isinstance(self.zgrid, ZGrid):
+            self.zgrid = ZGrid(np.asarray(self.zgrid))
+
+    @property
+    def kind(self) -> str:
+        raise NotImplementedError
+
+    @classmethod
+    def convert(cls, value):
+        if isinstance(value, str):
+            value = {"type": value}
+        return geometry_factory.convert(value, SceneGeometry)
+
+
+@geometry_factory.register("plane_parallel")
+@attrs.define(eq=False, slots=False)
+class PlaneParallelGeometry(SceneGeometry):
+    """Plane-parallel slab (``geometry.py:170-213``)."""
+
+    width: float = 1e6  # km; only relevant for finite-extent surfaces
+
+    @property
+    def kind(self) -> str:
+        return "plane_parallel"
+
+
+@geometry_factory.register("spherical_shell")
+@attrs.define(eq=False, slots=False)
+class SphericalShellGeometry(SceneGeometry):
+    """Spherical-shell atmosphere (``geometry.py:216-265``)."""
+
+    planet_radius: float = EARTH_RADIUS_KM
+
+    def __attrs_post_init__(self):
+        super().__attrs_post_init__()
+        self.planet_radius = _km(self.planet_radius, EARTH_RADIUS_KM)
+
+    @property
+    def kind(self) -> str:
+        return "spherical_shell"

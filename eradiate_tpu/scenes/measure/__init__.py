@@ -1,0 +1,344 @@
+"""Measure (sensor) scene elements.
+
+Mirror of ``src/eradiate/scenes/measure/`` (factory at ``_core.py:18-63``):
+distant radiometer banks and their angular layouts. A measure compiles to a
+:class:`~eradiate_tpu.ops.scene_state.SensorArrays` bank — one pixel per
+direction — plus angular metadata consumed by the post-processing pipeline.
+
+Angles at the config surface are degrees; directions are unit vectors
+pointing from the scene toward the sensor.
+"""
+
+from __future__ import annotations
+
+import attrs
+import numpy as np
+
+from ...core.frame import AzimuthConvention, angles_to_direction, direction_to_angles
+from ...core.units import to_quantity
+from ...core.warp import square_to_uniform_hemisphere
+from ...spectral.response import DeltaSRF, SpectralResponseFunction, srf_converter
+from ..core import Factory, SceneElement
+
+__all__ = [
+    "Measure",
+    "MultiDistantMeasure",
+    "DistantMeasure",
+    "HemisphericalDistantMeasure",
+    "DistantFluxMeasure",
+    "RadiancemeterMeasure",
+    "MultiRadiancemeterMeasure",
+    "Target",
+    "TargetPoint",
+    "TargetRectangle",
+    "measure_factory",
+]
+
+measure_factory = Factory("measure")
+
+
+# ---------------------------------------------------------------------------
+# Targets (mirror of ``scenes/measure/_distant.py:30-228``)
+# ---------------------------------------------------------------------------
+
+
+@attrs.define(eq=False, slots=False)
+class Target:
+    @staticmethod
+    def convert(value):
+        if value is None or isinstance(value, Target):
+            return value
+        if isinstance(value, dict):
+            d = dict(value)
+            t = d.pop("type")
+            return {"point": TargetPoint, "rectangle": TargetRectangle}[t](**d)
+        # bare sequence -> point
+        return TargetPoint(xyz=np.asarray(value, dtype=np.float64))
+
+
+@attrs.define(eq=False, slots=False)
+class TargetPoint(Target):
+    xyz: np.ndarray = attrs.field(factory=lambda: np.zeros(3))
+
+    def __attrs_post_init__(self):
+        self.xyz = np.asarray(
+            to_quantity(self.xyz, "km").m_as("km"), dtype=np.float64
+        )
+
+
+@attrs.define(eq=False, slots=False)
+class TargetRectangle(Target):
+    xmin: float = -1.0
+    xmax: float = 1.0
+    ymin: float = -1.0
+    ymax: float = 1.0
+    z: float = 0.0
+
+    def __attrs_post_init__(self):
+        for f in ("xmin", "xmax", "ymin", "ymax", "z"):
+            setattr(
+                self,
+                f,
+                float(np.asarray(to_quantity(getattr(self, f), "km").m_as("km"))),
+            )
+
+
+# ---------------------------------------------------------------------------
+# Measure base
+# ---------------------------------------------------------------------------
+
+
+@attrs.define(eq=False, slots=False)
+class Measure(SceneElement):
+    """Base measure (``scenes/measure/_core.py``): SRF (default delta at
+    550 nm), sample count, target."""
+
+    srf: SpectralResponseFunction = attrs.field(
+        factory=lambda: DeltaSRF(np.array([550.0])), converter=srf_converter
+    )
+    spp: int = 1000
+    target: Target | None = attrs.field(default=None, converter=Target.convert)
+    sampler: str = "independent"
+
+    #: results slot filled by Experiment.process (mirror of ``mi_results``)
+    results: dict = attrs.field(factory=dict, init=False, repr=False)
+
+    @property
+    def is_distant(self) -> bool:
+        return False
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        """[N, 2] (zenith, azimuth) degrees for each pixel."""
+        raise NotImplementedError
+
+    def sensor_directions(self) -> np.ndarray:
+        """[N, 3] unit directions from scene toward the sensor."""
+        raise NotImplementedError
+
+    @property
+    def film_shape(self) -> tuple:
+        return (len(self.sensor_directions()),)
+
+
+def _as_deg_array(value):
+    return np.atleast_1d(
+        np.asarray(to_quantity(value, "deg").m_as("deg"), dtype=np.float64)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-distant measure + layouts (``_multi_distant.py:402-639``)
+# ---------------------------------------------------------------------------
+
+
+@measure_factory.register("mdistant", aliases=("multi_distant",))
+@attrs.define(eq=False, slots=False)
+class MultiDistantMeasure(Measure):
+    """Array of distant radiancemeters, one film pixel per direction
+    (reference ``mdistant`` plugin, ``_multi_distant.py:640-660``).
+
+    Construct via explicit angles/directions or the classmethod layouts:
+    ``hplane``, ``aring``, ``grid``, ``from_angles``, ``from_directions``.
+    """
+
+    #: [N, 2] (zenith, azimuth) in degrees
+    angles: np.ndarray = attrs.field(default=None)
+    #: direction of the hemisphere plane for hplane layouts (deg) or None
+    hplane_azimuth: float | None = attrs.field(default=None)
+    azimuth_convention: str = "east_right"
+    #: optional explicit directions [N, 3] (toward sensor); overrides angles
+    directions: np.ndarray = attrs.field(default=None)
+    ray_offset: float | None = attrs.field(default=None)
+
+    def __attrs_post_init__(self):
+        if self.directions is not None:
+            self.directions = np.atleast_2d(
+                np.asarray(self.directions, dtype=np.float64)
+            )
+        if self.angles is not None:
+            self.angles = np.atleast_2d(_as_deg_array(self.angles).reshape(-1, 2))
+
+    # -- constructors ------------------------------------------------------
+    @classmethod
+    def hplane(cls, zeniths, azimuth=0.0, **kwargs):
+        """Hemisphere-plane layout: signed zeniths at a fixed azimuth
+        (``_multi_distant.py:402``)."""
+        zeniths = _as_deg_array(zeniths)
+        az = float(_as_deg_array(azimuth)[0])
+        angles = np.stack([zeniths, np.full(zeniths.shape, az)], axis=-1)
+        return cls(angles=angles, hplane_azimuth=az, **kwargs)
+
+    @classmethod
+    def aring(cls, zenith, azimuths, **kwargs):
+        """Azimuth-ring layout (``_multi_distant.py``)."""
+        azimuths = _as_deg_array(azimuths)
+        z = float(_as_deg_array(zenith)[0])
+        angles = np.stack([np.full(azimuths.shape, z), azimuths], axis=-1)
+        return cls(angles=angles, **kwargs)
+
+    @classmethod
+    def grid(cls, zeniths, azimuths, **kwargs):
+        """Outer-product grid layout."""
+        zeniths = _as_deg_array(zeniths)
+        azimuths = _as_deg_array(azimuths)
+        zz, aa = np.meshgrid(zeniths, azimuths, indexing="ij")
+        angles = np.stack([zz.ravel(), aa.ravel()], axis=-1)
+        return cls(angles=angles, **kwargs)
+
+    @classmethod
+    def from_angles(cls, angles, **kwargs):
+        return cls(angles=np.asarray(angles), **kwargs)
+
+    @classmethod
+    def from_directions(cls, directions, **kwargs):
+        return cls(directions=np.asarray(directions), **kwargs)
+
+    # -- interface ---------------------------------------------------------
+    @property
+    def is_distant(self) -> bool:
+        return True
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        if self.angles is not None:
+            return self.angles
+        ang = direction_to_angles(self.directions)
+        return np.rad2deg(ang)
+
+    def sensor_directions(self) -> np.ndarray:
+        if self.directions is not None:
+            d = self.directions
+            return d / np.linalg.norm(d, axis=-1, keepdims=True)
+        conv = AzimuthConvention.convert(self.azimuth_convention.upper())
+        return angles_to_direction(
+            np.deg2rad(self.angles), azimuth_convention=conv
+        )
+
+
+@measure_factory.register("distant")
+@attrs.define(eq=False, slots=False)
+class DistantMeasure(Measure):
+    """Single-direction distant radiometer (reference ``distant`` plugin,
+    ``scenes/measure/_distant.py:365-484``)."""
+
+    zenith: float = 0.0
+    azimuth: float = 0.0
+    azimuth_convention: str = "east_right"
+    ray_offset: float | None = None
+
+    @property
+    def is_distant(self) -> bool:
+        return True
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        return np.array(
+            [[float(_as_deg_array(self.zenith)[0]), float(_as_deg_array(self.azimuth)[0])]]
+        )
+
+    def sensor_directions(self) -> np.ndarray:
+        conv = AzimuthConvention.convert(self.azimuth_convention.upper())
+        return angles_to_direction(
+            np.deg2rad(self.viewing_angles), azimuth_convention=conv
+        )
+
+
+@measure_factory.register("hdistant", aliases=("hemispherical_distant",))
+@attrs.define(eq=False, slots=False)
+class HemisphericalDistantMeasure(Measure):
+    """Hemispherical distant sensor: film is a square map of the hemisphere
+    (reference ``hdistant`` plugin,
+    ``scenes/measure/_hemispherical_distant.py:146``)."""
+
+    film_resolution: tuple = (32, 32)
+    azimuth_convention: str = "east_right"
+
+    @property
+    def is_distant(self) -> bool:
+        return True
+
+    @property
+    def film_shape(self) -> tuple:
+        return tuple(self.film_resolution)
+
+    def sensor_directions(self) -> np.ndarray:
+        nx, ny = self.film_resolution
+        # pixel centers on the unit square -> uniform hemisphere mapping
+        u = (np.arange(nx) + 0.5) / nx
+        v = (np.arange(ny) + 0.5) / ny
+        uu, vv = np.meshgrid(u, v, indexing="ij")
+        s = np.stack([uu.ravel(), vv.ravel()], axis=-1)
+        return square_to_uniform_hemisphere(s)
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        return np.rad2deg(direction_to_angles(self.sensor_directions()))
+
+
+@measure_factory.register("distant_flux", aliases=("distantflux",))
+@attrs.define(eq=False, slots=False)
+class DistantFluxMeasure(HemisphericalDistantMeasure):
+    """Distant flux (sector radiosity) measure: hemisphere sectors
+    (reference ``distantflux``, ``scenes/measure/_distant_flux.py:128``).
+
+    Post-processing integrates the hemispherical radiance map into exitant
+    flux (radiosity); the sensor bank is the same hemisphere sampling as
+    ``hdistant``.
+    """
+
+    @property
+    def flux_weights(self) -> np.ndarray:
+        """Per-pixel cos-weighted solid angle for radiosity integration:
+        uniform hemisphere map -> d_omega = 2 pi / N per pixel."""
+        d = self.sensor_directions()
+        n = d.shape[0]
+        return 2.0 * np.pi / n * np.maximum(d[:, 2], 0.0)
+
+
+@measure_factory.register("radiancemeter")
+@attrs.define(eq=False, slots=False)
+class RadiancemeterMeasure(Measure):
+    """In-scene single radiancemeter (``_radiancemeter.py:77``)."""
+
+    origin: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 0.0]))
+    target_point: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 1.0]))
+
+    def __attrs_post_init__(self):
+        self.origin = np.asarray(to_quantity(self.origin, "km").m_as("km"))
+        self.target_point = np.asarray(
+            to_quantity(self.target_point, "km").m_as("km")
+        )
+
+    def sensor_directions(self) -> np.ndarray:
+        d = self.origin - self.target_point
+        return (d / np.linalg.norm(d))[None, :]
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        return np.rad2deg(direction_to_angles(self.sensor_directions()))
+
+
+@measure_factory.register("mradiancemeter", aliases=("multi_radiancemeter",))
+@attrs.define(eq=False, slots=False)
+class MultiRadiancemeterMeasure(Measure):
+    """Multi-origin/direction radiancemeter array
+    (``scenes/measure/_multi_radiancemeter.py:82``)."""
+
+    origins: np.ndarray = attrs.field(factory=lambda: np.zeros((1, 3)))
+    directions: np.ndarray = attrs.field(factory=lambda: np.array([[0.0, 0.0, 1.0]]))
+
+    def __attrs_post_init__(self):
+        self.origins = np.atleast_2d(
+            np.asarray(to_quantity(self.origins, "km").m_as("km"))
+        )
+        self.directions = np.atleast_2d(np.asarray(self.directions, dtype=np.float64))
+
+    def sensor_directions(self) -> np.ndarray:
+        # viewing directions: opposite of pointing directions
+        d = -self.directions
+        return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        return np.rad2deg(direction_to_angles(self.sensor_directions()))

@@ -1,0 +1,181 @@
+"""Phase function scene elements.
+
+Mirror of ``src/eradiate/scenes/phase/`` (factory at ``_core.py:11-41``:
+blend_phase, hg, isotropic, rayleigh, tab_phase). Elements compile to
+(kind, params) pairs for :mod:`eradiate_tpu.ops.phase_ops`; parameter
+leaves carry a leading spectral axis [S, ...] plus a layer axis where the
+property varies with altitude.
+"""
+
+from __future__ import annotations
+
+import attrs
+import numpy as np
+
+from ..core import Factory, SceneElement
+
+__all__ = [
+    "PhaseFunction",
+    "RayleighPhaseFunction",
+    "HenyeyGreensteinPhaseFunction",
+    "IsotropicPhaseFunction",
+    "TabulatedPhaseFunction",
+    "BlendPhaseFunction",
+    "phase_function_factory",
+]
+
+phase_function_factory = Factory("phase")
+
+
+@attrs.define(eq=False, slots=False)
+class PhaseFunction(SceneElement):
+    """Base phase function element."""
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        """Return (kind, params) with params leaves shaped [S, ...]."""
+        raise NotImplementedError
+
+
+@phase_function_factory.register("rayleigh")
+@attrs.define(eq=False, slots=False)
+class RayleighPhaseFunction(PhaseFunction):
+    """Rayleigh phase function with optional depolarization
+    (``scenes/phase/_rayleigh.py:20``).
+
+    ``depolarization``: scalar, array over layers, 'bates'/'bodhaine', or a
+    callable (w, n_layers) -> [S, L].
+    """
+
+    depolarization: object = 0.0
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
+        S = w.size
+        d = self.depolarization
+        if callable(d):
+            depol = np.asarray(d(w, n_layers))
+        elif isinstance(d, str):
+            from ...physics.rayleigh import (
+                depolarization_bates,
+                depolarization_bodhaine,
+            )
+
+            fn = {"bates": depolarization_bates, "bodhaine": depolarization_bodhaine}[d]
+            depol = np.broadcast_to(fn(w)[:, None], (S, n_layers)).copy()
+        else:
+            arr = np.atleast_1d(np.asarray(d, dtype=np.float64))
+            if arr.size == 1:
+                depol = np.full((S, n_layers), float(arr.reshape(())))
+            else:
+                depol = np.broadcast_to(arr[None, :], (S, n_layers)).copy()
+        return "rayleigh", {"depol": depol}
+
+
+@phase_function_factory.register("hg")
+@attrs.define(eq=False, slots=False)
+class HenyeyGreensteinPhaseFunction(PhaseFunction):
+    """Henyey-Greenstein (``scenes/phase/_hg.py:13``)."""
+
+    g: float = 0.0
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        w = np.atleast_1d(np.asarray(w_nm))
+        return "hg", {"g": np.full(w.shape, float(self.g))}
+
+
+@phase_function_factory.register("isotropic")
+@attrs.define(eq=False, slots=False)
+class IsotropicPhaseFunction(PhaseFunction):
+    """Isotropic (``scenes/phase/_isotropic.py:6``)."""
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        w = np.atleast_1d(np.asarray(w_nm))
+        return "isotropic", {"_": np.zeros(w.shape)}
+
+
+@phase_function_factory.register("tab_phase")
+@attrs.define(eq=False, slots=False)
+class TabulatedPhaseFunction(PhaseFunction):
+    """Tabulated phase function over mu = cos(theta)
+    (``scenes/phase/_tabulated.py:52``; kernel plugins ``tabphase`` /
+    ``tabphase_irregular``).
+
+    ``mu``: [M] ascending; ``data``: values [W, M] (or [M]) on wavelengths
+    ``wavelengths`` [W]; linear interpolation in wavelength. Values are
+    renormalized so the phase function integrates to 1 over the sphere.
+    """
+
+    mu: np.ndarray = attrs.field(default=None)
+    data: np.ndarray = attrs.field(default=None)
+    wavelengths: np.ndarray = attrs.field(default=None)
+
+    def __attrs_post_init__(self):
+        self.mu = np.asarray(self.mu, dtype=np.float64)
+        self.data = np.atleast_2d(np.asarray(self.data, dtype=np.float64))
+        if self.wavelengths is None:
+            self.wavelengths = np.array([550.0])
+        else:
+            self.wavelengths = np.atleast_1d(
+                np.asarray(self.wavelengths, dtype=np.float64)
+            )
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        from ...ops.phase_ops import tab_phase_tables
+
+        w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
+        S = w.size
+        M = self.mu.size
+        # interpolate data in wavelength -> [S, M]
+        vals = np.empty((S, M))
+        for j in range(M):
+            vals[:, j] = np.interp(
+                w, self.wavelengths, self.data[:, j],
+                left=self.data[0, j], right=self.data[-1, j],
+            )
+        v, cdf = tab_phase_tables(self.mu, vals)
+        mu = np.broadcast_to(self.mu[None, :], (S, M)).copy()
+        return "tab", {"mu": mu, "values": v, "cdf": cdf}
+
+
+@phase_function_factory.register("blend_phase")
+@attrs.define(eq=False, slots=False)
+class BlendPhaseFunction(PhaseFunction):
+    """N-component mixture with per-layer weights
+    (``scenes/phase/_blend.py:21``; kernel plugin ``blendphase``).
+
+    ``components``: list of phase functions (or dicts); ``weights``: [C, L]
+    or [C] arrays (normalized per layer at compile time).
+    """
+
+    components: list = attrs.field(factory=list)
+    weights: np.ndarray = attrs.field(default=None)
+
+    def __attrs_post_init__(self):
+        self.components = [
+            phase_function_factory.convert(c, PhaseFunction) for c in self.components
+        ]
+
+    def compile_blend(self, w_nm, n_layers: int):
+        """Return (kinds, params_list, weights [S, C, L])."""
+        w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
+        S = w.size
+        C = len(self.components)
+        wt = np.asarray(self.weights, dtype=np.float64)
+        if wt.ndim == 1:
+            wt = np.broadcast_to(wt[:, None], (C, n_layers)).copy()
+        if wt.ndim == 2:
+            wt = np.broadcast_to(wt[None, :, :], (S, C, n_layers)).copy()
+        norm = np.sum(wt, axis=1, keepdims=True)
+        wt = np.divide(wt, norm, out=np.full_like(wt, 1.0 / C), where=norm > 0)
+        kinds, params = [], []
+        for comp in self.components:
+            k, p = comp.compile(w, n_layers)
+            kinds.append(k)
+            params.append(p)
+        return tuple(kinds), tuple(params), wt
+
+    def compile(self, w_nm, n_layers: int):
+        raise TypeError(
+            "BlendPhaseFunction compiles via compile_blend() at the "
+            "atmosphere level"
+        )

@@ -7,8 +7,10 @@ path); see SURVEY.md §4 (test strategy) for the tier layout.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax import. Force CPU: the ambient environment may pin
+# JAX_PLATFORMS to a remote TPU platform, which would funnel every test
+# through the device tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
