@@ -210,9 +210,9 @@ def _render_row(config, n_pix, spp, medium_row, surface_row, illum_row, directio
     return radiance, m2
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _render_batch(config, n_pix, spp, medium, surface, illum, directions, keys):
-    """Jitted spectral-batched render; cached on (config, n_pix, spp)."""
+def render_batch_impl(config, n_pix, spp, medium, surface, illum, directions, keys):
+    """Spectral-batched render (traceable; see ``_render_batch`` for the
+    jitted entry). ``keys`` has leading spectral axis [S]."""
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
     )
@@ -226,6 +226,9 @@ def _render_batch(config, n_pix, spp, medium, surface, illum, directions, keys):
         ),
         in_axes=(med_axes, surf_axes, illum_axes, 0),
     )(medium, surface, illum, keys)
+
+
+_render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2))
 
 
 def render(

@@ -7,18 +7,18 @@ path); see SURVEY.md §4 (test strategy) for the tier layout.
 
 import os
 
-# Must be set before jax import. Force CPU: the ambient environment may pin
-# JAX_PLATFORMS to a remote TPU platform, which would funnel every test
-# through the device tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU with 8 virtual devices. The ambient environment pins JAX to a
+# tunneled TPU platform via sitecustomize (env vars are overridden there),
+# so the config API — which wins over both — is used instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"
 
 
 @pytest.fixture
