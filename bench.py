@@ -61,8 +61,8 @@ def measure_rate(reps=3):
     n_pix = sensor.directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
 
-    # warmup/compile
-    out = render(scene, sensor, config, spp=32, seed=0)
+    # warmup/compile at the benchmarked shape
+    out = render(scene, sensor, config, spp=SPP, seed=0)
     jax.block_until_ready(out["radiance"])
 
     t0 = time.perf_counter()

@@ -231,6 +231,12 @@ def render_batch_impl(config, n_pix, spp, medium, surface, illum, directions, ke
 _render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2))
 
 
+#: Maximum S * n_pix * spp paths per device dispatch; larger sample budgets
+#: are chunked. Keeps peak memory bounded (a 10M-path single dispatch was
+#: observed to hard-crash a TPU v5e worker).
+MAX_PATHS_PER_DISPATCH = 2**21
+
+
 def render(
     scene: SceneArrays,
     sensor: SensorArrays,
@@ -247,6 +253,12 @@ def render(
     directions = jnp.asarray(sensor.directions)
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
+
+    if spp_chunk is None:
+        per_sample_paths = S * n_pix
+        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(per_sample_paths, 1))
+        if spp > max_spp:
+            spp_chunk = max_spp
 
     base_key = jax.random.key(seed)
     row_keys = jax.vmap(jax.random.fold_in)(

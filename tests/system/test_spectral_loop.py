@@ -1,0 +1,152 @@
+"""System tests: spectral drivers (mono batch + CKD quadrature loop).
+
+Mirror of the reference's ``tests/02_system/test_spectral_loop.py`` intent:
+the spectral dimension must not alter per-index results — here additionally
+checking the CKD aggregation pipeline end to end.
+"""
+
+import numpy as np
+import pytest
+
+import eradiate_tpu
+from eradiate_tpu.experiments import AtmosphereExperiment
+from eradiate_tpu.physics.absorption import make_synthetic_ckd_db, make_synthetic_mono_db
+from eradiate_tpu.scenes.atmosphere import MolecularAtmosphere
+
+
+def test_mono_multi_wavelength_lambertian(mode_mono):
+    """Delta SRF with several wavelengths: BRF == reflectance at every
+    wavelength (no atmosphere)."""
+    exp = AtmosphereExperiment(
+        illumination={"type": "directional", "zenith": 30.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": np.linspace(-60, 60, 7),
+            "azimuth": 0.0,
+            "spp": 1,
+            "srf": {"type": "delta", "wavelengths": [440.0, 550.0, 660.0]},
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.4},
+        atmosphere=None,
+    )
+    result = eradiate_tpu.run(exp)
+    assert result["brf"].shape == (3, 7)
+    np.testing.assert_allclose(result["brf"].values, 0.4, atol=1e-5)
+    np.testing.assert_allclose(result.coords["w"], [440.0, 550.0, 660.0])
+
+
+def test_mono_absorption_database(mode_mono):
+    """Molecular atmosphere with a synthetic mono absorption DB runs and
+    produces attenuated BRF where absorption is strong."""
+    db = make_synthetic_mono_db(base_sigma=5e-3)
+    exp = AtmosphereExperiment(
+        illumination={"type": "directional", "zenith": 30.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": [0.0, 45.0],
+            "azimuth": 0.0,
+            "spp": 256,
+            "srf": {"type": "delta", "wavelengths": [550.0]},
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.5},
+        atmosphere=MolecularAtmosphere(absorption_data=db),
+    )
+    result = eradiate_tpu.run(exp)
+    brf = result["brf"].values
+    assert brf.shape == (1, 2)
+    assert np.all(brf > 0.0) and np.all(brf < 0.6)
+
+
+class TestCKD:
+    def test_ckd_lambertian_brf(self, mode_ckd):
+        """CKD mode, no atmosphere: after g-aggregation BRF == reflectance
+        in every bin covered by the SRF."""
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 30.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [-45.0, 0.0, 45.0],
+                "azimuth": 0.0,
+                "spp": 1,
+                "srf": {"type": "uniform", "wmin": 540.0, "wmax": 570.0},
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.7},
+            atmosphere=None,
+            ckd_quad_config={"ng_max": 4},
+        )
+        result = eradiate_tpu.run(exp)
+        # 10 nm default bins covering [540, 570]
+        assert result["brf"].shape[0] >= 3
+        np.testing.assert_allclose(result["brf"].values, 0.7, atol=1e-5)
+        # irradiance aggregated per bin
+        assert result["irradiance"].shape == (result["brf"].shape[0],)
+
+    def test_ckd_with_absorption_db(self, mode_ckd):
+        """Synthetic CKD DB: g-quadrature aggregation produces band
+        transmittances strictly between the g=0 and g=1 extremes."""
+        db = make_synthetic_ckd_db(base_sigma=2e-3, ng=8)
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 0.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0],
+                "azimuth": 0.0,
+                "spp": 512,
+                "srf": {"type": "uniform", "wmin": 995.0, "wmax": 1025.0},
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.8},
+            atmosphere=MolecularAtmosphere(
+                absorption_data=db, has_scattering=False
+            ),
+            ckd_quad_config={"ng_max": 8},
+        )
+        result = eradiate_tpu.run(exp)
+        brf = result["brf"].values
+        assert brf.shape[0] >= 2
+        # absorbing-only atmosphere: 0 < brf < reflectance
+        assert np.all(brf > 0.0) and np.all(brf < 0.8)
+
+    def test_ckd_aggregation_matches_analytic(self, mode_ckd):
+        """Aggregated band BRF matches the quadrature-weighted analytic
+        expectation sum_g w_g rho exp(-2 tau(g)) computed directly from the
+        same sigma profiles (nadir view + overhead sun)."""
+        db = make_synthetic_ckd_db(base_sigma=2e-3, ng=16)
+        atm = MolecularAtmosphere(absorption_data=db, has_scattering=False)
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 0.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0],
+                "azimuth": 0.0,
+                "spp": 4096,
+                "srf": {"type": "uniform", "wmin": 1000.0, "wmax": 1005.0},
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.8},
+            atmosphere=atm,
+            ckd_quad_config={"ng_max": 8},
+        )
+        result = eradiate_tpu.run(exp)
+        brf = result["brf"].values[:, 0]
+
+        measure = exp.measures[0]
+        ctx = exp.spectral_context(measure)
+        zg = exp.geometry.zgrid
+        sig = atm.eval_sigma_t(ctx["w"], ctx["g"], zg)
+        tau = np.sum(sig * zg.layer_height, axis=1)
+        per_g = 0.8 * np.exp(-2.0 * tau)
+        from eradiate_tpu.pipelines.logic import aggregate_ckd_quad
+
+        expected = aggregate_ckd_quad(
+            per_g, ctx["bin_index"], ctx["g_weights"], ctx["bin_wcenters"].size
+        )
+        np.testing.assert_allclose(brf, expected, rtol=0.05)
