@@ -117,11 +117,237 @@ def checkerboard_eval(params, wi, wo, p=None):
     return jnp.where((_mu(wi) > 0) & (_mu(wo) > 0), rho / jnp.pi, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Hapke (reference kernel plugin `hapke`, `scenes/bsdfs/_hapke.py:141`)
+# Hapke (2012) IMSA with shadow-hiding opposition effect and macroscopic
+# roughness (Hapke 1984); parameters w, b, c, theta [rad], B_0, h.
+# ---------------------------------------------------------------------------
+
+
+def _hapke_phase(b, c, cos_g):
+    """Double Henyey-Greenstein on the phase angle g (cos_g = cos of the
+    phase angle; g = 0 is exact backscattering). ``c`` weights the
+    backscattering lobe."""
+    b2 = b * b
+    fwd = (1.0 - b2) / jnp.maximum(1.0 + 2.0 * b * cos_g + b2, 1e-12) ** 1.5
+    bwd = (1.0 - b2) / jnp.maximum(1.0 - 2.0 * b * cos_g + b2, 1e-12) ** 1.5
+    return (1.0 - c) * fwd + c * bwd
+
+
+def _hapke_H(w, x):
+    """Chandrasekhar H-function, Hapke (2002) approximation."""
+    gamma = jnp.sqrt(jnp.maximum(1.0 - w, 1e-12))
+    r0 = (1.0 - gamma) / (1.0 + gamma)
+    x = jnp.maximum(x, 1e-6)
+    ln_term = jnp.log((1.0 + x) / x)
+    return 1.0 / (1.0 - w * x * (r0 + 0.5 * (1.0 - 2.0 * r0 * x) * ln_term))
+
+
+def _hapke_roughness(theta, mu_i, mu_o, cos_phi, sin_phi):
+    """Hapke (1984) macroscopic roughness correction.
+
+    Returns (mu0_e, mu_e, S): effective cosines and the shadowing factor.
+    ``cos_phi``/``sin_phi``: azimuth difference between the incidence and
+    emergence projections.
+    """
+    theta = jnp.maximum(theta, 1e-4)
+    tan_t = jnp.tan(theta)
+    cot_t = 1.0 / tan_t
+    # chi(theta)
+    chi = 1.0 / jnp.sqrt(1.0 + jnp.pi * tan_t * tan_t)
+
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 1e-12))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o * mu_o, 1e-12))
+    tan_i = sin_i / mu_i
+    tan_o = sin_o / mu_o
+    cot_i = 1.0 / jnp.maximum(tan_i, 1e-6)
+    cot_o = 1.0 / jnp.maximum(tan_o, 1e-6)
+
+    def E1(cot_x):
+        return jnp.exp(-2.0 / jnp.pi * cot_t * cot_x)
+
+    def E2(cot_x):
+        return jnp.exp(-1.0 / jnp.pi * cot_t * cot_t * cot_x * cot_x)
+
+    phi = jnp.arctan2(sin_phi, cos_phi)
+    phi = jnp.abs(phi)  # symmetric
+    # tan(phi/2) overflows (and can flip sign in f32) at phi ~ pi; the
+    # correction factor is 0 there, so clamp the half-angle below pi/2.
+    half_phi = jnp.minimum(phi / 2.0, jnp.pi / 2.0 - 1e-4)
+    f_psi = jnp.exp(-2.0 * jnp.tan(half_phi))
+
+    # eta functions
+    def eta(mu_x, sin_x, cot_x):
+        return chi * (mu_x + sin_x * tan_t * E2(cot_x) / jnp.maximum(2.0 - E1(cot_x), 1e-12))
+
+    eta_i = eta(mu_i, sin_i, cot_i)
+    eta_o = eta(mu_o, sin_o, cot_o)
+
+    # i <= e and i > e branches (Hapke 1984 eqs. 46-51), selected branchless
+    sin_hp2 = jnp.sin(phi / 2.0) ** 2
+    denom_ie = 2.0 - E1(cot_o) - (phi / jnp.pi) * E1(cot_i)
+    denom_ei = 2.0 - E1(cot_i) - (phi / jnp.pi) * E1(cot_o)
+
+    # case i <= e (emergence more oblique)
+    mu0e_1 = chi * (
+        mu_i
+        + sin_i
+        * tan_t
+        * (jnp.cos(phi) * E2(cot_o) + sin_hp2 * E2(cot_i))
+        / jnp.maximum(denom_ie, 1e-12)
+    )
+    mue_1 = chi * (
+        mu_o
+        + sin_o
+        * tan_t
+        * (E2(cot_o) - sin_hp2 * E2(cot_i))
+        / jnp.maximum(denom_ie, 1e-12)
+    )
+    # case i > e
+    mu0e_2 = chi * (
+        mu_i
+        + sin_i
+        * tan_t
+        * (E2(cot_i) - sin_hp2 * E2(cot_o))
+        / jnp.maximum(denom_ei, 1e-12)
+    )
+    mue_2 = chi * (
+        mu_o
+        + sin_o
+        * tan_t
+        * (jnp.cos(phi) * E2(cot_i) + sin_hp2 * E2(cot_o))
+        / jnp.maximum(denom_ei, 1e-12)
+    )
+
+    i_le_e = tan_i <= tan_o
+    mu0e = jnp.where(i_le_e, mu0e_1, mu0e_2)
+    mue = jnp.where(i_le_e, mue_1, mue_2)
+
+    S_1 = (mue / eta_o) * (mu_i / eta_i) * chi / (1.0 - f_psi + f_psi * chi * (mu_i / eta_i))
+    S_2 = (mue / eta_o) * (mu_i / eta_i) * chi / (1.0 - f_psi + f_psi * chi * (mu_o / eta_o))
+    S = jnp.where(i_le_e, S_1, S_2)
+    return mu0e, mue, S
+
+
+def hapke_eval(params, wi, wo, p=None):
+    w = params["w"]
+    b = params["b"]
+    c = params["c"]
+    theta = params["theta"]
+    B_0 = params["B_0"]
+    h = params["h"]
+
+    mu_i = _mu(wi)
+    mu_o = _mu(wo)
+    valid = (mu_i > 1e-6) & (mu_o > 1e-6)
+    mu_i = jnp.maximum(mu_i, 1e-6)
+    mu_o = jnp.maximum(mu_o, 1e-6)
+
+    # phase angle g: cos g = wi . wo (0 at exact backscatter)
+    cos_g = jnp.clip(jnp.sum(wi * wo, axis=-1), -1.0, 1.0)
+    half_tan_g = jnp.sqrt(jnp.maximum((1.0 - cos_g) / (1.0 + cos_g), 0.0))
+
+    # azimuth difference of the horizontal projections
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 1e-12))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o * mu_o, 1e-12))
+    cos_phi = jnp.clip((cos_g - mu_i * mu_o) / (sin_i * sin_o), -1.0, 1.0)
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+
+    P = _hapke_phase(b, c, cos_g)
+    B_sh = jnp.where(h > 0, B_0 / (1.0 + half_tan_g / jnp.maximum(h, 1e-9)), 0.0)
+
+    mu0e, mue, S = _hapke_roughness(theta, mu_i, mu_o, cos_phi, sin_phi)
+
+    H_i = _hapke_H(w, mu0e)
+    H_o = _hapke_H(w, mue)
+
+    f = (
+        (w / (4.0 * jnp.pi))
+        * (1.0 / jnp.maximum(mu0e + mue, 1e-9))
+        * (P * (1.0 + B_sh) + H_i * H_o - 1.0)
+        * S
+        * (mu0e / mu_i)  # effective-cosine flux correction
+    )
+    return jnp.where(valid, jnp.maximum(f, 0.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# RTLS — Ross-Thick Li-Sparse-Reciprocal kernel BRDF (reference `rtls`
+# plugin, `scenes/bsdfs/_rtls.py`); MODIS BRDF/albedo kernel definitions
+# (Lucht, Schaaf & Strahler 2000), h/b = 2, b/r = 1.
+# ---------------------------------------------------------------------------
+
+
+def _rtls_kernels(mu_i, mu_o, cos_phi):
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 0.0))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o * mu_o, 0.0))
+    cos_xi = jnp.clip(mu_i * mu_o + sin_i * sin_o * cos_phi, -1.0, 1.0)
+    xi = jnp.arccos(cos_xi)
+
+    # RossThick volumetric kernel
+    k_vol = (
+        ((jnp.pi / 2.0 - xi) * cos_xi + jnp.sin(xi))
+        / jnp.maximum(mu_i + mu_o, 1e-9)
+        - jnp.pi / 4.0
+    )
+
+    # LiSparse-Reciprocal geometric kernel (b/r = 1 -> primed angles equal)
+    tan_i = sin_i / jnp.maximum(mu_i, 1e-9)
+    tan_o = sin_o / jnp.maximum(mu_o, 1e-9)
+    sec_i = 1.0 / jnp.maximum(mu_i, 1e-9)
+    sec_o = 1.0 / jnp.maximum(mu_o, 1e-9)
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - cos_phi * cos_phi, 0.0))
+    D2 = tan_i**2 + tan_o**2 - 2.0 * tan_i * tan_o * cos_phi
+    cos_t = jnp.clip(
+        2.0  # h/b = 2
+        * jnp.sqrt(jnp.maximum(D2 + (tan_i * tan_o * sin_phi) ** 2, 0.0))
+        / jnp.maximum(sec_i + sec_o, 1e-9),
+        -1.0,
+        1.0,
+    )
+    t = jnp.arccos(cos_t)
+    O = (1.0 / jnp.pi) * (t - jnp.sin(t) * cos_t) * (sec_i + sec_o)
+    k_geo = O - sec_i - sec_o + 0.5 * (1.0 + cos_xi) * sec_i * sec_o
+    return k_vol, k_geo
+
+
+def rtls_eval(params, wi, wo, p=None):
+    mu_i = _mu(wi)
+    mu_o = _mu(wo)
+    valid = (mu_i > 1e-6) & (mu_o > 1e-6)
+    mu_i = jnp.maximum(mu_i, 1e-6)
+    mu_o = jnp.maximum(mu_o, 1e-6)
+    cos_g = jnp.clip(jnp.sum(wi * wo, axis=-1), -1.0, 1.0)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 1e-12))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o * mu_o, 1e-12))
+    cos_phi = jnp.clip((cos_g - mu_i * mu_o) / (sin_i * sin_o), -1.0, 1.0)
+    k_vol, k_geo = _rtls_kernels(mu_i, mu_o, cos_phi)
+    brf = params["f_iso"] + params["f_vol"] * k_vol + params["f_geo"] * k_geo
+    return jnp.where(valid, jnp.maximum(brf, 0.0) / jnp.pi, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Bi-lambertian (leaf optics; reference `bilambertian` plugin)
+# ---------------------------------------------------------------------------
+
+
+def bilambertian_eval(params, wi, wo, p=None):
+    """Two-sided diffuse: reflectance when wi, wo are on the same side of
+    the surface, transmittance when on opposite sides (cosines absolute)."""
+    rho = params["reflectance"]
+    tau = params["transmittance"]
+    same_side = (wi[..., 2] * wo[..., 2]) > 0
+    return jnp.where(same_side, rho, tau) / jnp.pi
+
+
 _EVAL = {
     "lambertian": lambertian_eval,
     "rpv": rpv_eval,
     "black": black_eval,
     "checkerboard": checkerboard_eval,
+    "hapke": hapke_eval,
+    "rtls": rtls_eval,
+    "bilambertian": bilambertian_eval,
 }
 
 SUPPORTED_BSDFS = tuple(sorted(_EVAL))
