@@ -60,13 +60,16 @@ class AtmosphereExperiment(EarthObservationExperiment):
     )
 
     def __attrs_post_init__(self):
-        # Default measure targets: scene origin (mirror of
-        # ``_atmosphere.py:140-163``)
+        # Default measure targets: scene origin for plane-parallel, the
+        # sub-sensor surface point for spherical shells (mirror of
+        # ``_atmosphere.py:140-163``: TargetPoint([0,0,0]) or [0,0,R]).
+        if self.geometry.kind == "spherical_shell":
+            z_target = self.geometry.planet_radius + self.geometry.ground_altitude
+        else:
+            z_target = self.geometry.ground_altitude
         for m in self.measures:
             if m.target is None and m.is_distant:
-                m.target = TargetPoint(
-                    xyz=np.array([0.0, 0.0, self.geometry.ground_altitude])
-                )
+                m.target = TargetPoint(xyz=np.array([0.0, 0.0, z_target]))
 
     # -- spectral driver ---------------------------------------------------
     def spectral_grid_for(self, measure):
@@ -139,18 +142,44 @@ class AtmosphereExperiment(EarthObservationExperiment):
             params = ({"depol": np.zeros((S, L))},)
             weights = np.ones((S, 1, L))
 
-        z_levels = jnp.asarray(zgrid.levels, dtype=dtype)
-        tau_levels = cumulative_tau(jnp.asarray(sigma_t, dtype=dtype), z_levels)
-        medium = MediumArrays(
-            z_levels=z_levels,
-            tau_levels=tau_levels,
-            albedo=jnp.asarray(albedo, dtype=dtype),
-            phase_weights=jnp.asarray(weights, dtype=dtype),
-            phase_params=tuple(
-                {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
-                for p in params
-            ),
+        phase_params_dev = tuple(
+            {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()} for p in params
         )
+        spherical = self.geometry.kind == "spherical_shell"
+        if spherical:
+            from ..ops.spherical import sun_tau_table
+            from ..ops.tracer_spherical import SphericalMediumArrays
+
+            radii = jnp.asarray(
+                self.geometry.planet_radius + zgrid.levels, dtype=dtype
+            )
+            sig = jnp.asarray(sigma_t, dtype=dtype)
+            # local-cosine grid refined near mu = 0 (tangent region where
+            # the slant optical depth varies fastest): mu = x |x|
+            x = np.linspace(-1.0, 1.0, 193)
+            mu_grid = jnp.asarray(x * np.abs(x), dtype=dtype)
+            medium = SphericalMediumArrays(
+                radii=radii,
+                sigma_t=sig,
+                sigma_majorant=jnp.max(sig, axis=1),
+                albedo=jnp.asarray(albedo, dtype=dtype),
+                phase_weights=jnp.asarray(weights, dtype=dtype),
+                phase_params=phase_params_dev,
+                sun_tau=sun_tau_table(sig, radii, mu_grid),
+                mu_grid=mu_grid,
+            )
+        else:
+            z_levels = jnp.asarray(zgrid.levels, dtype=dtype)
+            tau_levels = cumulative_tau(
+                jnp.asarray(sigma_t, dtype=dtype), z_levels
+            )
+            medium = MediumArrays(
+                z_levels=z_levels,
+                tau_levels=tau_levels,
+                albedo=jnp.asarray(albedo, dtype=dtype),
+                phase_weights=jnp.asarray(weights, dtype=dtype),
+                phase_params=phase_params_dev,
+            )
 
         # Surface
         if self.surface is not None:

@@ -109,19 +109,26 @@ class EarthObservationExperiment(Experiment):
 
     def process(self, spp=None, seed_state=None):
         from ..ops.tracer import render
+        from ..ops.tracer_spherical import render_spherical
 
         seed_state = seed_state or root_seed_state
         for measure in self.measures:
             ctx = self.spectral_context(measure)
             scene, sensor, config = self.compile_scene(measure, ctx)
             n = int(spp) if spp is not None else int(measure.spp)
-            raw = render(
-                scene,
-                sensor,
-                config,
-                spp=n,
-                seed=int(seed_state.next()),
-            )
+            seed = int(seed_state.next())
+            if config.geometry == "spherical_shell":
+                raw = render_spherical(
+                    scene.medium,
+                    scene.surface,
+                    scene.illumination,
+                    sensor,
+                    config,
+                    spp=n,
+                    seed=seed,
+                )
+            else:
+                raw = render(scene, sensor, config, spp=n, seed=seed)
             measure.results = {"raw": raw, "spectral_ctx": ctx}
 
     def postprocess(self):
