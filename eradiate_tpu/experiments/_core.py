@@ -118,6 +118,11 @@ class EarthObservationExperiment(Experiment):
             n = int(spp) if spp is not None else int(measure.spp)
             seed = int(seed_state.next())
             if config.geometry == "spherical_shell":
+                if config.polarized:
+                    raise NotImplementedError(
+                        "polarized transport in spherical-shell geometry is "
+                        "not implemented yet; use plane_parallel"
+                    )
                 raw = render_spherical(
                     scene.medium,
                     scene.surface,
@@ -127,6 +132,10 @@ class EarthObservationExperiment(Experiment):
                     spp=n,
                     seed=seed,
                 )
+            elif config.polarized:
+                from ..ops.tracer_polarized import render_polarized
+
+                raw = render_polarized(scene, sensor, config, spp=n, seed=seed)
             else:
                 raw = render(scene, sensor, config, spp=n, seed=seed)
             measure.results = {"raw": raw, "spectral_ctx": ctx}

@@ -1,0 +1,396 @@
+"""Wavefront path tracer — polarized (Stokes/Mueller) transport,
+plane-parallel geometry.
+
+Polarized counterpart of :mod:`eradiate_tpu.ops.tracer` (reference:
+``*_polarized`` Mitsuba variants + the ``stokes`` integrator wrapper,
+SURVEY §2.1). Backward tracing accumulates the left Mueller product
+
+    P_k = M_1 R_1 ... M_{k-1}            (4x4 per path)
+
+so every NEE connection contributes ``P_k . R . M_phase(theta) . S_sun``
+where ``S_sun = E [1,0,0,0]`` (unpolarized sun). Directions are sampled
+from the *scalar* phase (exact importance sampling of the I-I component);
+the Mueller weight divides by the scalar pdf, keeping every Stokes
+component unbiased.
+
+Reference-frame bookkeeping: each path stores the basis vector of the
+current light segment; scattering frames use the in-plane ("parallel")
+convention matching :func:`eradiate_tpu.ops.mueller.rayleigh_mueller`.
+Output Stokes are referenced to the viewing direction's meridian basis
+(the reference's ``meridian_align`` extension,
+``scenes/integrators/_core.py:80-92``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bsdf_ops import bsdf_eval, bsdf_sample
+from .medium import clamp_mu, tau_at_z, z_at_tau
+from .mueller import (
+    default_basis,
+    depolarizer,
+    rayleigh_mueller,
+    rotate_basis_angle,
+    rotator,
+)
+from .phase_ops import phase_eval, phase_sample
+from .scene_state import SceneConfig
+
+__all__ = ["render_polarized"]
+
+
+def _phase_mueller(phase_kinds, phase_params, phase_weights, layer, cos_theta):
+    """Blend-weighted Mueller phase matrix [..., 4, 4] in scattering-plane
+    frames. Polarized kinds contribute full matrices; scalar kinds
+    contribute depolarizers (no polarization memory)."""
+    total = jnp.zeros(cos_theta.shape + (4, 4))
+    for c, kind in enumerate(phase_kinds):
+        w = phase_weights[c, layer]
+        params = phase_params[c]
+        if kind == "rayleigh":
+            m = rayleigh_mueller(cos_theta, params["depol"][layer])
+        elif kind == "tab_polarized":
+            m = _tab_polarized_mueller(params, cos_theta)
+        else:
+            from .phase_ops import _component_eval
+
+            val = _component_eval(kind, params, layer, cos_theta)
+            m = depolarizer(val)
+        total = total + w[..., None, None] * m
+    return total
+
+
+def _tab_polarized_mueller(params, cos_theta):
+    """Tabulated polarized phase matrix: components m11, m12, m22, m33,
+    m34, m44 on the mu grid (reference ``tabphase_polarized``,
+    ``scenes/phase/_tabulated.py:208-255``)."""
+    mu = params["mu"]
+
+    def interp(name):
+        return jnp.interp(cos_theta, mu, params[name])
+
+    m11 = interp("values")  # I-I component doubles as the scalar phase
+    m12 = interp("m12")
+    m22 = interp("m22")
+    m33 = interp("m33")
+    m34 = interp("m34")
+    m44 = interp("m44")
+    z = jnp.zeros_like(m11)
+    return jnp.stack(
+        [
+            jnp.stack([m11, m12, z, z], axis=-1),
+            jnp.stack([m12, m22, z, z], axis=-1),
+            jnp.stack([z, z, m33, m34], axis=-1),
+            jnp.stack([z, z, -m34, m44], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _scatter_frames(l_in, l_out):
+    """In-plane bases (h_in, h_out) of the scattering plane spanned by the
+    light propagation directions l_in -> l_out; degenerate (forward /
+    backward) configurations fall back to an arbitrary perpendicular."""
+    n = jnp.cross(l_in, l_out)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    from .phase_ops import ortho_frame
+
+    t1, _ = ortho_frame(l_in)
+    n = jnp.where(nn > 1e-7, n / jnp.maximum(nn, 1e-12), t1)
+    h_in = jnp.cross(n, l_in)
+    h_in = h_in / jnp.maximum(jnp.linalg.norm(h_in, axis=-1, keepdims=True), 1e-12)
+    h_out = jnp.cross(n, l_out)
+    h_out = h_out / jnp.maximum(
+        jnp.linalg.norm(h_out, axis=-1, keepdims=True), 1e-12
+    )
+    return h_in, h_out
+
+
+def trace_paths_polarized(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    keys,
+):
+    """Returns per-path Stokes estimates [B, 4] in the meridian basis of
+    the initial viewing direction."""
+    z_levels = medium_row.z_levels
+    tau_levels = medium_row.tau_levels
+    tau_top = tau_levels[-1]
+    z_bottom = z_levels[0]
+
+    d_sun = illum_row.direction
+    mu_sun = clamp_mu(-d_sun[2])
+    w_sun = -d_sun
+    E_sun = illum_row.irradiance
+
+    def tau_z(z):
+        return tau_at_z(z, z_levels, tau_levels)
+
+    def sun_transmittance(z):
+        return jnp.exp(-(tau_top - tau_z(z)) / mu_sun)
+
+    B = init_z.shape[0]
+
+    # initial light segment: toward the sensor; meridian basis
+    l_1 = -init_d
+    b_init = default_basis(l_1)
+    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    def body(carry):
+        depth, z, xy, d, P, b, beta, S_acc, alive, keys = carry
+
+        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
+        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+        mu = clamp_mu(d[:, 2])
+        tau_here = tau_z(z)
+        tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
+        u = jax.vmap(jax.random.uniform)(k_dist)
+        tau_s = -jnp.log1p(-u)
+        collide = tau_s < tau_exit
+
+        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
+        z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        xy_col = xy + d[:, :2] * ((z_col - z) / mu)[:, None]
+        albedo_col = medium_row.albedo[layer]
+
+        l_out = -d  # light leaves the vertex toward the sensor path
+
+        # ---- NEE at the collision --------------------------------------
+        cos_nee = jnp.einsum("j,ij->i", d_sun, l_out)
+        h_in_nee, h_out_nee = _scatter_frames(
+            jnp.broadcast_to(d_sun, d.shape), l_out
+        )
+        M_nee = jax.vmap(
+            lambda l, c: _phase_mueller(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_nee)
+        alpha_out = rotate_basis_angle(l_out, h_out_nee, b)
+        R_out = rotator(alpha_out)
+        S_sun = jnp.zeros((B, 4)).at[:, 0].set(
+            E_sun * sun_transmittance(z_col) * albedo_col * beta
+        )
+        S_col = jnp.einsum(
+            "bij,bjk,bkl,bl->bi", P, R_out, M_nee, S_sun
+        )
+
+        # ---- sampled continuation --------------------------------------
+        d_new = jax.vmap(
+            lambda l, dd, kk: phase_sample(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                dd,
+                kk,
+            )
+        )(layer, d, k_scat)
+        l_in_new = -d_new
+        cos_scat = jnp.einsum("ij,ij->i", d_new, d)
+        p_scalar = jax.vmap(
+            lambda l, c: phase_eval(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_scat)
+        h_in_s, h_out_s = _scatter_frames(l_in_new, l_out)
+        M_s = jax.vmap(
+            lambda l, c: _phase_mueller(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_scat)
+        alpha_out_s = rotate_basis_angle(l_out, h_out_s, b)
+        M_full = jnp.einsum("bij,bjk->bik", rotator(alpha_out_s), M_s) / jnp.maximum(
+            p_scalar, 1e-30
+        )[:, None, None]
+        P_col = jnp.einsum("bij,bjk->bik", P, M_full)
+        b_col = h_in_s
+        beta_col = beta * albedo_col
+
+        # ---- surface hit ------------------------------------------------
+        hit_surface = (~collide) & (mu < 0.0) & config.has_surface
+        xy_surf = xy + d[:, :2] * ((z_bottom - z) / mu)[:, None]
+        wo = -d
+        T_sun_bottom = jnp.exp(-tau_top / mu_sun)
+        f_nee = bsdf_eval(
+            config.surface_kind, surface_row.params, w_sun[None, :], wo, xy_surf
+        )
+        # depolarizing surface: the NEE Stokes is fully determined by P col 0
+        I_surf = beta * f_nee * mu_sun * T_sun_bottom * E_sun
+        S_surf = P[:, :, 0] * I_surf[:, None]
+
+        d_srf, w_srf = jax.vmap(
+            lambda w, k, pp: bsdf_sample(
+                config.surface_kind, surface_row.params, w, k, pp
+            )
+        )(wo, k_srf, xy_surf)
+        P_surf = jnp.einsum("bij,bjk->bik", P, depolarizer(jnp.ones(B)))
+        b_surf = default_basis(-d_srf)
+        beta_surf = beta * w_srf
+
+        # ---- combine ----------------------------------------------------
+        S_add = jnp.where(
+            alive[:, None],
+            jnp.where(
+                collide[:, None],
+                S_col,
+                jnp.where(hit_surface[:, None], S_surf, 0.0),
+            ),
+            0.0,
+        )
+        S_acc = S_acc + S_add
+        z = jnp.where(collide, z_col, z_bottom)
+        xy = jnp.where(collide[:, None], xy_col, xy_surf)
+        d = jnp.where(collide[:, None], d_new, d_srf)
+        P = jnp.where(
+            collide[:, None, None],
+            P_col,
+            jnp.where(hit_surface[:, None, None], P_surf, P),
+        )
+        b = jnp.where(collide[:, None], b_col, b_surf)
+        beta = jnp.where(collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0))
+        alive = alive & (collide | hit_surface) & (beta > 0.0)
+
+        do_rr = depth >= config.rr_depth
+        q = jnp.clip(beta, 0.0, 0.95)
+        u_rr = jax.vmap(jax.random.uniform)(k_rr)
+        survive = u_rr < q
+        scale = jnp.where(do_rr & alive & survive, 1.0 / q, 1.0)
+        beta = beta * scale
+        P = P * scale[:, None, None]
+        alive = alive & jnp.where(do_rr, survive, True)
+
+        return (depth + 1, z, xy, d, P, b, beta, S_acc, alive, keys)
+
+    def cond(carry):
+        return (carry[0] < config.max_depth) & jnp.any(carry[8])
+
+    init = (
+        jnp.asarray(0),
+        init_z,
+        init_xy,
+        init_d,
+        P_init,
+        b_init,
+        jnp.ones(B, init_z.dtype),
+        jnp.zeros((B, 4), init_z.dtype),
+        jnp.ones(B, dtype=bool),
+        keys,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[7]
+
+
+def _render_row_polarized(
+    config, n_pix, spp, medium_row, surface_row, illum_row, directions, key
+):
+    B = n_pix * spp
+    z_top = medium_row.z_levels[-1]
+    pix = jnp.repeat(jnp.arange(n_pix), spp)
+    init_d = -directions[pix]
+    keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
+    S = trace_paths_polarized(
+        config,
+        medium_row,
+        surface_row,
+        illum_row,
+        jnp.full(B, z_top),
+        jnp.zeros((B, 2)),
+        init_d,
+        keys,
+    )
+    S = S.reshape(n_pix, spp, 4)
+    stokes = jnp.mean(S, axis=1)  # [N, 4]
+    m2 = jnp.mean(S[..., 0] ** 2, axis=1)
+    return stokes, m2
+
+
+def render_batch_polarized_impl(
+    config, n_pix, spp, medium, surface, illum, directions, keys
+):
+    from .scene_state import IlluminationArrays, MediumArrays, SurfaceArrays
+
+    med_axes = MediumArrays(
+        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
+    )
+    surf_axes = SurfaceArrays(
+        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
+    )
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    return jax.vmap(
+        lambda mr, sr, ir, k: _render_row_polarized(
+            config, n_pix, spp, mr, sr, ir, directions, k
+        ),
+        in_axes=(med_axes, surf_axes, illum_axes, 0),
+    )(medium, surface, illum, keys)
+
+
+_render_batch_polarized = jax.jit(render_batch_polarized_impl, static_argnums=(0, 1, 2))
+
+
+def render_polarized(scene, sensor, config, spp, seed=0, spp_chunk=None):
+    """Polarized render: returns ``stokes`` [S, N, 4] (meridian-aligned),
+    ``radiance`` [S, N] (= I), ``m2`` of I, ``spp``."""
+    from .tracer import MAX_PATHS_PER_DISPATCH
+
+    directions = jnp.asarray(sensor.directions)
+    n_pix = directions.shape[0]
+    S = scene.medium.tau_levels.shape[0]
+
+    if spp_chunk is None:
+        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(S * n_pix, 1))
+        if spp > max_spp:
+            spp_chunk = max_spp
+
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    chunks = []
+    start = 0
+    step = spp_chunk or spp
+    while start < spp:
+        chunks.append(min(step, spp - start))
+        start += step
+
+    st_sum = jnp.zeros((S, n_pix, 4))
+    m2_sum = jnp.zeros((S, n_pix))
+    traced = 0
+    for chunk_id, n in enumerate(chunks):
+        chunk_keys = jax.vmap(jax.random.fold_in)(row_keys, jnp.full(S, chunk_id))
+        st, m2 = _render_batch_polarized(
+            config, n_pix, n, scene.medium, scene.surface, scene.illumination,
+            directions, chunk_keys,
+        )
+        st_sum = st_sum + st * n
+        m2_sum = m2_sum + m2 * n
+        traced += n
+
+    stokes = st_sum / traced
+    return {
+        "stokes": stokes,
+        "radiance": stokes[..., 0],
+        "m2": m2_sum / traced,
+        "spp": traced,
+    }

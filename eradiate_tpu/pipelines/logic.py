@@ -204,6 +204,45 @@ def postprocess_measure(
             name="irradiance_srf",
         )
 
+    # Stokes components + degree of linear polarization
+    # (mirror of ``logic.py:962`` dlp node; gather renames S0..S3 -> I..V,
+    # ``experiments/_core.py:714-744``)
+    if "stokes" in raw:
+        stokes = np.asarray(raw["stokes"], dtype=np.float64)
+        if mode.is_ckd:
+            stokes = aggregate_ckd_quad(
+                stokes, spectral_ctx["bin_index"], spectral_ctx["g_weights"],
+                int(spectral_ctx["bin_wcenters"].size),
+            )
+        for ci, name in enumerate("IQUV"):
+            da = xr.DataArray(
+                stokes[..., ci],
+                dims=("w", "x_index"),
+                coords={"w": w_out, "x_index": np.arange(n)},
+                attrs={"units": "W/m^2/sr/nm", "long_name": f"Stokes {name}"},
+                name=name,
+            )
+            for k, v in pix_coords.items():
+                da.coords[k] = v
+            ds[name] = da
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dolp = np.where(
+                stokes[..., 0] > 0,
+                np.sqrt(stokes[..., 1] ** 2 + stokes[..., 2] ** 2)
+                / np.where(stokes[..., 0] > 0, stokes[..., 0], 1.0),
+                0.0,
+            )
+        da = xr.DataArray(
+            dolp,
+            dims=("w", "x_index"),
+            coords={"w": w_out, "x_index": np.arange(n)},
+            attrs={"units": "dimensionless", "long_name": "degree of linear polarization"},
+            name="dolp",
+        )
+        for k, v in pix_coords.items():
+            da.coords[k] = v
+        ds["dolp"] = da
+
     # radiosity / albedo for flux measures
     if hasattr(measure, "flux_weights"):
         fw = measure.flux_weights
