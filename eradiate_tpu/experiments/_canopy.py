@@ -1,0 +1,118 @@
+"""Canopy experiments.
+
+Mirrors of ``CanopyExperiment`` (``src/eradiate/experiments/_canopy.py:21``)
+and ``CanopyAtmosphereExperiment`` (``_canopy_atmosphere.py:47``): an
+explicit disk-leaf canopy over a lambertian-like surface, without / with a
+1D atmosphere. The TPU engine resolves leaf hits with dense tiled sweeps
+(:mod:`eradiate_tpu.ops.tracer_canopy`).
+"""
+
+from __future__ import annotations
+
+import attrs
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.modes import mode
+from ..ops.canopy import LeafCloudArrays
+from ..ops.tracer_canopy import render_canopy
+from ..scenes.biosphere import DiscreteCanopy, LeafCloud, biosphere_factory
+from ..scenes.measure import TargetPoint, TargetRectangle
+from ._atmosphere import AtmosphereExperiment
+
+__all__ = ["CanopyExperiment", "CanopyAtmosphereExperiment"]
+
+
+def _canopy_converter(value):
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        value = biosphere_factory.convert(value)
+    if isinstance(value, LeafCloud):
+        value = DiscreteCanopy(
+            size=(
+                float(np.ptp(value.positions[:, 0]) * 1e3),
+                float(np.ptp(value.positions[:, 1]) * 1e3),
+                float(np.ptp(value.positions[:, 2]) * 1e3),
+            ),
+            instanced_canopy_elements=[
+                {"type": "instanced", "canopy_element": value}
+            ],
+        )
+    return value
+
+
+@attrs.define(eq=False, slots=False)
+class CanopyAtmosphereExperiment(AtmosphereExperiment):
+    """Coupled canopy + atmosphere experiment (``_canopy_atmosphere.py:47``).
+
+    Adds a canopy and scene padding to :class:`AtmosphereExperiment`; the
+    atmosphere may be None (then this reduces to CanopyExperiment
+    semantics).
+    """
+
+    canopy: DiscreteCanopy | None = attrs.field(
+        default=None, converter=_canopy_converter
+    )
+    padding: int = 0
+
+    def __attrs_post_init__(self):
+        super().__attrs_post_init__()
+        if self.geometry.kind != "plane_parallel":
+            raise ValueError("canopy experiments require plane-parallel geometry")
+
+    def _leaf_arrays(self):
+        canopy = self.canopy
+        if self.padding > 0:
+            canopy = canopy.padded_copy(self.padding)
+        flat = canopy.flatten()
+        dtype = mode().device_dtype
+        leaves = LeafCloudArrays(
+            centers=jnp.asarray(flat.positions, dtype=dtype),
+            normals=jnp.asarray(flat.orientations, dtype=dtype),
+            radii=jnp.asarray(flat.radii, dtype=dtype),
+        )
+        return flat, leaves
+
+    def process(self, spp=None, seed_state=None):
+        if self.canopy is None:
+            return super().process(spp=spp, seed_state=seed_state)
+
+        from ..core.rng import root_seed_state
+        from ..scenes.spectra import converter as spectrum_converter
+
+        seed_state = seed_state or root_seed_state
+        flat, leaves = self._leaf_arrays()
+        dtype = mode().device_dtype
+        refl = spectrum_converter("reflectance")(flat.leaf_reflectance)
+        trans = spectrum_converter("transmittance")(flat.leaf_transmittance)
+
+        for measure in self.measures:
+            ctx = self.spectral_context(measure)
+            scene, sensor, config = self.compile_scene(measure, ctx)
+            w = np.asarray(ctx["w"], dtype=np.float64)
+            leaf_params = {
+                "reflectance": jnp.asarray(refl.eval(w), dtype=dtype),
+                "transmittance": jnp.asarray(trans.eval(w), dtype=dtype),
+            }
+            n = int(spp) if spp is not None else int(measure.spp)
+            raw = render_canopy(
+                scene,
+                leaf_params,
+                leaves,
+                sensor,
+                config,
+                spp=n,
+                seed=int(seed_state.next()),
+            )
+            measure.results = {"raw": raw, "spectral_ctx": ctx}
+
+
+@attrs.define(eq=False, slots=False)
+class CanopyExperiment(CanopyAtmosphereExperiment):
+    """Canopy-only experiment (``experiments/_canopy.py:21``): no
+    atmosphere, path-integrator semantics."""
+
+    def __attrs_post_init__(self):
+        self.atmosphere = None
+        super().__attrs_post_init__()
