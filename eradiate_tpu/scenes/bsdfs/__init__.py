@@ -181,6 +181,38 @@ class BiLambertianBSDF(BSDF):
         }
 
 
+@bsdf_factory.register("mqdiffuse")
+@attrs.define(eq=False, slots=False)
+class MQDiffuseBSDF(BSDF):
+    """Measured quasi-diffuse BRDF from gridded (theta_o, phi_d, theta_i)
+    data (``scenes/bsdfs/_mqdiffuse.py:127``)."""
+
+    data: np.ndarray = attrs.field(default=None)  # [Nto, Npd, Nti]
+    kind: str = attrs.field(default="mqdiffuse", init=False)
+
+    def __attrs_post_init__(self):
+        self.data = np.asarray(self.data, dtype=np.float64)
+        if self.data.ndim != 3:
+            raise ValueError("mqdiffuse data must have shape (Nto, Npd, Nti)")
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        return {
+            "data": np.broadcast_to(
+                self.data[None, ...], (w.size,) + self.data.shape
+            ).copy()
+        }
+
+
+@bsdf_factory.register("maignan")
+@attrs.define(eq=False, slots=False)
+class MaignanBSDF(RPVBSDF):
+    """Maignan (2009) polarized BRDF correction over an RPV base
+    (``scenes/bsdfs/_maignan.py:105``); the scalar part equals RPV."""
+
+    kind: str = attrs.field(default="maignan", init=False)
+
+
 @bsdf_factory.register("ocean_legacy")
 @attrs.define(eq=False, slots=False)
 class OceanLegacyBSDF(BSDF):
@@ -203,3 +235,21 @@ class OceanLegacyBSDF(BSDF):
             "pigmentation": np.full(w.shape, self.pigmentation),
             "wavelength": w.astype(np.float64),
         }
+
+
+@bsdf_factory.register("ocean_grasp")
+@attrs.define(eq=False, slots=False)
+class OceanGraspBSDF(OceanLegacyBSDF):
+    """GRASP-convention ocean BRDF (``scenes/bsdfs/_ocean_grasp.py``)."""
+
+    kind: str = attrs.field(default="ocean_grasp", init=False)
+
+
+@bsdf_factory.register("ocean_mishchenko")
+@attrs.define(eq=False, slots=False)
+class OceanMishchenkoBSDF(OceanLegacyBSDF):
+    """Mishchenko polarized ocean surface
+    (``scenes/bsdfs/_ocean_mishchenko.py``); scalar reflectance shares the
+    Cox-Munk glint core, the polarized Fresnel Mueller term is engine-side."""
+
+    kind: str = attrs.field(default="ocean_mishchenko", init=False)

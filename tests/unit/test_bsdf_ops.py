@@ -190,3 +190,74 @@ class TestSampling:
         f = bsdf_ops.bsdf_eval(kind, params, wi, jnp.broadcast_to(wo, wi.shape))
         quad = float(jnp.mean(f) * np.pi)
         np.testing.assert_allclose(mc, quad, rtol=0.05)
+
+
+class TestOcean:
+    PARAMS = {
+        "wind_speed": 5.0,
+        "wind_azimuth": 0.0,
+        "chlorinity": 19.0,
+        "pigmentation": 0.3,
+        "wavelength": 550.0,
+    }
+
+    def test_glint_peak_at_specular(self):
+        wi = direction(30.0, 0.0)
+        f_spec = float(
+            bsdf_ops.bsdf_eval("ocean_legacy", self.PARAMS, wi, direction(30.0, 180.0))[0]
+        )
+        f_off = float(
+            bsdf_ops.bsdf_eval("ocean_legacy", self.PARAMS, wi, direction(60.0, 180.0))[0]
+        )
+        f_back = float(
+            bsdf_ops.bsdf_eval("ocean_legacy", self.PARAMS, wi, direction(30.0, 0.0))[0]
+        )
+        assert f_spec > 5 * f_off
+        assert f_spec > 50 * f_back
+
+    def test_glint_widens_with_wind(self):
+        wi = direction(30.0, 0.0)
+        wo_off = direction(60.0, 180.0)  # facet tilt ~15 deg: far off-specular
+        calm = dict(self.PARAMS, wind_speed=1.0)
+        windy = dict(self.PARAMS, wind_speed=12.0)
+        f_calm = float(bsdf_ops.bsdf_eval("ocean_legacy", calm, wi, wo_off)[0])
+        f_windy = float(bsdf_ops.bsdf_eval("ocean_legacy", windy, wi, wo_off)[0])
+        assert f_windy > f_calm  # wider glint lobe off-specular
+
+    def test_reciprocity(self):
+        a = bsdf_ops.bsdf_eval(
+            "ocean_legacy", self.PARAMS, direction(25.0), direction(50.0, 140.0)
+        )
+        b = bsdf_ops.bsdf_eval(
+            "ocean_legacy", self.PARAMS, direction(50.0, 140.0), direction(25.0)
+        )
+        np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-4)
+
+    def test_nir_dark_water(self):
+        # water-leaving signal vanishes in the NIR; off-glint NIR ocean is dark
+        nir = dict(self.PARAMS, wavelength=1600.0)
+        wi = direction(30.0, 0.0)
+        wo = direction(30.0, 60.0)
+        f_vis = float(bsdf_ops.bsdf_eval("ocean_legacy", self.PARAMS, wi, wo)[0])
+        f_nir = float(bsdf_ops.bsdf_eval("ocean_legacy", nir, wi, wo)[0])
+        assert f_nir < f_vis
+
+
+class TestMQDiffuse:
+    def test_constant_data_is_lambertian(self):
+        data = jnp.full((5, 7, 5), 0.3 / np.pi)
+        params = {"data": data}
+        wi = direction(30.0)
+        for to, po in [(0.0, 0.0), (45.0, 90.0)]:
+            f = float(bsdf_ops.bsdf_eval("mqdiffuse", params, wi, direction(to, po))[0])
+            np.testing.assert_allclose(f, 0.3 / np.pi, rtol=1e-5)
+
+    def test_gradient_data_interpolates(self):
+        nto, npd, nti = 9, 9, 9
+        ti = np.linspace(0, np.pi / 2, nti)
+        data = jnp.asarray(np.broadcast_to(np.cos(ti)[None, None, :], (nto, npd, nti)))
+        params = {"data": data}
+        f0 = float(bsdf_ops.bsdf_eval("mqdiffuse", params, direction(0.0), direction(30.0))[0])
+        f60 = float(bsdf_ops.bsdf_eval("mqdiffuse", params, direction(60.0), direction(30.0))[0])
+        np.testing.assert_allclose(f0, 1.0, rtol=0.02)
+        np.testing.assert_allclose(f60, 0.5, rtol=0.05)
