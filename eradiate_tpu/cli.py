@@ -1,0 +1,141 @@
+"""Command-line interface.
+
+Mirror of the reference's Typer CLI (``src/eradiate/cli/__init__.py:24-77``:
+``eradiate sys-info``, ``eradiate data ...``, ``eradiate srf trim``),
+implemented with argparse (typer is not available in this environment).
+
+Run as ``python -m eradiate_tpu.cli <command>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_sys_info(args):
+    """Environment diagnostics (mirror of ``cli/sys_info.py``)."""
+    import platform
+
+    import jax
+    import numpy
+
+    info = {
+        "eradiate_tpu": __import__("eradiate_tpu").__version__,
+        "python": sys.version.split()[0],
+        "platform": platform.platform(),
+        "jax": jax.__version__,
+        "numpy": numpy.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_backend": jax.default_backend(),
+    }
+    print(json.dumps(info, indent=2))
+
+
+def cmd_data_paths(args):
+    from .data import data_paths
+
+    for p in data_paths():
+        exists = "present" if p.exists() else "absent"
+        print(f"{p}  [{exists}]")
+
+
+def cmd_data_list(args):
+    from .data import data_paths
+
+    for base in data_paths():
+        if not base.exists():
+            continue
+        for f in sorted(base.rglob("*.npz")):
+            print(f.relative_to(base))
+
+
+def cmd_data_install(args):
+    print(
+        "This environment has no network egress: install datasets by "
+        "copying .npz files into a directory on ERADIATE_TPU_DATA_PATH.",
+        file=sys.stderr,
+    )
+    return 1
+
+
+def cmd_srf_trim(args):
+    """Trim an SRF dataset (mirror of ``eradiate srf trim``,
+    ``cli/srf.py:27``)."""
+    import numpy as np
+
+    from .srf_tools import trim_srf
+
+    d = np.load(args.input)
+    w, srf = trim_srf(
+        d["w"], d["srf"], threshold=args.threshold, keep_integral=args.keep
+    )
+    np.savez(args.output, w=w, srf=srf)
+    print(f"trimmed {d['w'].size} -> {w.size} points -> {args.output}")
+
+
+def cmd_render(args):
+    """Render a JSON experiment config end to end."""
+    import numpy as np
+
+    import eradiate_tpu
+    from .experiments import AtmosphereExperiment, CanopyAtmosphereExperiment
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    eradiate_tpu.set_mode(cfg.pop("mode", "mono"))
+    cls = (
+        CanopyAtmosphereExperiment if "canopy" in cfg else AtmosphereExperiment
+    )
+    exp = cls(**cfg)
+    result = eradiate_tpu.run(exp)
+    if args.output:
+        result.to_npz(args.output)
+        print(f"results -> {args.output}")
+    else:
+        print(result)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="eradiate_tpu", description="TPU-native radiative transfer CLI"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("sys-info", help="show environment info").set_defaults(
+        fn=cmd_sys_info
+    )
+
+    data = sub.add_parser("data", help="data store management")
+    data_sub = data.add_subparsers(dest="data_command", required=True)
+    data_sub.add_parser("paths", help="show search paths").set_defaults(
+        fn=cmd_data_paths
+    )
+    data_sub.add_parser("list", help="list installed datasets").set_defaults(
+        fn=cmd_data_list
+    )
+    data_sub.add_parser("install", help="(unavailable offline)").set_defaults(
+        fn=cmd_data_install
+    )
+
+    srf = sub.add_parser("srf", help="SRF tools")
+    srf_sub = srf.add_subparsers(dest="srf_command", required=True)
+    trim = srf_sub.add_parser("trim", help="trim an SRF dataset")
+    trim.add_argument("input")
+    trim.add_argument("output")
+    trim.add_argument("--threshold", type=float, default=1e-3)
+    trim.add_argument("--keep", type=float, default=None)
+    trim.set_defaults(fn=cmd_srf_trim)
+
+    render = sub.add_parser("render", help="run an experiment from JSON config")
+    render.add_argument("config")
+    render.add_argument("-o", "--output", default=None)
+    render.set_defaults(fn=cmd_render)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
