@@ -1,0 +1,43 @@
+"""DEM experiment.
+
+Mirror of ``DEMExperiment`` (``src/eradiate/experiments/_dem.py:39``): a 1D
+atmosphere over a terrain (heightfield) surface.
+"""
+
+from __future__ import annotations
+
+import attrs
+
+from ..scenes.surface import DEMSurface
+from ._atmosphere import AtmosphereExperiment
+
+__all__ = ["DEMExperiment"]
+
+
+@attrs.define(eq=False, slots=False)
+class DEMExperiment(AtmosphereExperiment):
+    """1D atmosphere + DEM surface."""
+
+    def __attrs_post_init__(self):
+        super().__attrs_post_init__()
+        if self.geometry.kind != "plane_parallel":
+            raise ValueError("DEMExperiment requires plane-parallel geometry")
+
+    def process(self, spp=None, seed_state=None):
+        if not isinstance(self.surface, DEMSurface):
+            return super().process(spp=spp, seed_state=seed_state)
+
+        from ..core.modes import mode
+        from ..core.rng import root_seed_state
+        from ..ops.tracer_dem import render_dem
+
+        seed_state = seed_state or root_seed_state
+        dem = self.surface.dem_arrays(dtype=mode().device_dtype)
+        for measure in self.measures:
+            ctx = self.spectral_context(measure)
+            scene, sensor, config = self.compile_scene(measure, ctx)
+            n = int(spp) if spp is not None else int(measure.spp)
+            raw = render_dem(
+                scene, dem, sensor, config, spp=n, seed=int(seed_state.next())
+            )
+            measure.results = {"raw": raw, "spectral_ctx": ctx}

@@ -1,0 +1,255 @@
+"""Wavefront path tracer — terrain (DEM) surfaces under a 1D atmosphere.
+
+Mirror of the reference's ``DEMExperiment`` rendering path
+(``experiments/_dem.py:39``: 1D atmosphere + triangulated DEM surface).
+The terrain is a bilinear heightfield (:mod:`eradiate_tpu.ops.dem`);
+every candidate free-flight segment is tested against it, and NEE casts
+terrain-occlusion shadow rays (self-shadowing at low sun).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bsdf_ops import bsdf_eval, bsdf_sample
+from .dem import DemArrays, dem_intersect, dem_normal
+from .medium import clamp_mu, tau_at_z, z_at_tau
+from .phase_ops import ortho_frame, phase_eval, phase_sample
+from .scene_state import (
+    IlluminationArrays,
+    MediumArrays,
+    SceneConfig,
+    SensorArrays,
+    SurfaceArrays,
+)
+
+__all__ = ["render_dem"]
+
+
+def _to_world(n, v):
+    t1, t2 = ortho_frame(n)
+    return t1 * v[..., 0:1] + t2 * v[..., 1:2] + n * v[..., 2:3]
+
+
+def _to_local(n, v):
+    t1, t2 = ortho_frame(n)
+    return jnp.stack(
+        [jnp.sum(t1 * v, -1), jnp.sum(t2 * v, -1), jnp.sum(n * v, -1)], axis=-1
+    )
+
+
+def trace_paths_dem(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    dem: DemArrays,
+    illum_row,
+    init_pos,
+    init_d,
+    keys,
+):
+    z_levels = medium_row.z_levels
+    tau_levels = medium_row.tau_levels
+    tau_top = tau_levels[-1]
+    z_bottom = z_levels[0]
+    z_top = z_levels[-1]
+
+    d_sun = illum_row.direction
+    mu_sun = clamp_mu(-d_sun[2])
+    w_sun = -d_sun
+    E_sun = illum_row.irradiance
+    shadow_range = 2.0 * (z_top - z_bottom) / jnp.maximum(mu_sun, 0.05)
+
+    def tau_z(z):
+        return tau_at_z(z, z_levels, tau_levels)
+
+    def sun_T(pos):
+        T_atm = jnp.exp(-(tau_top - tau_z(pos[:, 2])) / mu_sun)
+        _, hit = dem_intersect(
+            dem,
+            pos,
+            jnp.broadcast_to(w_sun, pos.shape),
+            jnp.full(pos.shape[0], shadow_range),
+        )
+        return T_atm * jnp.where(hit, 0.0, 1.0)
+
+    B = init_pos.shape[0]
+    eps = 1e-5
+
+    def body(carry):
+        depth, pos, d, beta, L, alive, keys = carry
+
+        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
+        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+        z = pos[:, 2]
+        mu = clamp_mu(d[:, 2])
+        tau_here = tau_z(z)
+        tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
+        u = jax.vmap(jax.random.uniform)(k_dist)
+        tau_s = -jnp.log1p(-u)
+        collide_med = tau_s < tau_exit
+
+        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
+        z_med, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        z_edge = jnp.where(mu > 0.0, z_top, z_bottom)
+        t_cand = jnp.where(collide_med, (z_med - z) / mu, (z_edge - z) / mu)
+        t_cand = jnp.maximum(t_cand, eps)
+
+        t_dem, hit_dem = dem_intersect(dem, pos, d, t_cand)
+
+        event_dem = hit_dem & config.has_surface
+        event_med = collide_med & ~event_dem
+
+        pos_dem = pos + d * t_dem[:, None]
+        pos_med = pos + d * t_cand[:, None]
+
+        # ---- medium collision ------------------------------------------
+        albedo_col = medium_row.albedo[layer]
+        cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
+        p_nee = jax.vmap(
+            lambda l, c: phase_eval(
+                config.phase_kinds, medium_row.phase_params,
+                medium_row.phase_weights, l, c,
+            )
+        )(layer, cos_nee)
+        L_med = beta * albedo_col * p_nee * sun_T(pos_med) * E_sun
+        d_med = jax.vmap(
+            lambda l, dd, kk: phase_sample(
+                config.phase_kinds, medium_row.phase_params,
+                medium_row.phase_weights, l, dd, kk,
+            )
+        )(layer, d, k_scat)
+        beta_med = beta * albedo_col
+
+        # ---- terrain hit ------------------------------------------------
+        n_srf = dem_normal(dem, pos_dem[:, 0], pos_dem[:, 1])
+        wo_l = _to_local(n_srf, -d)
+        wi_sun_l = _to_local(n_srf, jnp.broadcast_to(w_sun, d.shape))
+        f_nee = bsdf_eval(config.surface_kind, surface_row.params, wi_sun_l, wo_l, pos_dem[:, :2])
+        cos_sun = jnp.maximum(jnp.einsum("ij,j->i", n_srf, w_sun), 0.0)
+        pos_dem_off = pos_dem + n_srf * eps
+        L_dem = beta * f_nee * cos_sun * sun_T(pos_dem_off) * E_sun
+        d_srf_l, w_srf = jax.vmap(
+            lambda w, k, pp: bsdf_sample(
+                config.surface_kind, surface_row.params, w, k, pp
+            )
+        )(wo_l, k_srf, pos_dem[:, :2])
+        d_srf = _to_world(n_srf, d_srf_l)
+        beta_srf = beta * w_srf
+
+        # ---- combine ----------------------------------------------------
+        L_add = jnp.where(event_dem, L_dem, jnp.where(event_med, L_med, 0.0))
+        L = L + jnp.where(alive, L_add, 0.0)
+        pos = jnp.where(event_dem[:, None], pos_dem_off, pos_med)
+        d = jnp.where(event_dem[:, None], d_srf, jnp.where(event_med[:, None], d_med, d))
+        beta = jnp.where(event_dem, beta_srf, jnp.where(event_med, beta_med, 0.0))
+        alive = alive & (event_dem | event_med) & (beta > 0.0)
+
+        do_rr = depth >= config.rr_depth
+        q = jnp.clip(beta, 0.0, 0.95)
+        u_rr = jax.vmap(jax.random.uniform)(k_rr)
+        survive = u_rr < q
+        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
+        alive = alive & jnp.where(do_rr, survive, True)
+
+        return (depth + 1, pos, d, beta, L, alive, keys)
+
+    def cond(carry):
+        return (carry[0] < config.max_depth) & jnp.any(carry[5])
+
+    init = (
+        jnp.asarray(0),
+        init_pos,
+        init_d,
+        jnp.ones(B, init_pos.dtype),
+        jnp.zeros(B, init_pos.dtype),
+        jnp.ones(B, dtype=bool),
+        keys,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[4]
+
+
+def _render_row_dem(
+    config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
+    target, key
+):
+    B = n_pix * spp
+    z_top = medium_row.z_levels[-1]
+    pix = jnp.repeat(jnp.arange(n_pix), spp)
+    w_v = directions[pix]
+    t_up = (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6)
+    init_pos = target[None, :] + w_v * t_up[:, None]
+    init_d = -w_v
+    keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
+    L = trace_paths_dem(
+        config, medium_row, surface_row, dem, illum_row, init_pos, init_d, keys
+    )
+    L = L.reshape(n_pix, spp)
+    return jnp.mean(L, axis=1), jnp.mean(L * L, axis=1)
+
+
+def render_batch_dem_impl(
+    config, n_pix, spp, medium, surface, dem, illum, directions, target, keys
+):
+    med_axes = MediumArrays(
+        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
+    )
+    surf_axes = SurfaceArrays(
+        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
+    )
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    return jax.vmap(
+        lambda mr, sr, ir, k: _render_row_dem(
+            config, n_pix, spp, mr, sr, dem, ir, directions, target, k
+        ),
+        in_axes=(med_axes, surf_axes, illum_axes, 0),
+    )(medium, surface, illum, keys)
+
+
+_render_batch_dem = jax.jit(render_batch_dem_impl, static_argnums=(0, 1, 2))
+
+
+def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
+               spp: int, seed: int = 0, spp_chunk: int | None = None):
+    from .tracer import MAX_PATHS_PER_DISPATCH
+
+    directions = jnp.asarray(sensor.directions)
+    target = jnp.asarray(sensor.target)
+    n_pix = directions.shape[0]
+    S = scene.medium.tau_levels.shape[0]
+
+    if spp_chunk is None:
+        max_spp = max(1, (MAX_PATHS_PER_DISPATCH // 16) // max(S * n_pix, 1))
+        if spp > max_spp:
+            spp_chunk = max_spp
+
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    chunks = []
+    start = 0
+    step = spp_chunk or spp
+    while start < spp:
+        chunks.append(min(step, spp - start))
+        start += step
+
+    rad_sum = jnp.zeros((S, n_pix))
+    m2_sum = jnp.zeros((S, n_pix))
+    traced = 0
+    for chunk_id, n in enumerate(chunks):
+        chunk_keys = jax.vmap(jax.random.fold_in)(row_keys, jnp.full(S, chunk_id))
+        rad, m2 = _render_batch_dem(
+            config, n_pix, n, scene.medium, scene.surface, dem,
+            scene.illumination, directions, target, chunk_keys,
+        )
+        rad_sum = rad_sum + rad * n
+        m2_sum = m2_sum + m2 * n
+        traced += n
+
+    return {"radiance": rad_sum / traced, "m2": m2_sum / traced, "spp": traced}

@@ -81,6 +81,69 @@ class CentralPatchSurface(Surface):
         return out
 
 
+@surface_factory.register("dem")
+@attrs.define(eq=False, slots=False)
+class DEMSurface(Surface):
+    """Digital elevation model surface (``scenes/surface/_dem.py:475``).
+
+    ``elevation``: [Ny, Nx] height grid [km]; ``extent``: (x0, y0, dx, dy)
+    in km. The reference triangulates elevation rasters into meshes
+    (``mesh_from_dem``); here the grid itself is the render primitive
+    (bilinear heightfield, :mod:`eradiate_tpu.ops.dem`).
+    """
+
+    elevation: np.ndarray = attrs.field(default=None)
+    x0: float = -1.0
+    y0: float = -1.0
+    dx: float = None
+    dy: float = None
+    bsdf: BSDF = attrs.field(factory=LambertianBSDF, converter=_bsdf_converter)
+
+    def __attrs_post_init__(self):
+        self.elevation = np.atleast_2d(np.asarray(self.elevation, dtype=np.float64))
+        ny, nx = self.elevation.shape
+        if self.dx is None:
+            self.dx = (2.0 * abs(self.x0)) / max(nx - 1, 1)
+        if self.dy is None:
+            self.dy = (2.0 * abs(self.y0)) / max(ny - 1, 1)
+
+    @classmethod
+    def gaussian_hill(
+        cls, height_km=0.5, sigma_km=2.0, extent_km=10.0, n=65, **kwargs
+    ) -> "DEMSurface":
+        x = np.linspace(-extent_km / 2, extent_km / 2, n)
+        xx, yy = np.meshgrid(x, x)
+        h = height_km * np.exp(-(xx**2 + yy**2) / (2 * sigma_km**2))
+        return cls(
+            elevation=h,
+            x0=-extent_km / 2,
+            y0=-extent_km / 2,
+            dx=x[1] - x[0],
+            dy=x[1] - x[0],
+            **kwargs,
+        )
+
+    @property
+    def bsdf_kind(self) -> str:
+        return self.bsdf.kind
+
+    def eval_bsdf_params(self, w_nm) -> dict:
+        return self.bsdf.eval_params(w_nm)
+
+    def dem_arrays(self, dtype=np.float32):
+        import jax.numpy as jnp
+
+        from ...ops.dem import DemArrays
+
+        return DemArrays(
+            heights=jnp.asarray(self.elevation, dtype=dtype),
+            x0=jnp.asarray(self.x0, dtype=dtype),
+            y0=jnp.asarray(self.y0, dtype=dtype),
+            dx=jnp.asarray(self.dx, dtype=dtype),
+            dy=jnp.asarray(self.dy, dtype=dtype),
+        )
+
+
 def surface_converter(value):
     """Convert surfaces OR bare BSDFs (the reference accepts both,
     ``experiments/_helpers.py:62``)."""
