@@ -69,24 +69,49 @@ def trace_paths(
     z_bottom = z_levels[0]
 
     d_sun = illum_row.direction  # propagation, pointing down
-    mu_sun = clamp_mu(-d_sun[2])  # cos of solar zenith (> 0)
-    w_sun = -d_sun  # unit vector toward the sun
+    w_sun = -d_sun  # unit vector toward the sun center
     E_sun = illum_row.irradiance  # scalar for this spectral slice
+    cos_cutoff = illum_row.cos_cutoff  # 1.0 = ideal directional emitter
 
     def tau_z(z):
         return tau_at_z(z, z_levels, tau_levels)
 
-    def sun_transmittance(z):
-        return jnp.exp(-(tau_top - tau_z(z)) / mu_sun)
-
     B = init_z.shape[0]
+
+    def sample_sun_dirs(key_batch):
+        """Cone-sampled directions toward the (possibly finite-size) sun.
+
+        For an astro-object emitter the irradiance spreads over the disk
+        solid angle; uniform cone sampling with pdf 1/Omega makes the NEE
+        weight exactly E (reference ``astroobject`` plugin semantics,
+        ``scenes/illumination/_astro_object.py:17-79``). cos_cutoff = 1
+        degenerates to the exact directional case.
+        """
+        from ..core.warp import square_to_uniform_cone
+        from .phase_ops import ortho_frame
+
+        u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(key_batch)
+        local = square_to_uniform_cone(u, cos_cutoff)
+        t1, t2 = ortho_frame(w_sun)
+        return (
+            t1[None, :] * local[:, 0:1]
+            + t2[None, :] * local[:, 1:2]
+            + w_sun[None, :] * local[:, 2:3]
+        )
 
     def body(carry):
         depth, z, xy, d, beta, L, alive, keys = carry
 
         k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
+        k_dist, k_scat, k_srf, k_rr, k_sun = (
+            ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4],
+        )
+        w_nee = sample_sun_dirs(k_sun)  # [B, 3] toward the sun
+        mu_nee = clamp_mu(w_nee[:, 2])
+
+        def sun_transmittance(z):
+            return jnp.exp(-(tau_top - tau_z(z)) / mu_nee)
 
         mu = clamp_mu(d[:, 2])
         tau_here = tau_z(z)
@@ -104,8 +129,8 @@ def trace_paths(
         xy_col = xy + d[:, :2] * s_col[:, None]
         albedo_col = medium_row.albedo[layer]
 
-        # NEE: sun propagation d_sun scattered into -d (toward sensor path)
-        cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
+        # NEE: sun propagation -w_nee scattered into -d (toward sensor path)
+        cos_nee = jnp.einsum("ij,ij->i", -w_nee, -d)
         p_nee = jax.vmap(
             lambda l, c: phase_eval(
                 config.phase_kinds,
@@ -134,11 +159,11 @@ def trace_paths(
         s_surf = (z_bottom - z) / mu
         xy_surf = xy + d[:, :2] * s_surf[:, None]
         wo = -d  # toward the sensor path (upward at surface hits)
-        T_sun_bottom = jnp.exp(-tau_top / mu_sun)
+        T_sun_bottom = jnp.exp(-tau_top / mu_nee)
         f_nee = bsdf_eval(
-            config.surface_kind, surface_row.params, w_sun[None, :], wo, xy_surf
+            config.surface_kind, surface_row.params, w_nee, wo, xy_surf
         )
-        L_surf = beta * f_nee * mu_sun * T_sun_bottom * E_sun
+        L_surf = beta * f_nee * mu_nee * T_sun_bottom * E_sun
         d_surf, w_surf = jax.vmap(
             lambda w, k, p: bsdf_sample(
                 config.surface_kind, surface_row.params, w, k, p

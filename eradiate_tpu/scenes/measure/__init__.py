@@ -289,11 +289,16 @@ class DistantFluxMeasure(HemisphericalDistantMeasure):
 
     @property
     def flux_weights(self) -> np.ndarray:
-        """Per-pixel cos-weighted solid angle for radiosity integration:
-        uniform hemisphere map -> d_omega = 2 pi / N per pixel."""
+        """Per-pixel cos-weighted solid angle for radiosity integration.
+
+        Uniform hemisphere map -> d_omega = 2 pi / N per pixel; weights are
+        renormalized to integrate the cosine exactly (sum = pi), removing
+        the O(1/N) quadrature bias of the pixel-center rule.
+        """
         d = self.sensor_directions()
         n = d.shape[0]
-        return 2.0 * np.pi / n * np.maximum(d[:, 2], 0.0)
+        w = 2.0 * np.pi / n * np.maximum(d[:, 2], 0.0)
+        return w * (np.pi / w.sum())
 
 
 @measure_factory.register("radiancemeter")

@@ -96,3 +96,69 @@ class TestPrincipalPlaneSymmetry:
         sigma = np.sqrt(var) * np.pi  # brf-space
         diff = np.abs(brf - brf[::-1])
         assert np.all(diff < 5 * (sigma + sigma[::-1]) + 5e-4)
+
+
+class TestAstroObject:
+    def test_matches_directional_for_small_disk(self, mode_mono):
+        """A 0.5-deg sun disk over a lambertian surface matches the ideal
+        directional BRF to first order."""
+        import eradiate_tpu
+        from eradiate_tpu.experiments import AtmosphereExperiment
+
+        base = dict(
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0, 40.0],
+                "azimuth": 0.0,
+                "spp": 512,
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere=None,
+        )
+        r_dir = eradiate_tpu.run(
+            AtmosphereExperiment(
+                illumination={"type": "directional", "zenith": 30.0}, **base
+            )
+        )
+        r_astro = eradiate_tpu.run(
+            AtmosphereExperiment(
+                illumination={
+                    "type": "astro_object",
+                    "zenith": 30.0,
+                    "angular_diameter": 0.5334,
+                },
+                **base,
+            )
+        )
+        np.testing.assert_allclose(
+            r_astro["brf"].values, r_dir["brf"].values, rtol=2e-3
+        )
+
+    def test_large_disk_softens(self, mode_mono):
+        """A very large disk source spreads illumination: BRF of a
+        lambertian surface stays ~reflectance (energy check)."""
+        import eradiate_tpu
+        from eradiate_tpu.experiments import AtmosphereExperiment
+
+        exp = AtmosphereExperiment(
+            illumination={
+                "type": "astro_object",
+                "zenith": 0.0,
+                "angular_diameter": 10.0,
+            },
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0],
+                "azimuth": 0.0,
+                "spp": 4096,
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere=None,
+        )
+        r = eradiate_tpu.run(exp)
+        # cos-weighting over the 10-deg disk shifts BRF by < 1%
+        np.testing.assert_allclose(r["brf"].values, 0.5, rtol=0.01)
