@@ -93,6 +93,12 @@ class EarthObservationExperiment(Experiment):
     illumination: Illumination = attrs.field(
         factory=DirectionalIllumination, converter=_illumination_converter
     )
+    #: maximum spectral indices compiled into one device batch; larger
+    #: grids (e.g. line-by-line mono DBs with ~3e5 wavelengths) stream in
+    #: chunks — the TPU-native replacement for the reference's serial
+    #: spectral loop at bounded memory (SURVEY §7.3 "CKD spectral loop
+    #: restructuring")
+    spectral_chunk_size: int = attrs.field(default=4096, kw_only=True)
 
     # subclasses implement:
     def spectral_context(self, measure) -> dict:
@@ -114,31 +120,70 @@ class EarthObservationExperiment(Experiment):
         seed_state = seed_state or root_seed_state
         for measure in self.measures:
             ctx = self.spectral_context(measure)
-            scene, sensor, config = self.compile_scene(measure, ctx)
             n = int(spp) if spp is not None else int(measure.spp)
-            seed = int(seed_state.next())
-            if config.geometry == "spherical_shell":
-                if config.polarized:
-                    raise NotImplementedError(
-                        "polarized transport in spherical-shell geometry is "
-                        "not implemented yet; use plane_parallel"
-                    )
-                raw = render_spherical(
-                    scene.medium,
-                    scene.surface,
-                    scene.illumination,
-                    sensor,
-                    config,
-                    spp=n,
-                    seed=seed,
-                )
-            elif config.polarized:
-                from ..ops.tracer_polarized import render_polarized
+            raws = []
+            for sub_ctx in self._chunk_spectral_ctx(ctx):
+                scene, sensor, config = self.compile_scene(measure, sub_ctx)
+                seed = int(seed_state.next())
+                raws.append(self._render_one(scene, sensor, config, n, seed))
+            measure.results = {
+                "raw": self._concat_raw(raws),
+                "spectral_ctx": ctx,
+            }
 
-                raw = render_polarized(scene, sensor, config, spp=n, seed=seed)
-            else:
-                raw = render(scene, sensor, config, spp=n, seed=seed)
-            measure.results = {"raw": raw, "spectral_ctx": ctx}
+    def _chunk_spectral_ctx(self, ctx):
+        import numpy as np
+
+        S = int(np.asarray(ctx["w"]).size)
+        step = max(int(self.spectral_chunk_size), 1)
+        if S <= step:
+            yield ctx
+            return
+        for start in range(0, S, step):
+            sl = slice(start, min(start + step, S))
+            sub = dict(ctx)
+            for key in ("w", "g", "bin_index", "g_weights"):
+                if key in ctx and ctx[key] is not None:
+                    sub[key] = np.asarray(ctx[key])[sl]
+            yield sub
+
+    @staticmethod
+    def _concat_raw(raws):
+        import numpy as np
+
+        if len(raws) == 1:
+            return raws[0]
+        out = {"spp": raws[0]["spp"]}
+        for key in raws[0]:
+            if key == "spp":
+                continue
+            out[key] = np.concatenate([np.asarray(r[key]) for r in raws], axis=0)
+        return out
+
+    def _render_one(self, scene, sensor, config, n, seed):
+        from ..ops.tracer import render
+        from ..ops.tracer_spherical import render_spherical
+
+        if config.geometry == "spherical_shell":
+            if config.polarized:
+                raise NotImplementedError(
+                    "polarized transport in spherical-shell geometry is "
+                    "not implemented yet; use plane_parallel"
+                )
+            return render_spherical(
+                scene.medium,
+                scene.surface,
+                scene.illumination,
+                sensor,
+                config,
+                spp=n,
+                seed=seed,
+            )
+        if config.polarized:
+            from ..ops.tracer_polarized import render_polarized
+
+            return render_polarized(scene, sensor, config, spp=n, seed=seed)
+        return render(scene, sensor, config, spp=n, seed=seed)
 
     def postprocess(self):
         for measure in self.measures:

@@ -210,16 +210,34 @@ def trace_paths(
     return final[5]
 
 
-def _render_row(config, n_pix, spp, medium_row, surface_row, illum_row, directions, key):
-    """Render one spectral slice: [N] pixels x spp samples."""
+def _render_row(
+    config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
+    target=None, ray_offset=None,
+):
+    """Render one spectral slice: [N] pixels x spp samples.
+
+    Rays start at TOA on the line through ``target`` unless ``ray_offset``
+    is finite, in which case they start at ``target + ray_offset * w_v``
+    (in-atmosphere sensor placement, mirror of mdistant's ``ray_offset``,
+    ``scenes/measure/_distant.py:334-361``).
+    """
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
 
-    # Initial rays: at TOA, traveling against the viewing direction.
     pix = jnp.repeat(jnp.arange(n_pix), spp)
-    init_d = -directions[pix]  # into the scene
-    init_z = jnp.full(B, z_top)
-    init_xy = jnp.zeros((B, 2))
+    w_v = directions[pix]
+    init_d = -w_v  # into the scene
+    target_z = 0.0 if target is None else target[2]
+    target_xy = jnp.zeros(2) if target is None else target[:2]
+    if ray_offset is None:
+        ray_offset = jnp.asarray(jnp.nan)
+    t_start = jnp.where(
+        jnp.isnan(ray_offset),
+        (z_top - target_z) / clamp_mu(w_v[:, 2]),
+        ray_offset,
+    )
+    init_z = jnp.clip(target_z + w_v[:, 2] * t_start, None, z_top)
+    init_xy = target_xy[None, :] + w_v[:, :2] * t_start[:, None]
 
     path_ids = jnp.arange(B)
     keys = jax.vmap(jax.random.fold_in)(
@@ -235,7 +253,10 @@ def _render_row(config, n_pix, spp, medium_row, surface_row, illum_row, directio
     return radiance, m2
 
 
-def render_batch_impl(config, n_pix, spp, medium, surface, illum, directions, keys):
+def render_batch_impl(
+    config, n_pix, spp, medium, surface, illum, directions, keys,
+    target=None, ray_offset=None,
+):
     """Spectral-batched render (traceable; see ``_render_batch`` for the
     jitted entry). ``keys`` has leading spectral axis [S]."""
     med_axes = MediumArrays(
@@ -247,7 +268,7 @@ def render_batch_impl(config, n_pix, spp, medium, surface, illum, directions, ke
     illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row(
-            config, n_pix, spp, mr, sr, ir, directions, k
+            config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset
         ),
         in_axes=(med_axes, surf_axes, illum_axes, 0),
     )(medium, surface, illum, keys)
@@ -315,6 +336,8 @@ def render(
             scene.illumination,
             directions,
             chunk_keys,
+            jnp.asarray(sensor.target),
+            jnp.asarray(sensor.ray_offset),
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

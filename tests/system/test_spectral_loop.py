@@ -150,3 +150,33 @@ class TestCKD:
             per_g, ctx["bin_index"], ctx["g_weights"], ctx["bin_wcenters"].size
         )
         np.testing.assert_allclose(brf, expected, rtol=0.05)
+
+
+def test_spectral_chunking_deterministic(mode_mono):
+    """Chunked spectral streaming gives identical results to single-batch
+    for deterministic (atmosphere-free) scenes."""
+    import eradiate_tpu
+    from eradiate_tpu.experiments import AtmosphereExperiment
+
+    kwargs = dict(
+        illumination={"type": "directional", "zenith": 30.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": [0.0, 45.0],
+            "azimuth": 0.0,
+            "spp": 1,
+            "srf": {"type": "delta", "wavelengths": list(np.linspace(400, 700, 7))},
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.4},
+        atmosphere=None,
+    )
+    r_full = eradiate_tpu.run(AtmosphereExperiment(**kwargs))
+    r_chunk = eradiate_tpu.run(
+        AtmosphereExperiment(spectral_chunk_size=3, **kwargs)
+    )
+    assert r_chunk["brf"].shape == (7, 2)
+    np.testing.assert_allclose(
+        r_chunk["brf"].values, r_full["brf"].values, atol=1e-6
+    )
