@@ -194,13 +194,26 @@ class AtmosphereExperiment(EarthObservationExperiment):
         surface = SurfaceArrays(params=sparams)
 
         # Illumination
-        illum = IlluminationArrays(
-            direction=jnp.asarray(self.illumination.direction, dtype=dtype),
-            irradiance=jnp.asarray(
-                self.illumination.eval_irradiance(w), dtype=dtype
-            ),
-            cos_cutoff=jnp.asarray(self.illumination.cos_cutoff, dtype=dtype),
-        )
+        from ..scenes.illumination import ConstantIllumination
+
+        if isinstance(self.illumination, ConstantIllumination):
+            illum = IlluminationArrays(
+                direction=jnp.asarray([0.0, 0.0, -1.0], dtype=dtype),
+                irradiance=jnp.zeros(S, dtype=dtype),
+                cos_cutoff=jnp.asarray(1.0, dtype=dtype),
+                sky_radiance=jnp.asarray(
+                    self.illumination.radiance.eval(w), dtype=dtype
+                ),
+            )
+        else:
+            illum = IlluminationArrays(
+                direction=jnp.asarray(self.illumination.direction, dtype=dtype),
+                irradiance=jnp.asarray(
+                    self.illumination.eval_irradiance(w), dtype=dtype
+                ),
+                cos_cutoff=jnp.asarray(self.illumination.cos_cutoff, dtype=dtype),
+                sky_radiance=jnp.zeros(S, dtype=dtype),
+            )
 
         scene = SceneArrays(medium=medium, surface=surface, illumination=illum)
 

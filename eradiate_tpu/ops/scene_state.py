@@ -72,11 +72,15 @@ class IlluminationArrays:
     into the scene). ``irradiance``: [S] spectral irradiance on a plane
     perpendicular to the beam [W/m^2/nm]. ``cos_cutoff``: cosine of the
     angular radius for finite-size astro objects (1.0 = ideal directional).
+    ``sky_radiance``: [S] uniform environment radiance [W/m^2/sr/nm]
+    collected by escaping paths (reference ``constant`` emitter,
+    ``scenes/illumination/_constant.py:35``); 0 for pure sun scenes.
     """
 
     direction: Any  # [3]
     irradiance: Any  # [S]
     cos_cutoff: Any  # scalar
+    sky_radiance: Any = 0.0  # [S]
 
 
 @_pytree_dataclass

@@ -71,6 +71,7 @@ def trace_paths(
     d_sun = illum_row.direction  # propagation, pointing down
     w_sun = -d_sun  # unit vector toward the sun center
     E_sun = illum_row.irradiance  # scalar for this spectral slice
+    L_sky = illum_row.sky_radiance  # uniform environment radiance
     cos_cutoff = illum_row.cos_cutoff  # 1.0 = ideal directional emitter
 
     def tau_z(z):
@@ -173,7 +174,14 @@ def trace_paths(
 
         # ---- combine ----------------------------------------------------
         L = L + jnp.where(
-            alive, jnp.where(collide, L_col, jnp.where(hit_surface, L_surf, 0.0)), 0.0
+            alive,
+            jnp.where(
+                collide,
+                L_col,
+                # escaping paths collect the uniform sky radiance
+                jnp.where(hit_surface, L_surf, beta * L_sky),
+            ),
+            0.0,
         )
         z = jnp.where(collide, z_col, z_bottom)
         xy = jnp.where(collide[:, None], xy_col, xy_surf)
@@ -265,7 +273,7 @@ def render_batch_impl(
     surf_axes = SurfaceArrays(
         params=jax.tree_util.tree_map(lambda _: 0, surface.params)
     )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row(
             config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset

@@ -245,7 +245,7 @@ def render_batch_canopy_impl(
     surf_axes = SurfaceArrays(
         params=jax.tree_util.tree_map(lambda _: 0, surface.params)
     )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     leaf_axes = {k: 0 for k in leaf_params}
     return jax.vmap(
         lambda mr, sr, lr, ir, k: _render_row_canopy(

@@ -201,7 +201,7 @@ def render_batch_dem_impl(
     surf_axes = SurfaceArrays(
         params=jax.tree_util.tree_map(lambda _: 0, surface.params)
     )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row_dem(
             config, n_pix, spp, mr, sr, dem, ir, directions, target, k

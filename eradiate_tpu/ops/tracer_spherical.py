@@ -279,7 +279,7 @@ def render_batch_spherical_impl(
     surf_axes = SurfaceArrays(
         params=jax.tree_util.tree_map(lambda _: 0, surface.params)
     )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None)
+    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row_spherical(
             config, n_pix, spp, max_iterations, mr, sr, ir, directions, target, k

@@ -65,7 +65,12 @@ def _scene_specs(scene):
         params=jax.tree_util.tree_map(lambda _: P("spectral"), scene.surface.params)
     )
     illum = IlluminationArrays(
-        direction=P(), irradiance=P("spectral"), cos_cutoff=P()
+        direction=P(),
+        irradiance=P("spectral"),
+        cos_cutoff=P(),
+        sky_radiance=P("spectral")
+        if getattr(scene.illumination.sky_radiance, "ndim", 0)
+        else P(),
     )
     return med, surf, illum
 

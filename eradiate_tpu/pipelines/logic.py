@@ -60,8 +60,12 @@ def aggregate_ckd_quad(values, bin_index, g_weights, n_bins, power=1):
 
 
 def extract_irradiance(illumination, w_nm):
-    """Solar irradiance on a horizontal plane: E(w) * cos(SZA)
-    (mirror of ``logic.py:417``)."""
+    """Horizontal-plane irradiance (mirror of ``logic.py:417``):
+    E(w) cos(SZA) for directional suns; pi L for a constant sky."""
+    from ..scenes.illumination import ConstantIllumination
+
+    if isinstance(illumination, ConstantIllumination):
+        return np.pi * illumination.radiance.eval(w_nm)
     E = illumination.eval_irradiance(w_nm)
     return E * illumination.cos_sza
 

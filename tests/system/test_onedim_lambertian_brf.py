@@ -44,3 +44,29 @@ def test_onedim_lambertian_brf(mode_mono_double, illumination_zenith):
         np.testing.assert_allclose(
             result["brf"].coords["vza"], np.linspace(-89, 89, n_vza)
         )
+
+
+def test_constant_illumination_white_furnace(mode_mono_double):
+    """Uniform sky over a lambertian surface: reflected radiance = rho * L
+    and BRF (pi L_out / E_horiz with E = pi L_sky) = rho."""
+    import eradiate_tpu
+    from eradiate_tpu.experiments import AtmosphereExperiment
+
+    exp = AtmosphereExperiment(
+        illumination={"type": "constant", "radiance": 2.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": [0.0, 40.0],
+            "azimuth": 0.0,
+            "spp": 2048,
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.6},
+        atmosphere=None,
+    )
+    result = eradiate_tpu.run(exp)
+    np.testing.assert_allclose(
+        result["radiance"].values, 0.6 * 2.0, rtol=0.05
+    )
+    np.testing.assert_allclose(result["brf"].values, 0.6, rtol=0.05)

@@ -50,7 +50,10 @@ def make_scene(
     sza = np.deg2rad(sza_deg)
     d_sun = -angles_to_direction([sza, 0.0])[0]  # propagation: downward
     illum = IlluminationArrays(
-        direction=jnp.asarray(d_sun), irradiance=jnp.ones(S), cos_cutoff=1.0
+        direction=jnp.asarray(d_sun),
+        irradiance=jnp.ones(S),
+        cos_cutoff=1.0,
+        sky_radiance=jnp.zeros(S),
     )
     return SceneArrays(medium=med, surface=surf, illumination=illum)
 
