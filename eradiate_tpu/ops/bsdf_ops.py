@@ -520,8 +520,9 @@ def bilambertian_sample(params, wo, key):
     return w_new, weight
 
 
-def bsdf_sample(kind, params, wo, key, p=None):
-    """Sample continuation direction for backward tracing.
+def bsdf_sample_from_uniforms(kind, params, wo, u, p=None):
+    """Sample continuation direction for backward tracing from pre-drawn
+    uniforms ``u`` [..., 2] (batch-friendly, no per-path keys).
 
     Cosine-hemisphere importance sampling (pdf = cos/pi) with exact
     ``f cos / pdf`` weighting — optimal for lambertian, robust for the
@@ -530,7 +531,6 @@ def bsdf_sample(kind, params, wo, key, p=None):
 
     Returns (w_new, weight).
     """
-    u = jax.random.uniform(key, wo.shape[:-1] + (2,))
     w_new = square_to_cosine_hemisphere(u)
     if kind in ("lambertian", "checkerboard"):
         # f = rho/pi, pdf = cos/pi -> weight = rho
@@ -542,3 +542,9 @@ def bsdf_sample(kind, params, wo, key, p=None):
         f = bsdf_eval(kind, params, w_new, wo, p)
         weight = f * jnp.pi  # cos cancels against the cosine pdf
     return w_new, weight
+
+
+def bsdf_sample(kind, params, wo, key, p=None):
+    """Key-based wrapper over :func:`bsdf_sample_from_uniforms`."""
+    u = jax.random.uniform(key, wo.shape[:-1] + (2,))
+    return bsdf_sample_from_uniforms(kind, params, wo, u, p)

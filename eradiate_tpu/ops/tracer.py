@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
-from .medium import clamp_mu, tau_at_z, z_at_tau
+from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .phase_ops import phase_eval, phase_sample
 from .scene_state import (
     IlluminationArrays,
@@ -128,7 +128,7 @@ def trace_paths(
         z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
         s_col = (z_col - z) / mu
         xy_col = xy + d[:, :2] * s_col[:, None]
-        albedo_col = medium_row.albedo[layer]
+        albedo_col = take_1d(medium_row.albedo, layer)
 
         # NEE: sun propagation -w_nee scattered into -d (toward sensor path)
         cos_nee = jnp.einsum("ij,ij->i", -w_nee, -d)
@@ -285,6 +285,46 @@ def render_batch_impl(
 _render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2))
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _render_full(
+    config, n_pix, spp_chunk, n_chunks, medium, surface, illum, directions,
+    target, ray_offset, seed,
+):
+    """Whole-measure render in ONE device program: key derivation, a scan
+    over sample chunks and the accumulator arithmetic all live on device.
+
+    Rationale: under a remote-device tunnel every host-side op is a
+    round-trip; a wrapper composed of ~10 small jnp calls costs ~1 s while
+    the render itself takes ~1 ms. Single-dispatch structure is also what
+    keeps the driver loop overlap-friendly on pods.
+    """
+    S = medium.tau_levels.shape[0]
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    def chunk_body(carry, chunk_id):
+        rad_sum, m2_sum = carry
+        chunk_keys = jax.vmap(jax.random.fold_in)(
+            row_keys, jnp.full(S, chunk_id)
+        )
+        rad, m2 = render_batch_impl(
+            config, n_pix, spp_chunk, medium, surface, illum, directions,
+            chunk_keys, target, ray_offset,
+        )
+        return (rad_sum + rad, m2_sum + m2), None
+
+    init = (
+        jnp.zeros((S, n_pix), medium.tau_levels.dtype),
+        jnp.zeros((S, n_pix), medium.tau_levels.dtype),
+    )
+    (rad_sum, m2_sum), _ = jax.lax.scan(
+        chunk_body, init, jnp.arange(n_chunks)
+    )
+    return rad_sum / n_chunks, m2_sum / n_chunks
+
+
 #: Maximum S * n_pix * spp paths per device dispatch; larger sample budgets
 #: are chunked. Keeps peak memory bounded (a 10M-path single dispatch was
 #: observed to hard-crash a TPU v5e worker).
@@ -310,49 +350,24 @@ def render(
 
     if spp_chunk is None:
         per_sample_paths = S * n_pix
-        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(per_sample_paths, 1))
-        if spp > max_spp:
-            spp_chunk = max_spp
+        spp_chunk = max(1, MAX_PATHS_PER_DISPATCH // max(per_sample_paths, 1))
+    spp_chunk = min(spp_chunk, spp)
+    # uniform chunks (sample budget rounds up to a chunk multiple)
+    n_chunks = -(-spp // spp_chunk)
+    traced = n_chunks * spp_chunk
 
-    base_key = jax.random.key(seed)
-    row_keys = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    rad, m2 = _render_full(
+        config,
+        n_pix,
+        spp_chunk,
+        n_chunks,
+        scene.medium,
+        scene.surface,
+        scene.illumination,
+        directions,
+        jnp.asarray(sensor.target),
+        jnp.asarray(sensor.ray_offset),
+        # uint32: SeedState emits full 32-bit seeds that overflow int32
+        jnp.asarray(int(seed) & 0xFFFFFFFF, dtype=jnp.uint32),
     )
-
-    if spp_chunk is None or spp_chunk >= spp:
-        chunks = [(0, spp)]
-    else:
-        chunks = []
-        start = 0
-        while start < spp:
-            chunks.append((start, min(spp_chunk, spp - start)))
-            start += spp_chunk
-
-    rad_sum = jnp.zeros((S, n_pix))
-    m2_sum = jnp.zeros((S, n_pix))
-    traced = 0
-    for chunk_id, (_, n) in enumerate(chunks):
-        chunk_keys = jax.vmap(jax.random.fold_in)(
-            row_keys, jnp.full(S, chunk_id)
-        )
-        rad, m2 = _render_batch(
-            config,
-            n_pix,
-            n,
-            scene.medium,
-            scene.surface,
-            scene.illumination,
-            directions,
-            chunk_keys,
-            jnp.asarray(sensor.target),
-            jnp.asarray(sensor.ray_offset),
-        )
-        rad_sum = rad_sum + rad * n
-        m2_sum = m2_sum + m2 * n
-        traced += n
-
-    return {
-        "radiance": rad_sum / traced,
-        "m2": m2_sum / traced,
-        "spp": traced,
-    }
+    return {"radiance": rad, "m2": m2, "spp": traced}

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .bsdf_ops import bilambertian_eval, bilambertian_sample, bsdf_eval, bsdf_sample
 from .canopy import LeafCloudArrays, ray_leaves_nearest, ray_leaves_occluded
-from .medium import clamp_mu, tau_at_z, z_at_tau
+from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .phase_ops import ortho_frame, phase_eval, phase_sample
 from .scene_state import (
     IlluminationArrays,
@@ -115,7 +115,7 @@ def trace_paths_canopy(
         pos_ground = pos_ground.at[:, 2].set(z_bottom)
 
         # ---- medium collision ------------------------------------------
-        albedo_col = medium_row.albedo[layer]
+        albedo_col = take_1d(medium_row.albedo, layer)
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(
             lambda l, c: phase_eval(

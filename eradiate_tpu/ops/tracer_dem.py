@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
 from .dem import DemArrays, dem_intersect, dem_normal
-from .medium import clamp_mu, tau_at_z, z_at_tau
+from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .phase_ops import ortho_frame, phase_eval, phase_sample
 from .scene_state import (
     IlluminationArrays,
@@ -107,7 +107,7 @@ def trace_paths_dem(
         pos_med = pos + d * t_cand[:, None]
 
         # ---- medium collision ------------------------------------------
-        albedo_col = medium_row.albedo[layer]
+        albedo_col = take_1d(medium_row.albedo, layer)
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(
             lambda l, c: phase_eval(

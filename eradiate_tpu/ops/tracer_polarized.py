@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
-from .medium import clamp_mu, tau_at_z, z_at_tau
+from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .mueller import (
     default_basis,
     depolarizer,
@@ -160,7 +160,7 @@ def trace_paths_polarized(
         tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
         z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
         xy_col = xy + d[:, :2] * ((z_col - z) / mu)[:, None]
-        albedo_col = medium_row.albedo[layer]
+        albedo_col = take_1d(medium_row.albedo, layer)
 
         l_out = -d  # light leaves the vertex toward the sensor path
 
