@@ -218,11 +218,14 @@ class AtmosphereExperiment(EarthObservationExperiment):
         scene = SceneArrays(medium=medium, surface=surface, illumination=illum)
 
         # Sensor
-        target = (
-            measure.target.xyz
-            if isinstance(measure.target, TargetPoint)
-            else np.zeros(3)
-        )
+        anchor = getattr(measure, "ray_anchor", None)
+        if anchor is not None:
+            # camera-style measures: rays start at the anchor point
+            target = np.asarray(anchor, dtype=np.float64)
+        elif isinstance(measure.target, TargetPoint):
+            target = measure.target.xyz
+        else:
+            target = np.zeros(3)
         sensor = SensorArrays(
             directions=jnp.asarray(measure.sensor_directions(), dtype=dtype),
             target=jnp.asarray(target, dtype=dtype),

@@ -216,14 +216,19 @@ def trace_paths_canopy(
 
 def _render_row_canopy(
     config, n_pix, spp, medium_row, surface_row, leaf_row, leaves, illum_row,
-    directions, target, key
+    directions, target, ray_offset, key
 ):
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
     pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
-    # start at TOA on the line through the target
-    t_up = (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6)
+    # start at TOA on the line through the target, unless ray_offset is
+    # finite (camera/in-scene sensors: start at target + ray_offset * w_v)
+    t_up = jnp.where(
+        jnp.isnan(ray_offset),
+        (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6),
+        ray_offset,
+    )
     init_pos = target[None, :] + w_v * t_up[:, None]
     init_d = -w_v
     keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
@@ -237,7 +242,7 @@ def _render_row_canopy(
 
 def render_batch_canopy_impl(
     config, n_pix, spp, medium, surface, leaf_params, leaves, illum,
-    directions, target, keys
+    directions, target, ray_offset, keys
 ):
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
@@ -249,7 +254,8 @@ def render_batch_canopy_impl(
     leaf_axes = {k: 0 for k in leaf_params}
     return jax.vmap(
         lambda mr, sr, lr, ir, k: _render_row_canopy(
-            config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target, k
+            config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
+            ray_offset, k
         ),
         in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0),
     )(medium, surface, leaf_params, illum, keys)
@@ -277,6 +283,7 @@ def render_canopy(
 
     directions = jnp.asarray(sensor.directions)
     target = jnp.asarray(sensor.target)
+    ray_offset = jnp.asarray(sensor.ray_offset)
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
 
@@ -305,7 +312,7 @@ def render_canopy(
         chunk_keys = jax.vmap(jax.random.fold_in)(row_keys, jnp.full(S, chunk_id))
         rad, m2 = _render_batch_canopy(
             config, n_pix, n, scene.medium, scene.surface, leaf_params, leaves,
-            scene.illumination, directions, target, chunk_keys,
+            scene.illumination, directions, target, ray_offset, chunk_keys,
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

@@ -175,13 +175,18 @@ def trace_paths_dem(
 
 def _render_row_dem(
     config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
-    target, key
+    target, ray_offset, key
 ):
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
     pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
-    t_up = (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6)
+    # TOA start through target, or target + ray_offset * w_v (cameras)
+    t_up = jnp.where(
+        jnp.isnan(ray_offset),
+        (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6),
+        ray_offset,
+    )
     init_pos = target[None, :] + w_v * t_up[:, None]
     init_d = -w_v
     keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
@@ -193,7 +198,8 @@ def _render_row_dem(
 
 
 def render_batch_dem_impl(
-    config, n_pix, spp, medium, surface, dem, illum, directions, target, keys
+    config, n_pix, spp, medium, surface, dem, illum, directions, target,
+    ray_offset, keys
 ):
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
@@ -204,7 +210,8 @@ def render_batch_dem_impl(
     illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row_dem(
-            config, n_pix, spp, mr, sr, dem, ir, directions, target, k
+            config, n_pix, spp, mr, sr, dem, ir, directions, target,
+            ray_offset, k
         ),
         in_axes=(med_axes, surf_axes, illum_axes, 0),
     )(medium, surface, illum, keys)
@@ -219,6 +226,7 @@ def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
 
     directions = jnp.asarray(sensor.directions)
     target = jnp.asarray(sensor.target)
+    ray_offset = jnp.asarray(sensor.ray_offset)
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
 
@@ -246,7 +254,7 @@ def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
         chunk_keys = jax.vmap(jax.random.fold_in)(row_keys, jnp.full(S, chunk_id))
         rad, m2 = _render_batch_dem(
             config, n_pix, n, scene.medium, scene.surface, dem,
-            scene.illumination, directions, target, chunk_keys,
+            scene.illumination, directions, target, ray_offset, chunk_keys,
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

@@ -114,6 +114,13 @@ def _angular_coords(measure):
     if getattr(measure, "hplane_azimuth", None) is not None:
         # signed zenith parametrization for principal-plane plots
         coords["vza"] = va[:, 0]
+    fs = measure.film_shape
+    if len(fs) == 2:
+        # 2D films (hdistant, perspective): pixel index coords; x-major
+        # ravel order matches sensor_directions
+        nx, ny = fs
+        coords["film_x"] = np.repeat(np.arange(nx), ny)
+        coords["film_y"] = np.tile(np.arange(ny), nx)
     return coords
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "DistantFluxMeasure",
     "RadiancemeterMeasure",
     "MultiRadiancemeterMeasure",
+    "PerspectiveCameraMeasure",
     "Target",
     "TargetPoint",
     "TargetRectangle",
@@ -299,6 +300,91 @@ class DistantFluxMeasure(HemisphericalDistantMeasure):
         n = d.shape[0]
         w = 2.0 * np.pi / n * np.maximum(d[:, 2], 0.0)
         return w * (np.pi / w.sum())
+
+
+@measure_factory.register("perspective")
+@attrs.define(eq=False, slots=False)
+class PerspectiveCameraMeasure(Measure):
+    """Pinhole perspective camera (reference ``perspective`` plugin wrapper,
+    ``scenes/measure/_perspective.py:19-160``).
+
+    Positioned by ``origin``/``target``/``up`` look-at vectors with a field
+    of view ``fov`` (degrees) applied along the film **width** axis (Mitsuba
+    ``fov_axis='x'`` default). Each film pixel is an independent radiometer
+    whose ray starts at the camera origin through the pixel center — the
+    box-reconstruction special case of the reference's film/rfilter stack.
+
+    ``far_clip`` is structurally unnecessary here: the analytic tracers
+    terminate rays on scene exit rather than on a clip plane.
+    """
+
+    film_resolution: tuple = (32, 32)
+    origin: np.ndarray = attrs.field(factory=lambda: np.array([1.0, 1.0, 1.0]))
+    target: np.ndarray = attrs.field(factory=lambda: np.zeros(3))
+    up: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 1.0]))
+    fov: float = 50.0
+
+    def __attrs_post_init__(self):
+        self.origin = np.asarray(
+            to_quantity(self.origin, "km").m_as("km"), dtype=np.float64
+        )
+        tgt = self.target.xyz if isinstance(self.target, TargetPoint) else self.target
+        self.target = np.asarray(
+            to_quantity(tgt, "km").m_as("km"), dtype=np.float64
+        )
+        self.up = np.asarray(self.up, dtype=np.float64)
+        self.fov = float(_as_deg_array(self.fov)[0])
+        if np.allclose(self.target, self.origin):
+            raise ValueError(
+                f"origin and target must not be equal, got target = "
+                f"{self.target}, origin = {self.origin}"
+            )
+        if np.allclose(np.cross(self.target - self.origin, self.up), 0.0):
+            raise ValueError(
+                f"up direction must not be colinear with the viewing "
+                f"direction, got up = {self.up}, direction = "
+                f"{self.target - self.origin}"
+            )
+
+    @property
+    def film_shape(self) -> tuple:
+        return tuple(self.film_resolution)
+
+    @property
+    def ray_anchor(self) -> np.ndarray:
+        """Rays start at the camera origin (consumed by compile_scene)."""
+        return self.origin
+
+    @property
+    def ray_offset(self) -> float:
+        return 0.0
+
+    def sensor_directions(self) -> np.ndarray:
+        """[W*H, 3] unit vectors from the scene toward the camera, row-major
+        over film pixels ((x fastest) to match ``film_shape = (W, H)``)."""
+        nx, ny = self.film_resolution
+        fwd = self.target - self.origin
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, self.up)
+        right = right / np.linalg.norm(right)
+        upv = np.cross(right, fwd)
+        half_w = np.tan(np.deg2rad(self.fov) / 2.0)
+        half_h = half_w * ny / nx
+        # pixel centers; +y up on the image plane
+        xs = (np.arange(nx) + 0.5) / nx * 2.0 - 1.0
+        ys = 1.0 - (np.arange(ny) + 0.5) / ny * 2.0
+        xx, yy = np.meshgrid(xs * half_w, ys * half_h, indexing="ij")
+        d = (
+            fwd[None, :]
+            + xx.ravel()[:, None] * right[None, :]
+            + yy.ravel()[:, None] * upv[None, :]
+        )
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        return -d  # toward the sensor
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        return np.rad2deg(direction_to_angles(self.sensor_directions()))
 
 
 @measure_factory.register("radiancemeter")
