@@ -475,8 +475,109 @@ def mqdiffuse_eval(params, wi, wo, p=None):
     return jnp.where(valid, val, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Bitmap texture (reference stock `bitmap` texture under a `diffuse` BSDF,
+# `scenes/bsdfs/_lambertian.py` + Mitsuba bitmap plugin): spatially varying
+# lambertian reflectance from a gridded map.
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_wrap(data, u, v):
+    """Bilinear lookup of ``data`` [H, W] at uv in [0, 1) with repeat
+    wrapping (Mitsuba bitmap texture defaults: wrap repeat + bilinear)."""
+    h, w = data.shape
+    u = (u % 1.0) * w - 0.5
+    v = (v % 1.0) * h - 0.5
+    i0 = jnp.floor(u).astype(jnp.int32)
+    j0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - i0
+    fv = v - j0
+    i0w, i1w = i0 % w, (i0 + 1) % w
+    j0w, j1w = j0 % h, (j0 + 1) % h
+    return (
+        data[j0w, i0w] * (1 - fu) * (1 - fv)
+        + data[j0w, i1w] * fu * (1 - fv)
+        + data[j1w, i0w] * (1 - fu) * fv
+        + data[j1w, i1w] * fu * fv
+    )
+
+
+def _uv_from_p(p, extent):
+    """Surface point -> texture uv: the map spans [-extent/2, extent/2]^2."""
+    u = p[..., 0] / extent + 0.5
+    v = p[..., 1] / extent + 0.5
+    return u, v
+
+
+def bitmap_eval(params, wi, wo, p=None):
+    data = params["data"]  # [H, W] reflectance map (per spectral row)
+    if p is None:
+        rho = jnp.mean(data)
+    else:
+        u, v = _uv_from_p(p, params["extent"])
+        rho = _bilinear_wrap(data, u, v)
+    return jnp.where((_mu(wi) > 0) & (_mu(wo) > 0), rho / jnp.pi, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Composite BSDFs: static structure lives in the ':'-separated kind string
+# (part of the jit cache key); per-child parameters are prefix-namespaced in
+# the params dict. Engine equivalents of the reference's `mask`/opacity-mask
+# (`scenes/bsdfs/_opacity_mask.py:88`), `selectbsdf` (expert plugin, release
+# notes v0.29.x) and the CentralPatchSurface dual-BSDF composite
+# (`scenes/surface/_central_patch.py:37`).
+# ---------------------------------------------------------------------------
+
+
+def _sub(params, prefix):
+    n = len(prefix)
+    return {k[n:]: v for k, v in params.items() if k.startswith(prefix)}
+
+
+def _composite_eval(kind, params, wi, wo, p=None):
+    parts = kind.split(":")
+    head = parts[0]
+    if head == "central_patch":
+        bg_kind, patch_kind = parts[1], parts[2]
+        f_bg = bsdf_eval(bg_kind, _sub(params, "bg_"), wi, wo, p)
+        f_patch = bsdf_eval(patch_kind, _sub(params, "patch_"), wi, wo, p)
+        if p is None:
+            return f_bg
+        edge = params["patch_edges"]  # half-extent [km]
+        inside = (jnp.abs(p[..., 0]) <= edge) & (jnp.abs(p[..., 1]) <= edge)
+        return jnp.where(inside, f_patch, f_bg)
+    if head == "opacity_mask":
+        f = bsdf_eval(parts[1], _sub(params, "nested_"), wi, wo, p)
+        if p is None:
+            return f
+        u, v = _uv_from_p(p, params["mask_extent"])
+        opacity = _bilinear_wrap(params["opacity_map"], u, v)
+        # opacity < 1 passes light through the surface plane (null BSDF);
+        # for an opaque ground that energy is lost -> scale the reflection
+        return f * jnp.clip(opacity, 0.0, 1.0)
+    if head == "select":
+        child_kinds = parts[1:]
+        fs = [
+            bsdf_eval(k, _sub(params, f"c{i}_"), wi, wo, p)
+            for i, k in enumerate(child_kinds)
+        ]
+        stacked = jnp.stack(fs, axis=0)  # [C, ...]
+        if p is None:
+            return fs[0]
+        data = params["index_map"]  # [H, W] float-stored integer indices
+        h, w = data.shape
+        u, v = _uv_from_p(p, params["select_extent"])
+        i = (jnp.clip(u, 0.0, 1.0 - 1e-7) * w).astype(jnp.int32)
+        j = (jnp.clip(v, 0.0, 1.0 - 1e-7) * h).astype(jnp.int32)
+        idx = jnp.round(data[j, i]).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, len(child_kinds) - 1)
+        return jnp.take_along_axis(stacked, idx[None, ...], axis=0)[0]
+    raise ValueError(f"unsupported composite BSDF kind '{kind}'")
+
+
 _EVAL = {
     "lambertian": lambertian_eval,
+    "bitmap": bitmap_eval,
     "rpv": rpv_eval,
     "black": black_eval,
     "checkerboard": checkerboard_eval,
@@ -485,16 +586,39 @@ _EVAL = {
     "bilambertian": bilambertian_eval,
     "ocean_legacy": ocean_legacy_eval,
     "ocean_grasp": ocean_grasp_eval,
-    "ocean_mishchenko": ocean_legacy_eval,  # scalar part; Mueller TBD
-    "maignan": rpv_eval,  # scalar part equals RPV; polarized term TBD
     "mqdiffuse": mqdiffuse_eval,
 }
+
+
+def _maignan_eval(params, wi, wo, p=None):
+    from .bsdf_polarized import maignan_eval
+
+    return maignan_eval(params, wi, wo, p)
+
+
+def _ocean_mishchenko_eval(params, wi, wo, p=None):
+    from .bsdf_polarized import ocean_mishchenko_eval
+
+    return ocean_mishchenko_eval(params, wi, wo, p)
+
+
+# scalar (I-I) components of the polarized surface models (full Mueller
+# matrices live in ops.bsdf_polarized; lazy imports break the module cycle)
+_EVAL["maignan"] = _maignan_eval
+_EVAL["ocean_mishchenko"] = _ocean_mishchenko_eval
 
 SUPPORTED_BSDFS = tuple(sorted(_EVAL))
 
 
 def bsdf_eval(kind, params, wi, wo, p=None):
-    """BRDF value f(wi, wo) [1/sr]; static dispatch on ``kind``."""
+    """BRDF value f(wi, wo) [1/sr]; static dispatch on ``kind``.
+
+    Composite kinds encode their structure in the string itself
+    (``central_patch:<bg>:<patch>``, ``opacity_mask:<nested>``,
+    ``select:<k0>:<k1>:...``) so the jit cache key captures it.
+    """
+    if ":" in kind:
+        return _composite_eval(kind, params, wi, wo, p)
     try:
         fn = _EVAL[kind]
     except KeyError:

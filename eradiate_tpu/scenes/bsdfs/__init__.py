@@ -24,6 +24,9 @@ __all__ = [
     "RTLSBSDF",
     "BiLambertianBSDF",
     "OceanLegacyBSDF",
+    "BitmapBSDF",
+    "OpacityMaskBSDF",
+    "SelectBSDF",
     "bsdf_factory",
 ]
 
@@ -204,13 +207,127 @@ class MQDiffuseBSDF(BSDF):
         }
 
 
+@bsdf_factory.register("bitmap")
+@attrs.define(eq=False, slots=False)
+class BitmapBSDF(BSDF):
+    """Spatially varying lambertian reflectance from a gridded map
+    (reference stock ``bitmap`` texture under a ``diffuse`` BSDF). The map
+    spans ``[-extent/2, extent/2]^2`` km and repeats outside; an optional
+    spectral ``scale`` multiplies the map per wavelength."""
+
+    data: np.ndarray = attrs.field(default=None)  # [H, W] reflectance
+    extent: float = 1.0  # km
+    scale: Spectrum = _spec(1.0)
+    kind: str = attrs.field(default="bitmap", init=False)
+
+    def __attrs_post_init__(self):
+        self.data = np.atleast_2d(np.asarray(self.data, dtype=np.float64))
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        scale = np.atleast_1d(self.scale.eval(w_nm))
+        return {
+            "data": self.data[None, ...] * scale[:, None, None],
+            "extent": np.full(w.shape, self.extent),
+        }
+
+
+@bsdf_factory.register("opacity_mask")
+@attrs.define(eq=False, slots=False)
+class OpacityMaskBSDF(BSDF):
+    """Opacity-masked BSDF (reference ``mask`` plugin wrapper,
+    ``scenes/bsdfs/_opacity_mask.py:88``): a nested BSDF modulated by a
+    gridded opacity map over ``[-extent/2, extent/2]^2`` km. Opacity < 1
+    passes light through the surface plane (lost below an opaque ground)."""
+
+    nested_bsdf: BSDF = attrs.field(
+        factory=lambda: LambertianBSDF(),
+        converter=lambda v: bsdf_factory.convert(v) if isinstance(v, dict) else v,
+    )
+    opacity: np.ndarray = attrs.field(default=1.0)  # [H, W] map or scalar
+    extent: float = 1.0  # km (reference ``uv_trafo`` analog)
+    kind: str = attrs.field(default=None, init=False)
+
+    def __attrs_post_init__(self):
+        self.opacity = np.atleast_2d(np.asarray(self.opacity, dtype=np.float64))
+        self.kind = f"opacity_mask:{self.nested_bsdf.kind}"
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        out = {
+            f"nested_{k}": v for k, v in self.nested_bsdf.eval_params(w_nm).items()
+        }
+        out["opacity_map"] = np.broadcast_to(
+            self.opacity[None, ...], (w.size,) + self.opacity.shape
+        ).copy()
+        out["mask_extent"] = np.full(w.shape, self.extent)
+        return out
+
+
+@bsdf_factory.register("selectbsdf")
+@attrs.define(eq=False, slots=False)
+class SelectBSDF(BSDF):
+    """BSDF switch by gridded integer index (reference ``selectbsdf``
+    expert plugin, release notes v0.29.x): ``index_map[j, i]`` selects
+    which child BSDF applies at the surface point (nearest lookup over
+    ``[-extent/2, extent/2]^2`` km)."""
+
+    bsdfs: list = attrs.field(
+        factory=lambda: [LambertianBSDF()],
+        converter=lambda vs: [
+            bsdf_factory.convert(v) if isinstance(v, dict) else v for v in vs
+        ],
+    )
+    index_map: np.ndarray = attrs.field(default=0)  # [H, W] ints
+    extent: float = 1.0  # km
+    kind: str = attrs.field(default=None, init=False)
+
+    def __attrs_post_init__(self):
+        self.index_map = np.atleast_2d(np.asarray(self.index_map, dtype=np.float64))
+        if not self.bsdfs:
+            raise ValueError("selectbsdf needs at least one child BSDF")
+        self.kind = "select:" + ":".join(b.kind for b in self.bsdfs)
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        out = {}
+        for i, b in enumerate(self.bsdfs):
+            for k, v in b.eval_params(w_nm).items():
+                out[f"c{i}_{k}"] = v
+        out["index_map"] = np.broadcast_to(
+            self.index_map[None, ...], (w.size,) + self.index_map.shape
+        ).copy()
+        out["select_extent"] = np.full(w.shape, self.extent)
+        return out
+
+
 @bsdf_factory.register("maignan")
 @attrs.define(eq=False, slots=False)
 class MaignanBSDF(RPVBSDF):
-    """Maignan (2009) polarized BRDF correction over an RPV base
-    (``scenes/bsdfs/_maignan.py:105``); the scalar part equals RPV."""
+    """Maignan (2009) polarized BRDF (``scenes/bsdfs/_maignan.py:105``):
+    RPV scalar base plus the one-parameter Fresnel specular peak
+    (Maignan 2009 Eq. 21; parameters C, ndvi, refr_re, refr_im, ext_ior
+    mirror the reference plugin)."""
 
+    C: Spectrum = _spec(5.0)
+    ndvi: Spectrum = _spec(0.8)
+    refr_re: Spectrum = _spec(1.5)
+    refr_im: Spectrum = _spec(0.0)
+    ext_ior: Spectrum = _spec(1.000277)
     kind: str = attrs.field(default="maignan", init=False)
+
+    def eval_params(self, w_nm) -> dict:
+        out = super().eval_params(w_nm)
+        out.update(
+            {
+                "C": self.C.eval(w_nm),
+                "ndvi": self.ndvi.eval(w_nm),
+                "refr_re": self.refr_re.eval(w_nm),
+                "refr_im": self.refr_im.eval(w_nm),
+                "ext_ior": self.ext_ior.eval(w_nm),
+            }
+        )
+        return out
 
 
 @bsdf_factory.register("ocean_legacy")
@@ -247,9 +364,25 @@ class OceanGraspBSDF(OceanLegacyBSDF):
 
 @bsdf_factory.register("ocean_mishchenko")
 @attrs.define(eq=False, slots=False)
-class OceanMishchenkoBSDF(OceanLegacyBSDF):
-    """Mishchenko polarized ocean surface
-    (``scenes/bsdfs/_ocean_mishchenko.py``); scalar reflectance shares the
-    Cox-Munk glint core, the polarized Fresnel Mueller term is engine-side."""
+class OceanMishchenkoBSDF(BSDF):
+    """Mishchenko & Travis (1997) polarized sunglint ocean surface
+    (``scenes/bsdfs/_ocean_mishchenko.py``): opaque Cox-Munk facet surface
+    with a full Fresnel reflection Mueller matrix and bistatic Smith
+    shadowing. Parameters mirror the reference plugin."""
 
+    wind_speed: float = 0.01  # m/s
+    eta: Spectrum = _spec(1.33)  # water IOR (real)
+    k: Spectrum = _spec(0.0)  # water IOR (imaginary)
+    ext_ior: Spectrum = _spec(1.000277)
+    shadowing: bool = True
     kind: str = attrs.field(default="ocean_mishchenko", init=False)
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        return {
+            "wind_speed": np.full(w.shape, self.wind_speed),
+            "eta": self.eta.eval(w_nm),
+            "k": self.k.eval(w_nm),
+            "ext_ior": self.ext_ior.eval(w_nm),
+            "shadowing": np.full(w.shape, 1.0 if self.shadowing else 0.0),
+        }

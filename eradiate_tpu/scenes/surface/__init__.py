@@ -67,7 +67,8 @@ class CentralPatchSurface(Surface):
 
     @property
     def bsdf_kind(self) -> str:
-        return "central_patch"
+        # composite static kind: structure is part of the jit cache key
+        return f"central_patch:{self.bsdf.kind}:{self.patch_bsdf.kind}"
 
     def eval_bsdf_params(self, w_nm) -> dict:
         w = np.atleast_1d(np.asarray(w_nm))
@@ -76,8 +77,6 @@ class CentralPatchSurface(Surface):
             {f"patch_{k}": v for k, v in self.patch_bsdf.eval_params(w).items()}
         )
         out["patch_edges"] = np.full(w.shape, self.patch_edges)
-        out["_bg_kind"] = self.bsdf.kind
-        out["_patch_kind"] = self.patch_bsdf.kind
         return out
 
 
