@@ -248,5 +248,6 @@ class AtmosphereExperiment(EarthObservationExperiment):
             ground_altitude=self.geometry.ground_altitude,
             toa_altitude=self.geometry.toa_altitude,
             has_surface=self.surface is not None,
+            sampler=measure.sampler,
         )
         return scene, sensor, config

@@ -130,3 +130,7 @@ class SceneConfig:
     #: whether the sensor measures at TOA looking down (True) or is placed
     #: inside the medium via ray_offset
     sensor_at_toa: bool = True
+    #: sample generator for the primary dimension (first collision
+    #: distance): independent | stratified | multijitter | orthogonal |
+    #: ldsampler (reference sampler plugins, ``_core.py:142-154``)
+    sampler: str = "independent"

@@ -56,12 +56,14 @@ def trace_paths(
     init_xy,
     init_d,
     keys,
+    u0_dist=None,
 ):
     """Trace a batch of paths through one spectral slice.
 
     All per-path inputs have leading batch axis [B]; medium/surface/illum
     rows are per-spectral-index slices (no S axis). Returns per-path
-    radiance estimates [B].
+    radiance estimates [B]. ``u0_dist`` [B] optionally overrides the
+    first-flight distance uniform (stratified/low-discrepancy samplers).
     """
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
@@ -120,6 +122,10 @@ def trace_paths(
             mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu)
         )
         u = jax.vmap(jax.random.uniform)(k_dist)
+        if u0_dist is not None:
+            # primary-dimension override: stratified/LD samplers structure
+            # the first flight; subsequent bounces are path-divergent
+            u = jnp.where(depth == 0, u0_dist, u)
         tau_s = -jnp.log1p(-u)
         collide = tau_s < tau_exit
 
@@ -252,8 +258,25 @@ def _render_row(
         jnp.broadcast_to(key, (B,)), path_ids
     )
 
+    if config.sampler != "independent":
+        from .samplers import primary_samples
+
+        # per-pixel point sets, decorrelated by folding the pixel index
+        # into a sampler-domain subkey (distinct from the path-key domain)
+        k_sampler = jax.random.fold_in(key, 0x5A17)
+        pix_keys = jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(k_sampler, (n_pix,)), jnp.arange(n_pix)
+        )
+        u0 = jax.vmap(lambda k: primary_samples(config.sampler, spp, k))(
+            pix_keys
+        ).reshape(B)
+        u0 = u0.astype(init_z.dtype)
+    else:
+        u0 = None
+
     L = trace_paths(
-        config, medium_row, surface_row, illum_row, init_z, init_xy, init_d, keys
+        config, medium_row, surface_row, illum_row, init_z, init_xy, init_d,
+        keys, u0_dist=u0,
     )
     L = L.reshape(n_pix, spp)
     radiance = jnp.mean(L, axis=1)

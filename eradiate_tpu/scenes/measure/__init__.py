@@ -99,7 +99,12 @@ class Measure(SceneElement):
     )
     spp: int = 1000
     target: Target | None = attrs.field(default=None, converter=Target.convert)
-    sampler: str = "independent"
+    sampler: str = attrs.field(
+        default="independent",
+        validator=attrs.validators.in_(
+            ("independent", "stratified", "multijitter", "orthogonal", "ldsampler")
+        ),
+    )
 
     #: results slot filled by Experiment.process (mirror of ``mi_results``)
     results: dict = attrs.field(factory=dict, init=False, repr=False)
