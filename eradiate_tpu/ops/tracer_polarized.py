@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_eval, bsdf_sample
+from .bsdf_ops import bsdf_sample
+from .bsdf_polarized import surface_mueller
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .mueller import (
     default_basis,
@@ -228,24 +229,44 @@ def trace_paths_polarized(
         beta_col = beta * albedo_col
 
         # ---- surface hit ------------------------------------------------
+        # Mueller-general: polarized kinds (maignan, ocean_mishchenko) get
+        # their full matrices; scalar kinds reduce exactly to the
+        # depolarizer path (rotations leave (I,0,0,0) invariant).
         hit_surface = (~collide) & (mu < 0.0) & config.has_surface
         xy_surf = xy + d[:, :2] * ((z_bottom - z) / mu)[:, None]
         wo = -d
         T_sun_bottom = jnp.exp(-tau_top / mu_sun)
-        f_nee = bsdf_eval(
+
+        # NEE: incident light propagates along d_sun, leaves along wo
+        M_nee_srf = surface_mueller(
             config.surface_kind, surface_row.params, w_sun[None, :], wo, xy_surf
         )
-        # depolarizing surface: the NEE Stokes is fully determined by P col 0
-        I_surf = beta * f_nee * mu_sun * T_sun_bottom * E_sun
-        S_surf = P[:, :, 0] * I_surf[:, None]
+        _, h_out_srf = _scatter_frames(jnp.broadcast_to(d_sun, d.shape), wo)
+        R_out_srf = rotator(rotate_basis_angle(wo, h_out_srf, b))
+        S_sun_srf = jnp.zeros((B, 4)).at[:, 0].set(
+            beta * mu_sun * T_sun_bottom * E_sun
+        )
+        S_surf = jnp.einsum(
+            "bij,bjk,bkl,bl->bi", P, R_out_srf, M_nee_srf, S_sun_srf
+        )
 
+        # sampled continuation: light would come from d_srf (propagation
+        # -d_srf) and leave along wo
         d_srf, w_srf = jax.vmap(
             lambda w, k, pp: bsdf_sample(
                 config.surface_kind, surface_row.params, w, k, pp
             )
         )(wo, k_srf, xy_surf)
-        P_surf = jnp.einsum("bij,bjk->bik", P, depolarizer(jnp.ones(B)))
-        b_surf = default_basis(-d_srf)
+        M_cont = surface_mueller(
+            config.surface_kind, surface_row.params, d_srf, wo, xy_surf
+        )
+        h_in_c, h_out_c = _scatter_frames(-d_srf, wo)
+        R_out_c = rotator(rotate_basis_angle(wo, h_out_c, b))
+        f_scalar = jnp.maximum(M_cont[:, 0, 0], 1e-30)
+        P_surf = jnp.einsum(
+            "bij,bjk,bkl->bil", P, R_out_c, M_cont / f_scalar[:, None, None]
+        )
+        b_surf = h_in_c
         beta_surf = beta * w_srf
 
         # ---- combine ----------------------------------------------------
