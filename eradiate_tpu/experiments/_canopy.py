@@ -65,14 +65,21 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
         canopy = self.canopy
         if self.padding > 0:
             canopy = canopy.padded_copy(self.padding)
-        flat = canopy.flatten()
+        flat, mesh = canopy.flatten_full()
         dtype = mode().device_dtype
         leaves = LeafCloudArrays(
             centers=jnp.asarray(flat.positions, dtype=dtype),
             normals=jnp.asarray(flat.orientations, dtype=dtype),
             radii=jnp.asarray(flat.radii, dtype=dtype),
         )
-        return flat, leaves
+        tris = None
+        if mesh is not None:
+            from ..ops.mesh import mesh_from_vertices
+
+            tris = mesh_from_vertices(
+                jnp.asarray(mesh["vertices"], dtype=dtype), mesh["faces"]
+            )
+        return flat, leaves, tris, mesh
 
     def process(self, spp=None, seed_state=None):
         if self.canopy is None:
@@ -82,10 +89,13 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
         from ..scenes.spectra import converter as spectrum_converter
 
         seed_state = seed_state or root_seed_state
-        flat, leaves = self._leaf_arrays()
+        flat, leaves, tris, mesh = self._leaf_arrays()
         dtype = mode().device_dtype
         refl = spectrum_converter("reflectance")(flat.leaf_reflectance)
         trans = spectrum_converter("transmittance")(flat.leaf_transmittance)
+        if mesh is not None:
+            wood_refl = spectrum_converter("reflectance")(mesh["reflectance"])
+            wood_trans = spectrum_converter("transmittance")(mesh["transmittance"])
 
         for measure in self.measures:
             ctx = self.spectral_context(measure)
@@ -95,6 +105,12 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
                 "reflectance": jnp.asarray(refl.eval(w), dtype=dtype),
                 "transmittance": jnp.asarray(trans.eval(w), dtype=dtype),
             }
+            tri_params = None
+            if mesh is not None:
+                tri_params = {
+                    "reflectance": jnp.asarray(wood_refl.eval(w), dtype=dtype),
+                    "transmittance": jnp.asarray(wood_trans.eval(w), dtype=dtype),
+                }
             n = int(spp) if spp is not None else int(measure.spp)
             raw = render_canopy(
                 scene,
@@ -104,6 +120,8 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
                 config,
                 spp=n,
                 seed=int(seed_state.next()),
+                tris=tris,
+                tri_params=tri_params,
             )
             measure.results = {"raw": raw, "spectral_ctx": ctx}
 

@@ -53,6 +53,8 @@ def trace_paths_canopy(
     init_pos,  # [B, 3]
     init_d,
     keys,
+    tris=None,  # TriangleMeshArrays | None: trunks / mesh canopy elements
+    tri_row=None,  # dict: reflectance, transmittance (bilambertian)
 ):
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
@@ -75,6 +77,13 @@ def trace_paths_canopy(
             pos, jnp.broadcast_to(w_sun, pos.shape), jnp.full(pos.shape[0], 1e6),
             leaves,
         )
+        if tris is not None:
+            from .mesh import ray_tris_occluded
+
+            occluded = occluded | ray_tris_occluded(
+                pos, jnp.broadcast_to(w_sun, pos.shape),
+                jnp.full(pos.shape[0], 1e6), tris,
+            )
         return T_atm * jnp.where(occluded, 0.0, 1.0)
 
     B = init_pos.shape[0]
@@ -100,12 +109,23 @@ def trace_paths_canopy(
         z_edge = jnp.where(mu > 0.0, z_top, z_bottom)
         t_med = jnp.where(collide_med, (z_med - z) / mu, (z_edge - z) / mu)
 
-        # nearest leaf within the candidate segment
+        # nearest scatterer (leaf disk or mesh triangle) within the segment
         t_leaf, n_leaf, hit_leaf = ray_leaves_nearest(pos, d, t_med, leaves)
+        if tris is not None:
+            from .mesh import ray_tris_nearest
 
-        event_leaf = hit_leaf
-        event_med = collide_med & ~hit_leaf
-        event_ground = (~collide_med) & ~hit_leaf & (mu < 0.0) & config.has_surface
+            t_tri, n_tri, hit_tri = ray_tris_nearest(pos, d, t_med, tris)
+            tri_first = hit_tri & (~hit_leaf | (t_tri < t_leaf))
+            hit_scat = hit_leaf | hit_tri
+            t_leaf = jnp.where(tri_first, t_tri, t_leaf)
+            n_leaf = jnp.where(tri_first[:, None], n_tri, n_leaf)
+        else:
+            tri_first = jnp.zeros_like(hit_leaf)
+            hit_scat = hit_leaf
+
+        event_leaf = hit_scat
+        event_med = collide_med & ~hit_scat
+        event_ground = (~collide_med) & ~hit_scat & (mu < 0.0) & config.has_surface
 
         # ---- positions --------------------------------------------------
         pos_leaf = pos + d * t_leaf[:, None]
@@ -138,18 +158,32 @@ def trace_paths_canopy(
         n_shade = n_leaf * to_front[:, None]
         wo_leaf = _to_local(n_shade, -d)
         wi_sun_leaf = _to_local(n_shade, jnp.broadcast_to(w_sun, d.shape))
-        lp = {
-            "reflectance": leaf_row["reflectance"],
-            "transmittance": leaf_row["transmittance"],
-        }
+        if tris is not None:
+            # per-path optics: bilambertian either way (trunks have zero
+            # transmittance via their tri_row values)
+            lp = {
+                "reflectance": jnp.where(
+                    tri_first, tri_row["reflectance"], leaf_row["reflectance"]
+                ),
+                "transmittance": jnp.where(
+                    tri_first, tri_row["transmittance"], leaf_row["transmittance"]
+                ),
+            }
+        else:
+            lp = {
+                "reflectance": jnp.broadcast_to(leaf_row["reflectance"], (B,)),
+                "transmittance": jnp.broadcast_to(leaf_row["transmittance"], (B,)),
+            }
         f_leaf = bilambertian_eval(lp, wi_sun_leaf, wo_leaf)
         cos_sun_leaf = jnp.abs(jnp.einsum("ij,j->i", n_shade, w_sun))
         # shadow ray from slightly off the leaf toward the sun
         pos_leaf_off = pos_leaf + n_shade * jnp.sign(wi_sun_leaf[:, 2:3]) * eps
         L_leaf = beta * f_leaf * cos_sun_leaf * sun_T(pos_leaf_off) * E_sun
         d_leaf_local, w_leaf = jax.vmap(
-            lambda w, k: bilambertian_sample(lp, w, k)
-        )(wo_leaf, k_scat)
+            lambda r, t, w, k: bilambertian_sample(
+                {"reflectance": r, "transmittance": t}, w, k
+            )
+        )(lp["reflectance"], lp["transmittance"], wo_leaf, k_scat)
         d_leaf = _to_world(n_shade, d_leaf_local)
         beta_leaf = beta * w_leaf
         pos_leaf_new = pos_leaf + d_leaf * eps
@@ -216,7 +250,7 @@ def trace_paths_canopy(
 
 def _render_row_canopy(
     config, n_pix, spp, medium_row, surface_row, leaf_row, leaves, illum_row,
-    directions, target, ray_offset, key
+    directions, target, ray_offset, key, tris=None, tri_row=None
 ):
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
@@ -234,7 +268,7 @@ def _render_row_canopy(
     keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
     L = trace_paths_canopy(
         config, medium_row, surface_row, leaf_row, leaves, illum_row,
-        init_pos, init_d, keys,
+        init_pos, init_d, keys, tris=tris, tri_row=tri_row,
     )
     L = L.reshape(n_pix, spp)
     return jnp.mean(L, axis=1), jnp.mean(L * L, axis=1)
@@ -242,7 +276,7 @@ def _render_row_canopy(
 
 def render_batch_canopy_impl(
     config, n_pix, spp, medium, surface, leaf_params, leaves, illum,
-    directions, target, ray_offset, keys
+    directions, target, ray_offset, keys, tris=None, tri_params=None
 ):
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
@@ -252,13 +286,22 @@ def render_batch_canopy_impl(
     )
     illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     leaf_axes = {k: 0 for k in leaf_params}
+    if tris is None:
+        return jax.vmap(
+            lambda mr, sr, lr, ir, k: _render_row_canopy(
+                config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
+                ray_offset, k
+            ),
+            in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0),
+        )(medium, surface, leaf_params, illum, keys)
+    tri_axes = {k: 0 for k in tri_params}
     return jax.vmap(
-        lambda mr, sr, lr, ir, k: _render_row_canopy(
+        lambda mr, sr, lr, ir, k, tr: _render_row_canopy(
             config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
-            ray_offset, k
+            ray_offset, k, tris, tr
         ),
-        in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0),
-    )(medium, surface, leaf_params, illum, keys)
+        in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0, tri_axes),
+    )(medium, surface, leaf_params, illum, keys, tri_params)
 
 
 _render_batch_canopy = jax.jit(render_batch_canopy_impl, static_argnums=(0, 1, 2))
@@ -273,11 +316,15 @@ def render_canopy(
     spp: int,
     seed: int = 0,
     spp_chunk: int | None = None,
+    tris=None,
+    tri_params=None,
 ):
     """Render a canopy (+ optional atmosphere) scene.
 
     ``scene``: SceneArrays (medium may be zero-extinction for pure canopy
     scenes); ``leaf_params``: {"reflectance": [S], "transmittance": [S]}.
+    ``tris``/``tri_params``: optional triangle soup (tree trunks, mesh
+    canopy elements) with bilambertian optics.
     """
     from .tracer import MAX_PATHS_PER_DISPATCH
 
@@ -313,6 +360,7 @@ def render_canopy(
         rad, m2 = _render_batch_canopy(
             config, n_pix, n, scene.medium, scene.surface, leaf_params, leaves,
             scene.illumination, directions, target, ray_offset, chunk_keys,
+            tris, tri_params,
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

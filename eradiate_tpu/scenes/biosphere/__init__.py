@@ -21,9 +21,20 @@ from ..core import Factory, SceneElement
 
 __all__ = [
     "LeafCloud",
+    "AbstractTree",
+    "MeshTree",
+    "MeshTreeElement",
     "DiscreteCanopy",
     "InstancedCanopyElement",
     "biosphere_factory",
+    # RAMI-V scenarios (re-exported from .rami)
+    "RAMIActualCanopies",
+    "RAMIHeterogeneousAbstractCanopies",
+    "RAMIHomogeneousAbstractCanopies",
+    "RAMIScenarioVariant",
+    "generate_name",
+    "load_rami_scenario",
+    "load_scenario",
 ]
 
 biosphere_factory = Factory("biosphere")
@@ -199,6 +210,96 @@ class LeafCloud(SceneElement):
         return lo, hi
 
 
+@biosphere_factory.register("abstract_tree")
+@attrs.define(eq=False, slots=False)
+class AbstractTree(SceneElement):
+    """Abstract tree: cylindrical trunk + leaf-cloud crown (reference
+    ``scenes/biosphere/_tree.py:44``). The trunk spans
+    ``[-0.1 trunk_height, trunk_height]`` along z (extends below the ground
+    plane to avoid gaps, mirroring the reference) and the leaf cloud is
+    shifted up by ``trunk_height + leaf_cloud_extra_offset``."""
+
+    leaf_cloud: LeafCloud = attrs.field(default=None)
+    trunk_height: object = 1.0  # m at the config surface
+    trunk_radius: object = 0.1  # m
+    trunk_reflectance: object = 0.125
+    leaf_cloud_extra_offset: object = (0.0, 0.0, 0.0)  # m
+
+    def __attrs_post_init__(self):
+        if isinstance(self.leaf_cloud, dict):
+            d = dict(self.leaf_cloud)
+            d.setdefault("type", "leaf_cloud")
+            self.leaf_cloud = biosphere_factory.convert(d)
+
+    def leaf_part(self) -> LeafCloud | None:
+        if self.leaf_cloud is None:
+            return None
+        off = _km(np.asarray(self.leaf_cloud_extra_offset, dtype=np.float64))
+        h = float(_km(self.trunk_height))
+        return self.leaf_cloud.translated(off + np.array([0.0, 0.0, h]))
+
+    def mesh_part(self):
+        """Trunk triangles (vertices, faces, reflectance, transmittance)."""
+        from ...ops.mesh import cylinder_mesh
+
+        h = float(_km(self.trunk_height))
+        r = float(_km(self.trunk_radius))
+        v, f = cylinder_mesh(r, 1.1 * h, center=(0.0, 0.0, -0.1 * h))
+        return v, f, self.trunk_reflectance, 0.0
+
+
+@attrs.define(eq=False, slots=False)
+class MeshTreeElement(SceneElement):
+    """One mesh component of a mesh-based tree (reference
+    ``scenes/biosphere/_tree.py:287``): OBJ/PLY file + bilambertian
+    optics."""
+
+    mesh_filename: str = attrs.field(default=None)
+    mesh_units: str = "m"
+    reflectance: object = 0.5
+    transmittance: object = 0.0
+
+    def triangles(self):
+        from ..shapes import FileMeshShape
+
+        return FileMeshShape(
+            filename=self.mesh_filename, mesh_units=self.mesh_units
+        ).triangles()
+
+
+@biosphere_factory.register("mesh_tree")
+@attrs.define(eq=False, slots=False)
+class MeshTree(SceneElement):
+    """A tree assembled from triangle-mesh components (reference
+    ``scenes/biosphere/_tree.py:216``)."""
+
+    mesh_tree_elements: list = attrs.field(factory=list)
+
+    def __attrs_post_init__(self):
+        self.mesh_tree_elements = [
+            MeshTreeElement(**e) if isinstance(e, dict) else e
+            for e in self.mesh_tree_elements
+        ]
+
+    def leaf_part(self):
+        return None
+
+    def mesh_part(self):
+        vs, fs = [], []
+        offset = 0
+        refl, trans = 0.5, 0.0
+        for i, el in enumerate(self.mesh_tree_elements):
+            v, f = el.triangles()
+            vs.append(v)
+            fs.append(f + offset)
+            offset += v.shape[0]
+            if i == 0:
+                refl, trans = el.reflectance, el.transmittance
+        if not vs:
+            return None
+        return np.concatenate(vs), np.concatenate(fs), refl, trans
+
+
 @biosphere_factory.register("discrete_canopy")
 @attrs.define(eq=False, slots=False)
 class DiscreteCanopy(SceneElement):
@@ -275,25 +376,61 @@ class DiscreteCanopy(SceneElement):
         return DiscreteCanopy(size=self.size, instanced_canopy_elements=elements)
 
     def flatten(self) -> LeafCloud:
-        """Materialize all instances into a single leaf cloud."""
+        """Materialize all instances into a single leaf cloud (meshes
+        dropped; use :meth:`flatten_full` when trees are present)."""
+        return self.flatten_full()[0]
+
+    def flatten_full(self):
+        """Materialize instances into (LeafCloud, mesh | None).
+
+        ``mesh`` is a dict {vertices, faces, reflectance, transmittance}
+        merging every trunk / mesh-tree component (the engine carries one
+        bilambertian optics set for the whole soup; the first component's
+        values win)."""
         pos, ori, rad = [], [], []
         ref = None
         trans = None
+        mesh_v, mesh_f = [], []
+        mesh_offset = 0
+        mesh_ref, mesh_trans = None, None
         for el in self.instanced_canopy_elements:
-            cloud = el.canopy_element
-            ref = cloud.leaf_reflectance if ref is None else ref
-            trans = cloud.leaf_transmittance if trans is None else trans
+            element = el.canopy_element
+            if isinstance(element, LeafCloud):
+                cloud, mesh = element, None
+            else:  # tree-like: leaf_part / mesh_part protocol
+                cloud = element.leaf_part()
+                mesh = element.mesh_part()
+            if cloud is not None:
+                ref = cloud.leaf_reflectance if ref is None else ref
+                trans = cloud.leaf_transmittance if trans is None else trans
             for p in np.atleast_2d(el.instance_positions):
-                pos.append(cloud.positions + p[None, :])
-                ori.append(cloud.orientations)
-                rad.append(cloud.radii)
-        return LeafCloud(
-            positions=np.concatenate(pos),
-            orientations=np.concatenate(ori),
-            radii=np.concatenate(rad),
+                if cloud is not None:
+                    pos.append(cloud.positions + p[None, :])
+                    ori.append(cloud.orientations)
+                    rad.append(cloud.radii)
+                if mesh is not None:
+                    v, f, r, t = mesh
+                    mesh_v.append(v + p[None, :])
+                    mesh_f.append(f + mesh_offset)
+                    mesh_offset += v.shape[0]
+                    if mesh_ref is None:
+                        mesh_ref, mesh_trans = r, t
+        flat = LeafCloud(
+            positions=np.concatenate(pos) if pos else np.zeros((0, 3)),
+            orientations=np.concatenate(ori) if ori else np.zeros((0, 3)),
+            radii=np.concatenate(rad) if rad else np.zeros((0,)),
             leaf_reflectance=ref if ref is not None else 0.5,
             leaf_transmittance=trans if trans is not None else 0.5,
         )
+        mesh_out = None
+        if mesh_v:
+            mesh_out = {
+                "vertices": np.concatenate(mesh_v),
+                "faces": np.concatenate(mesh_f),
+                "reflectance": mesh_ref,
+                "transmittance": mesh_trans,
+            }
+        return flat, mesh_out
 
 
 @biosphere_factory.register("instanced")
@@ -310,3 +447,14 @@ class InstancedCanopyElement(SceneElement):
         self.instance_positions = np.atleast_2d(
             np.asarray(self.instance_positions, dtype=np.float64)
         )
+
+
+from .rami import (  # noqa: E402
+    RAMIActualCanopies,
+    RAMIHeterogeneousAbstractCanopies,
+    RAMIHomogeneousAbstractCanopies,
+    RAMIScenarioVariant,
+    generate_name,
+    load_rami_scenario,
+    load_scenario,
+)
