@@ -99,8 +99,10 @@ def square_to_uniform_hemisphere(sample):
 
 
 def uniform_hemisphere_to_square(d):
+    # forward: (x, y) = p * sqrt(2 - r_d^2) with z = 1 - r_d^2, so the
+    # disk point is (x, y) / sqrt(1 + z)
     xp = _np(d)
-    denom = xp.sqrt(xp.clip(2.0 * (1.0 + d[..., 2]), 1e-12, None))
+    denom = xp.sqrt(xp.clip(1.0 + d[..., 2], 1e-12, None))
     p = xp.stack([d[..., 0] / denom, d[..., 1] / denom], axis=-1)
     return uniform_disk_to_square_concentric(p)
 
