@@ -194,9 +194,21 @@ class AtmosphereExperiment(EarthObservationExperiment):
         surface = SurfaceArrays(params=sparams)
 
         # Illumination
-        from ..scenes.illumination import ConstantIllumination
+        from ..scenes.illumination import ConstantIllumination, SpotIllumination
 
-        if isinstance(self.illumination, ConstantIllumination):
+        illumination_kind = "directional"
+        if isinstance(self.illumination, SpotIllumination):
+            illumination_kind = "spot"
+            illum = IlluminationArrays(
+                direction=jnp.asarray(self.illumination.direction, dtype=dtype),
+                irradiance=jnp.asarray(
+                    self.illumination.eval_intensity(w), dtype=dtype
+                ),
+                cos_cutoff=jnp.asarray(self.illumination.cos_cutoff, dtype=dtype),
+                sky_radiance=jnp.zeros(S, dtype=dtype),
+                position=jnp.asarray(self.illumination.origin, dtype=dtype),
+            )
+        elif isinstance(self.illumination, ConstantIllumination):
             illum = IlluminationArrays(
                 direction=jnp.asarray([0.0, 0.0, -1.0], dtype=dtype),
                 irradiance=jnp.zeros(S, dtype=dtype),
@@ -249,5 +261,6 @@ class AtmosphereExperiment(EarthObservationExperiment):
             toa_altitude=self.geometry.toa_altitude,
             has_surface=self.surface is not None,
             sampler=measure.sampler,
+            illumination_kind=illumination_kind,
         )
         return scene, sensor, config

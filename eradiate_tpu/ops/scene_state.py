@@ -81,6 +81,10 @@ class IlluminationArrays:
     irradiance: Any  # [S]
     cos_cutoff: Any  # scalar
     sky_radiance: Any = 0.0  # [S]
+    #: point-source position [3] (spot emitter; None for directional).
+    #: For spot, ``direction`` is the beam axis, ``irradiance`` carries the
+    #: intensity [W/sr/nm] and ``cos_cutoff`` the beam half-angle cosine.
+    position: Any = None
 
 
 @_pytree_dataclass
@@ -134,3 +138,6 @@ class SceneConfig:
     #: distance): independent | stratified | multijitter | orthogonal |
     #: ldsampler (reference sampler plugins, ``_core.py:142-154``)
     sampler: str = "independent"
+    #: emitter family: "directional" (sun/astroobject/constant) or "spot"
+    #: (point source with conical beam; canopy tracer only)
+    illumination_kind: str = "directional"

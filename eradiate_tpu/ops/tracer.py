@@ -367,6 +367,12 @@ def render(
     Returns dict with ``radiance`` [S, N], ``m2`` [S, N] (second moment of
     per-sample contributions), ``spp``.
     """
+    if config.illumination_kind != "directional":
+        raise NotImplementedError(
+            "point-source (spot) illumination is supported by the canopy "
+            "tracer only — distant radiometer banks cannot see a point "
+            "source directly; use CanopyExperiment for lab scenes"
+        )
     directions = jnp.asarray(sensor.directions)
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]

@@ -86,6 +86,46 @@ def trace_paths_canopy(
             )
         return T_atm * jnp.where(occluded, 0.0, 1.0)
 
+    spot = config.illumination_kind == "spot"
+
+    def nee_dir(pos):
+        """Direction toward the emitter [B, 3] (no visibility terms)."""
+        if not spot:
+            return jnp.broadcast_to(w_sun, pos.shape)
+        v = illum_row.position[None, :] - pos
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9
+        )
+
+    def nee_at(pos):
+        """Next-event estimation terms at vertex positions [B, 3]:
+        (w_nee [B, 3] toward the emitter, effective irradiance E [B]
+        including visibility, beam profile and transmittance)."""
+        if not spot:
+            w = jnp.broadcast_to(w_sun, pos.shape)
+            return w, sun_T(pos) * E_sun
+        v = illum_row.position[None, :] - pos
+        r = jnp.linalg.norm(v, axis=-1)
+        w_nee = v / jnp.maximum(r[:, None], 1e-9)
+        # top-hat beam: inside the cone around the spot axis
+        in_beam = (
+            jnp.einsum("ij,j->i", -w_nee, illum_row.direction)
+            >= illum_row.cos_cutoff
+        )
+        # exact 1D-medium transmittance along the finite segment
+        z_spot = jnp.clip(illum_row.position[2], z_bottom, z_top)
+        dtau = jnp.abs(tau_z(z_spot) - tau_z(pos[:, 2]))
+        T_atm = jnp.exp(-dtau / jnp.maximum(jnp.abs(w_nee[:, 2]), 1e-6))
+        occ = ray_leaves_occluded(pos, w_nee, r, leaves)
+        if tris is not None:
+            from .mesh import ray_tris_occluded
+
+            occ = occ | ray_tris_occluded(pos, w_nee, r, tris)
+        # intensity [W/sr/nm] / r^2 [km^2] -> irradiance [W/m^2/nm]
+        E = illum_row.irradiance * 1e-6 / jnp.maximum(r * r, 1e-12)
+        E = jnp.where(in_beam & ~occ, E * T_atm, 0.0)
+        return w_nee, E
+
     B = init_pos.shape[0]
     eps = 1e-6
 
@@ -136,14 +176,16 @@ def trace_paths_canopy(
 
         # ---- medium collision ------------------------------------------
         albedo_col = take_1d(medium_row.albedo, layer)
-        cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
+        w_nee_med, E_med = nee_at(pos_med)
+        # incoming light propagation (-w_nee) scattered into -d
+        cos_nee = jnp.einsum("ij,ij->i", w_nee_med, d)
         p_nee = jax.vmap(
             lambda l, c: phase_eval(
                 config.phase_kinds, medium_row.phase_params,
                 medium_row.phase_weights, l, c,
             )
         )(layer, cos_nee)
-        L_med = beta * albedo_col * p_nee * sun_T(pos_med) * E_sun
+        L_med = beta * albedo_col * p_nee * E_med
         d_med = jax.vmap(
             lambda l, dd, kk: phase_sample(
                 config.phase_kinds, medium_row.phase_params,
@@ -157,7 +199,8 @@ def trace_paths_canopy(
         to_front = -jnp.sign(jnp.einsum("ij,ij->i", d, n_leaf))
         n_shade = n_leaf * to_front[:, None]
         wo_leaf = _to_local(n_shade, -d)
-        wi_sun_leaf = _to_local(n_shade, jnp.broadcast_to(w_sun, d.shape))
+        w_nee_leaf = nee_dir(pos_leaf)
+        wi_sun_leaf = _to_local(n_shade, w_nee_leaf)
         if tris is not None:
             # per-path optics: bilambertian either way (trunks have zero
             # transmittance via their tri_row values)
@@ -175,10 +218,11 @@ def trace_paths_canopy(
                 "transmittance": jnp.broadcast_to(leaf_row["transmittance"], (B,)),
             }
         f_leaf = bilambertian_eval(lp, wi_sun_leaf, wo_leaf)
-        cos_sun_leaf = jnp.abs(jnp.einsum("ij,j->i", n_shade, w_sun))
-        # shadow ray from slightly off the leaf toward the sun
+        cos_sun_leaf = jnp.abs(jnp.einsum("ij,ij->i", n_shade, w_nee_leaf))
+        # shadow ray from slightly off the leaf, on the emitter's side
         pos_leaf_off = pos_leaf + n_shade * jnp.sign(wi_sun_leaf[:, 2:3]) * eps
-        L_leaf = beta * f_leaf * cos_sun_leaf * sun_T(pos_leaf_off) * E_sun
+        _, E_leaf_nee = nee_at(pos_leaf_off)
+        L_leaf = beta * f_leaf * cos_sun_leaf * E_leaf_nee
         d_leaf_local, w_leaf = jax.vmap(
             lambda r, t, w, k: bilambertian_sample(
                 {"reflectance": r, "transmittance": t}, w, k
@@ -190,11 +234,13 @@ def trace_paths_canopy(
 
         # ---- ground -----------------------------------------------------
         wo = -d
+        w_nee_g, E_g = nee_at(pos_ground + jnp.asarray([0.0, 0.0, eps]))
         f_g = bsdf_eval(
-            config.surface_kind, surface_row.params, w_sun[None, :], wo,
+            config.surface_kind, surface_row.params, w_nee_g, wo,
             pos_ground[:, :2],
         )
-        L_ground = beta * f_g * mu_sun * sun_T(pos_ground + jnp.asarray([0.0, 0.0, eps])) * E_sun
+        mu_nee_g = jnp.maximum(w_nee_g[:, 2], 0.0)
+        L_ground = beta * f_g * mu_nee_g * E_g
         d_ground, w_g = jax.vmap(
             lambda w, k, pp: bsdf_sample(
                 config.surface_kind, surface_row.params, w, k, pp

@@ -61,9 +61,13 @@ def aggregate_ckd_quad(values, bin_index, g_weights, n_bins, power=1):
 
 def extract_irradiance(illumination, w_nm):
     """Horizontal-plane irradiance (mirror of ``logic.py:417``):
-    E(w) cos(SZA) for directional suns; pi L for a constant sky."""
-    from ..scenes.illumination import ConstantIllumination
+    E(w) cos(SZA) for directional suns; pi L for a constant sky; None for
+    point sources (no uniform horizontal irradiance exists, so the
+    BRDF/BRF pipeline nodes are bypassed)."""
+    from ..scenes.illumination import ConstantIllumination, SpotIllumination
 
+    if isinstance(illumination, SpotIllumination):
+        return None
     if isinstance(illumination, ConstantIllumination):
         return np.pi * illumination.radiance.eval(w_nm)
     E = illumination.eval_irradiance(w_nm)
@@ -152,12 +156,14 @@ def postprocess_measure(
         n_bins = int(spectral_ctx["bin_wcenters"].size)
         radiance = aggregate_ckd_quad(radiance, bin_index, g_weights, n_bins)
         var = aggregate_ckd_quad(var, bin_index, g_weights, n_bins, power=2)
-        irr = aggregate_ckd_quad(irr, bin_index, g_weights, n_bins)
+        if irr is not None:
+            irr = aggregate_ckd_quad(irr, bin_index, g_weights, n_bins)
         w_out = np.asarray(spectral_ctx["bin_wcenters"], dtype=np.float64)
     else:
         w_out = w
 
-    brdf, brf = compute_bidirectional_reflectance(radiance, irr)
+    if irr is not None:
+        brdf, brf = compute_bidirectional_reflectance(radiance, irr)
 
     ds = xr.Dataset(attrs={"source": "eradiate_tpu", "measure_id": measure.id})
     coords = {"w": w_out}
@@ -183,15 +189,16 @@ def postprocess_measure(
     if not mode.is_ckd:
         add("m2", m2, "W^2/m^4/sr^2/nm^2", "second moment")
     add("var", var, "W^2/m^4/sr^2/nm^2", "variance of the radiance estimate")
-    add("brdf", brdf, "1/sr", "bi-directional reflectance distribution function")
-    add("brf", brf, "dimensionless", "bi-directional reflectance factor")
-    ds["irradiance"] = xr.DataArray(
-        irr,
-        dims=("w",),
-        coords={"w": w_out},
-        attrs={"units": "W/m^2/nm", "long_name": "horizontal solar irradiance"},
-        name="irradiance",
-    )
+    if irr is not None:
+        add("brdf", brdf, "1/sr", "bi-directional reflectance distribution function")
+        add("brf", brf, "dimensionless", "bi-directional reflectance factor")
+        ds["irradiance"] = xr.DataArray(
+            irr,
+            dims=("w",),
+            coords={"w": w_out},
+            attrs={"units": "W/m^2/nm", "long_name": "horizontal solar irradiance"},
+            name="irradiance",
+        )
 
     # band aggregation for band SRFs (reference ``*_srf`` variables)
     srf = measure.srf
@@ -209,11 +216,12 @@ def postprocess_measure(
             for k, v in pix_coords.items():
                 da.coords[k] = v
             ds[f"{name}_srf"] = da
-        ds["irradiance_srf"] = xr.DataArray(
-            np.atleast_1d(apply_spectral_response(irr, w_out, srf)),
-            dims=("srf_band",),
-            name="irradiance_srf",
-        )
+        if irr is not None:
+            ds["irradiance_srf"] = xr.DataArray(
+                np.atleast_1d(apply_spectral_response(irr, w_out, srf)),
+                dims=("srf_band",),
+                name="irradiance_srf",
+            )
 
     # Stokes components + degree of linear polarization
     # (mirror of ``logic.py:962`` dlp node; gather renames S0..S3 -> I..V,
@@ -262,9 +270,10 @@ def postprocess_measure(
             rad_flux, dims=("w",), coords={"w": w_out},
             attrs={"units": "W/m^2/nm", "long_name": "radiosity"},
         )
-        ds["albedo"] = xr.DataArray(
-            compute_albedo(rad_flux, irr), dims=("w",), coords={"w": w_out},
-            attrs={"units": "dimensionless", "long_name": "surface albedo"},
-        )
+        if irr is not None:
+            ds["albedo"] = xr.DataArray(
+                compute_albedo(rad_flux, irr), dims=("w",), coords={"w": w_out},
+                attrs={"units": "dimensionless", "long_name": "surface albedo"},
+            )
 
     return ds

@@ -19,6 +19,7 @@ __all__ = [
     "DirectionalIllumination",
     "AstroObjectIllumination",
     "ConstantIllumination",
+    "SpotIllumination",
     "illumination_factory",
 ]
 
@@ -109,6 +110,73 @@ class AstroObjectIllumination(AbstractDirectionalIllumination):
     @property
     def cos_cutoff(self) -> float:
         return float(np.cos(np.deg2rad(self.angular_diameter / 2.0)))
+
+
+@illumination_factory.register("spot")
+@attrs.define(eq=False, slots=False)
+class SpotIllumination(Illumination):
+    """Spot (point) light with a conical beam (reference ``spot`` plugin
+    wrapper, ``scenes/illumination/_spot.py:38-143``).
+
+    The beam is modeled as a top-hat cone of half-angle ``beam_width``
+    around the ``origin -> target`` axis with intensity ``intensity``
+    [W/sr/nm]. Supported by the canopy tracer (lab/close-range scenes) —
+    point sources are meaningless for TOA radiometer banks.
+    """
+
+    origin: np.ndarray = attrs.field(factory=lambda: np.array([1.0, 1.0, 1.0]))
+    target: np.ndarray = attrs.field(factory=lambda: np.zeros(3))
+    up: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 1.0]))
+    beam_width: float = 10.0  # deg, half-angle
+    intensity: Spectrum = attrs.field(
+        default=1.0, converter=spectrum_converter("intensity")
+    )
+
+    def __attrs_post_init__(self):
+        self.origin = np.asarray(
+            to_quantity(self.origin, "km").m_as("km"), dtype=np.float64
+        )
+        self.target = np.asarray(
+            to_quantity(self.target, "km").m_as("km"), dtype=np.float64
+        )
+        self.up = np.asarray(self.up, dtype=np.float64)
+        self.beam_width = float(
+            np.asarray(to_quantity(self.beam_width, "deg").m_as("deg"))
+        )
+        if np.allclose(self.origin, self.target):
+            raise ValueError("spot origin and target must not coincide")
+
+    @classmethod
+    def from_size_at_target(
+        cls, target, direction, spot_radius, beam_width, **kwargs
+    ) -> "SpotIllumination":
+        """Place the origin so the beam cone subtends ``spot_radius``
+        around ``target`` (reference ``_spot.py:from_size_at_target``)."""
+        target = np.asarray(to_quantity(target, "km").m_as("km"), dtype=np.float64)
+        direction = np.asarray(direction, dtype=np.float64)
+        direction = direction / np.linalg.norm(direction)
+        radius = float(np.asarray(to_quantity(spot_radius, "km").m_as("km")))
+        bw = float(np.asarray(to_quantity(beam_width, "deg").m_as("deg")))
+        dist = radius / np.tan(np.deg2rad(bw))
+        return cls(
+            origin=target - direction * dist,
+            target=target,
+            beam_width=bw,
+            **kwargs,
+        )
+
+    @property
+    def direction(self) -> np.ndarray:
+        """Beam axis (unit, origin -> target)."""
+        d = self.target - self.origin
+        return d / np.linalg.norm(d)
+
+    @property
+    def cos_cutoff(self) -> float:
+        return float(np.cos(np.deg2rad(self.beam_width)))
+
+    def eval_intensity(self, w_nm) -> np.ndarray:
+        return self.intensity.eval(w_nm)
 
 
 @illumination_factory.register("constant")

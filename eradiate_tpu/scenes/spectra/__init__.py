@@ -38,6 +38,9 @@ _KERNEL_UNITS = {
     "collision_coefficient": "km^-1",
     "irradiance": "W/m^2/nm",
     "radiance": "W/m^2/sr/nm",
+    # point-source intensity; the engine's r^2 falloff applies the
+    # km^2 -> m^2 factor when converting to kernel irradiance
+    "intensity": "W/sr/nm",
     "wavelength": "nm",
     "length": "km",
 }
