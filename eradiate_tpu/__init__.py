@@ -18,14 +18,16 @@ from .core.rng import SeedState, root_seed_state  # noqa: F401
 __version__ = "0.1.0"
 
 
-def run(exp, spp=None, seed_state=None):
+def run(exp, spp=None, seed_state=None, checkpoint_dir=None):
     """Run an experiment end-to-end and return its results.
 
     Mirror of ``eradiate.run()`` (``src/eradiate/experiments/_core.py:808``).
     """
     from .experiments import run as _run
 
-    return _run(exp, spp=spp, seed_state=seed_state)
+    return _run(
+        exp, spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir
+    )
 
 
 def __getattr__(name):

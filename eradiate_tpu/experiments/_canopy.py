@@ -81,9 +81,13 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
             )
         return flat, leaves, tris, mesh
 
-    def process(self, spp=None, seed_state=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
         if self.canopy is None:
-            return super().process(spp=spp, seed_state=seed_state)
+            return super().process(
+                spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir
+            )
+        # canopy renders are single-chunk; chunk-granular checkpointing
+        # degenerates to nothing to resume
 
         from ..core.rng import root_seed_state
         from ..scenes.spectra import converter as spectrum_converter

@@ -78,7 +78,7 @@ class Experiment(SceneElement):
     def init(self):
         raise NotImplementedError
 
-    def process(self, spp=None, seed_state=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
         raise NotImplementedError
 
     def postprocess(self):
@@ -113,19 +113,59 @@ class EarthObservationExperiment(Experiment):
     def init(self):
         pass
 
-    def process(self, spp=None, seed_state=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
         from ..ops.tracer import render
         from ..ops.tracer_spherical import render_spherical
+
+        import time
+
+        from ..profiling import annotate, stats
+
+        import numpy as _np
+
+        checkpoint = None
+        if checkpoint_dir is not None:
+            from ..checkpoint import RenderCheckpoint
+
+            checkpoint = RenderCheckpoint(checkpoint_dir)
 
         seed_state = seed_state or root_seed_state
         for measure in self.measures:
             ctx = self.spectral_context(measure)
             n = int(spp) if spp is not None else int(measure.spp)
             raws = []
-            for sub_ctx in self._chunk_spectral_ctx(ctx):
-                scene, sensor, config = self.compile_scene(measure, sub_ctx)
+            n_done = 0
+            if checkpoint is not None:
+                raws, n_done = checkpoint.load(measure.id, n, ctx["w"])
+            t0 = time.perf_counter()
+            n_paths_pix = 0
+            for ci, sub_ctx in enumerate(self._chunk_spectral_ctx(ctx)):
+                # every chunk consumes its seed even when resumed-over, so
+                # a resumed run reproduces the uninterrupted one exactly
                 seed = int(seed_state.next())
-                raws.append(self._render_one(scene, sensor, config, n, seed))
+                if ci < n_done:
+                    continue
+                scene, sensor, config = self.compile_scene(measure, sub_ctx)
+                with annotate(f"render:{measure.id}"):
+                    raw = self._render_one(scene, sensor, config, n, seed)
+                # block so the recorded wall time covers device work
+                raw = {
+                    k: _np.asarray(v) if hasattr(v, "shape") else v
+                    for k, v in raw.items()
+                }
+                n_paths_pix += int(
+                    _np.asarray(sub_ctx["w"]).size * raw["radiance"].shape[1]
+                )
+                raws.append(raw)
+                if checkpoint is not None:
+                    checkpoint.save(measure.id, n, ctx["w"], raws)
+            stats.record(
+                label=f"measure:{measure.id}",
+                wall_s=time.perf_counter() - t0,
+                spectral_size=n_paths_pix,
+                n_pixels=1,
+                spp=n,
+            )
             measure.results = {
                 "raw": self._concat_raw(raws),
                 "spectral_ctx": ctx,
@@ -200,13 +240,18 @@ class EarthObservationExperiment(Experiment):
         return self.results
 
 
-def run(exp: Experiment, spp=None, seed_state=None):
+def run(exp: Experiment, spp=None, seed_state=None, checkpoint_dir=None):
     """Run an experiment end-to-end (mirror of ``eradiate.run()``,
     ``experiments/_core.py:808-865``). Returns the result dataset of the
     first measure (the reference's convenience behavior) while filling
-    ``exp.results`` for all measures."""
+    ``exp.results`` for all measures.
+
+    ``checkpoint_dir``: optional directory for spectral-chunk-granular
+    accumulator checkpoints — an interrupted run re-invoked with the same
+    configuration resumes after the last completed chunk (SURVEY §5).
+    """
     exp.init()
-    exp.process(spp=spp, seed_state=seed_state)
+    exp.process(spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir)
     exp.postprocess()
     if len(exp.results) == 1:
         return next(iter(exp.results.values()))

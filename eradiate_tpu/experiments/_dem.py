@@ -23,7 +23,7 @@ class DEMExperiment(AtmosphereExperiment):
         if self.geometry.kind != "plane_parallel":
             raise ValueError("DEMExperiment requires plane-parallel geometry")
 
-    def process(self, spp=None, seed_state=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
         if not isinstance(self.surface, DEMSurface):
             return super().process(spp=spp, seed_state=seed_state)
 

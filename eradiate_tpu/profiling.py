@@ -1,0 +1,113 @@
+"""Profiling & performance counters.
+
+SURVEY §5 flags the reference's tracing story as minimal (tqdm progress
+gated by ``ProgressLevel``, ``config/_settings.py:14-61``) and directs the
+TPU build to make ``jax.profiler`` traces and per-kernel samples/s counters
+first-class. This module provides:
+
+- :func:`trace` — context manager around ``jax.profiler.trace`` writing a
+  TensorBoard/XProf trace directory;
+- :func:`annotate` — named ``TraceAnnotation`` scope so driver phases show
+  up on the trace timeline;
+- :class:`RenderStats` + the global :data:`stats` recorder — wall-clock,
+  path counts and samples/s for every render dispatch, queryable after a
+  run (``eradiate_tpu.profiling.stats.last`` / ``.summary()``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+__all__ = ["trace", "annotate", "RenderStats", "stats", "timed_render"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, create_perfetto_link: bool = False):
+    """Capture a device+host profiler trace into ``log_dir`` (view with
+    TensorBoard's profile plugin or Perfetto)."""
+    import jax
+
+    with jax.profiler.trace(str(log_dir), create_perfetto_link=create_perfetto_link):
+        yield
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named scope visible on profiler timelines (host + device)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@dataclasses.dataclass
+class RenderRecord:
+    label: str
+    wall_s: float
+    n_paths: int
+    spectral_size: int
+    n_pixels: int
+    spp: int
+
+    @property
+    def samples_per_s(self) -> float:
+        return self.n_paths / self.wall_s if self.wall_s > 0 else 0.0
+
+
+class RenderStats:
+    """Accumulates per-dispatch render statistics."""
+
+    def __init__(self):
+        self.records: list[RenderRecord] = []
+
+    def record(self, label, wall_s, spectral_size, n_pixels, spp):
+        rec = RenderRecord(
+            label=label,
+            wall_s=wall_s,
+            n_paths=int(spectral_size) * int(n_pixels) * int(spp),
+            spectral_size=int(spectral_size),
+            n_pixels=int(n_pixels),
+            spp=int(spp),
+        )
+        self.records.append(rec)
+        return rec
+
+    @property
+    def last(self) -> RenderRecord | None:
+        return self.records[-1] if self.records else None
+
+    def summary(self) -> dict:
+        """Aggregate counters: total paths, wall time, mean samples/s."""
+        if not self.records:
+            return {"n_renders": 0, "total_paths": 0, "total_wall_s": 0.0,
+                    "samples_per_s": 0.0}
+        total_paths = sum(r.n_paths for r in self.records)
+        total_wall = sum(r.wall_s for r in self.records)
+        return {
+            "n_renders": len(self.records),
+            "total_paths": total_paths,
+            "total_wall_s": total_wall,
+            "samples_per_s": total_paths / total_wall if total_wall > 0 else 0.0,
+        }
+
+    def clear(self):
+        self.records.clear()
+
+
+#: global recorder fed by the experiment drivers
+stats = RenderStats()
+
+
+def timed_render(label, fn, *, spectral_size, n_pixels, spp):
+    """Run ``fn()`` (a render returning device arrays), block on the
+    result, and record wall time + samples/s under ``label``."""
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn()
+    out = jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+    stats.record(label, wall, spectral_size, n_pixels, spp)
+    return out
