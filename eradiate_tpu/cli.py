@@ -60,6 +60,27 @@ def cmd_data_install(args):
     return 1
 
 
+def cmd_data_validate(args):
+    from .data.validation import DatasetSchemaError, validate_dataset
+    from .xr import Dataset
+
+    if not str(args.path).endswith(".npz"):
+        print(
+            "validate supports the native .npz dataset format (import "
+            "NetCDF data first; see eradiate_tpu.data.netcdf)",
+            file=sys.stderr,
+        )
+        return 1
+    ds = Dataset.from_npz(args.path)
+    try:
+        validate_dataset(ds, args.schema)
+    except DatasetSchemaError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(f"{args.path}: valid ({args.schema})")
+    return 0
+
+
 def cmd_srf_trim(args):
     """Trim an SRF dataset (mirror of ``eradiate srf trim``,
     ``cli/srf.py:27``)."""
@@ -115,6 +136,15 @@ def main(argv=None):
     data_sub.add_parser("list", help="list installed datasets").set_defaults(
         fn=cmd_data_list
     )
+    validate = data_sub.add_parser(
+        "validate", help="validate a dataset file against a schema"
+    )
+    validate.add_argument("path")
+    validate.add_argument(
+        "--schema", default="srf_v1",
+        help="schema name (srf_v1, particle_dataset_v1)",
+    )
+    validate.set_defaults(fn=cmd_data_validate)
     data_sub.add_parser("install", help="(unavailable offline)").set_defaults(
         fn=cmd_data_install
     )

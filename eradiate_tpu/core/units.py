@@ -162,6 +162,10 @@ def _parse_unit(spec: str) -> tuple[float, tuple]:
             sign = -1
             pos += 1
             continue
+        if ch == "1":
+            # literal numerator "1" (e.g. "1/m", "1 / sr"): dimensionless
+            pos += 1
+            continue
         m = _TOKEN_RE.match(spec, pos)
         if not m:
             raise UndefinedUnitError(f"cannot parse unit '{spec}' at {pos!r}")
