@@ -14,8 +14,13 @@ experiment classes, scene-element factories, units.
 from .core.modes import Mode, ModeFlag, mode, modes, set_mode  # noqa: F401
 from .core.units import ureg  # noqa: F401
 from .core.rng import SeedState, root_seed_state  # noqa: F401
+from .config import apply_settings as _apply_settings
 
 __version__ = "0.1.0"
+
+# resolve ERADIATE_TPU_* settings into the runtime (root seed, data search
+# paths, persistent compilation cache)
+_apply_settings()
 
 
 def run(exp, spp=None, seed_state=None, checkpoint_dir=None):

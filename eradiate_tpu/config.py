@@ -17,6 +17,7 @@ Supported keys (mirroring the reference's):
 from __future__ import annotations
 
 import enum
+import logging
 import os
 from pathlib import Path
 
@@ -104,7 +105,7 @@ settings = Settings()
 
 
 def apply_settings():
-    """Apply settings to the runtime (seed, data path)."""
+    """Apply settings to the runtime (seed, data path, compile cache)."""
     from .core.rng import root_seed_state
     from .data import register_data_path
 
@@ -114,3 +115,37 @@ def apply_settings():
     for p in str(settings.get("DATA_PATH", "")).split(os.pathsep):
         if p:
             register_data_path(p)
+    _enable_compilation_cache()
+
+
+def _enable_compilation_cache():
+    """Point JAX's persistent compilation cache at a user-level directory.
+
+    The wavefront tracer programs take O(minutes) to compile the first
+    time (XLA while-loop + nested vmaps); caching makes every later
+    process start at dispatch speed. Opt out with
+    ``ERADIATE_TPU_COMPILATION_CACHE=0`` or by pre-setting
+    ``jax_compilation_cache_dir`` yourself.
+    """
+    flag = str(settings.get("COMPILATION_CACHE", "1")).lower()
+    if flag in ("0", "false", "no", "off"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return  # user already configured one
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "eradiate_tpu", "jax_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # cache every sizable program, even with slight env differences
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+    except Exception:  # pragma: no cover - cache is best-effort
+        logging.getLogger(__name__).debug(
+            "could not enable the JAX compilation cache", exc_info=True
+        )

@@ -21,7 +21,6 @@ from ..ops.scene_state import (
     SensorArrays,
     SurfaceArrays,
 )
-from ..ops.medium import cumulative_tau
 from ..scenes.atmosphere import Atmosphere, MolecularAtmosphere, atmosphere_factory
 from ..scenes.geometry import PlaneParallelGeometry, SceneGeometry
 from ..scenes.measure import TargetPoint
@@ -161,7 +160,9 @@ class AtmosphereExperiment(EarthObservationExperiment):
             medium = SphericalMediumArrays(
                 radii=radii,
                 sigma_t=sig,
-                sigma_majorant=jnp.max(sig, axis=1),
+                sigma_majorant=jnp.asarray(
+                    np.max(np.asarray(sigma_t), axis=1), dtype=dtype
+                ),
                 albedo=jnp.asarray(albedo, dtype=dtype),
                 phase_weights=jnp.asarray(weights, dtype=dtype),
                 phase_params=phase_params_dev,
@@ -169,13 +170,20 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 mu_grid=mu_grid,
             )
         else:
-            z_levels = jnp.asarray(zgrid.levels, dtype=dtype)
-            tau_levels = cumulative_tau(
-                jnp.asarray(sigma_t, dtype=dtype), z_levels
+            # host-side cumulative tau: under a remote-device tunnel every
+            # eager op is a round trip, so scene compilation stays numpy
+            # and ships to the device in one transfer per leaf
+            dz = np.diff(zgrid.levels)
+            tau_np = np.concatenate(
+                [
+                    np.zeros(sigma_t.shape[:-1] + (1,)),
+                    np.cumsum(np.asarray(sigma_t) * dz, axis=-1),
+                ],
+                axis=-1,
             )
             medium = MediumArrays(
-                z_levels=z_levels,
-                tau_levels=tau_levels,
+                z_levels=jnp.asarray(zgrid.levels, dtype=dtype),
+                tau_levels=jnp.asarray(tau_np, dtype=dtype),
                 albedo=jnp.asarray(albedo, dtype=dtype),
                 phase_weights=jnp.asarray(weights, dtype=dtype),
                 phase_params=phase_params_dev,

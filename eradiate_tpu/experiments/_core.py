@@ -206,9 +206,18 @@ class EarthObservationExperiment(Experiment):
 
         if config.geometry == "spherical_shell":
             if config.polarized:
-                raise NotImplementedError(
-                    "polarized transport in spherical-shell geometry is "
-                    "not implemented yet; use plane_parallel"
+                from ..ops.tracer_spherical_polarized import (
+                    render_spherical_polarized,
+                )
+
+                return render_spherical_polarized(
+                    scene.medium,
+                    scene.surface,
+                    scene.illumination,
+                    sensor,
+                    config,
+                    spp=n,
+                    seed=seed,
                 )
             return render_spherical(
                 scene.medium,

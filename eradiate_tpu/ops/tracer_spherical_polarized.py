@@ -1,0 +1,383 @@
+"""Wavefront path tracer — polarized transport, spherical-shell geometry.
+
+Combines the delta-tracking shell traversal of
+:mod:`eradiate_tpu.ops.tracer_spherical` with the Mueller/Stokes calculus
+of :mod:`eradiate_tpu.ops.tracer_polarized` (reference: polarized Mitsuba
+variants rendering ``sphericalcoordsvolume`` media, SURVEY §2.1). Null
+collisions leave the accumulated Mueller product untouched; accepted
+collisions apply frame-rotated phase matrices; surfaces use the
+Mueller-general dispatch (scalar kinds reduce to depolarizers exactly).
+
+Output Stokes vectors are referenced to the meridian basis of each viewing
+direction (the reference ``stokes`` integrator's ``meridian_align``
+extension, ``scenes/integrators/_core.py:80-92``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bsdf_ops import bsdf_sample
+from .bsdf_polarized import surface_mueller
+from .mueller import default_basis, rotate_basis_angle, rotator
+from .phase_ops import phase_eval, phase_sample
+from .scene_state import (
+    IlluminationArrays,
+    SensorArrays,
+    SurfaceArrays,
+    SceneConfig,
+)
+from .spherical import lookup_sun_tau, ray_sphere_intersect
+from .tracer_polarized import _phase_mueller, _scatter_frames
+from .tracer_spherical import SphericalMediumArrays, _to_local, _to_world
+
+__all__ = ["render_spherical_polarized"]
+
+
+def trace_paths_spherical_polarized(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_p,
+    init_d,
+    keys,
+    max_iterations: int,
+):
+    """Returns per-path Stokes estimates [B, 4] in the meridian basis of
+    the initial viewing direction."""
+    radii = medium_row.radii
+    r_ground = radii[0]
+    r_top = radii[-1]
+    sigma_maj = jnp.maximum(medium_row.sigma_majorant, 1e-12)
+
+    d_sun = illum_row.direction
+    w_sun = -d_sun
+    E_sun = illum_row.irradiance
+
+    B = init_p.shape[0]
+    eps_t = 1e-4
+
+    def sun_T(p):
+        r = jnp.linalg.norm(p, axis=-1)
+        n = p / jnp.maximum(r[..., None], 1e-12)
+        mu = jnp.sum(n * w_sun, axis=-1)
+        tau = lookup_sun_tau(
+            medium_row.sun_tau, radii, medium_row.mu_grid, r, mu
+        )
+        return jnp.exp(-jnp.minimum(tau, 80.0))
+
+    l_1 = -init_d
+    b_init = default_basis(l_1)
+    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    def body(carry):
+        it, p, d, P, b, beta, S_acc, alive, depth, keys = carry
+
+        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, it))
+        ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
+        k_dist, k_acc, k_scat, k_srf, k_rr = (
+            ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4],
+        )
+
+        tgn, tgf, hit_g = ray_sphere_intersect(p, d, r_ground)
+        t_ground = jnp.where(
+            hit_g & (tgn > eps_t),
+            tgn,
+            jnp.where(
+                hit_g
+                & (tgf > eps_t)
+                & (tgn <= eps_t)
+                & (jnp.sum(p * p, -1) < r_ground**2),
+                tgf,
+                jnp.inf,
+            ),
+        )
+        _, ttf, _ = ray_sphere_intersect(p, d, r_top)
+        t_exit = jnp.maximum(ttf, eps_t)
+        t_max = jnp.minimum(t_ground, t_exit)
+
+        u = jax.vmap(jax.random.uniform)(k_dist)
+        dt = -jnp.log1p(-u) / sigma_maj
+        boundary = dt >= t_max
+        t_step = jnp.minimum(dt, t_max)
+        p_new = p + d * t_step[:, None]
+
+        hit_surface = boundary & (t_ground <= t_exit) & config.has_surface
+
+        r_new = jnp.linalg.norm(p_new, axis=-1)
+        layer = jnp.clip(
+            jnp.searchsorted(radii, r_new, side="right") - 1,
+            0,
+            radii.shape[0] - 2,
+        )
+        sigma_here = medium_row.sigma_t[layer]
+        u_acc = jax.vmap(jax.random.uniform)(k_acc)
+        accept = (~boundary) & (u_acc < sigma_here / sigma_maj)
+
+        albedo_col = medium_row.albedo[layer]
+        l_out = -d
+
+        # ---- NEE at accepted collisions --------------------------------
+        cos_nee = jnp.einsum("j,ij->i", d_sun, l_out)
+        _, h_out_nee = _scatter_frames(jnp.broadcast_to(d_sun, d.shape), l_out)
+        M_nee = jax.vmap(
+            lambda l, c: _phase_mueller(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_nee)
+        R_out = rotator(rotate_basis_angle(l_out, h_out_nee, b))
+        S_sun = jnp.zeros((B, 4)).at[:, 0].set(
+            E_sun * sun_T(p_new) * albedo_col * beta
+        )
+        S_col = jnp.einsum("bij,bjk,bkl,bl->bi", P, R_out, M_nee, S_sun)
+
+        # ---- sampled continuation at accepted collisions ---------------
+        d_new = jax.vmap(
+            lambda l, dd, kk: phase_sample(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                dd,
+                kk,
+            )
+        )(layer, d, k_scat)
+        l_in_new = -d_new
+        cos_scat = jnp.einsum("ij,ij->i", d_new, d)
+        p_scalar = jax.vmap(
+            lambda l, c: phase_eval(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_scat)
+        h_in_s, h_out_s = _scatter_frames(l_in_new, l_out)
+        M_s = jax.vmap(
+            lambda l, c: _phase_mueller(
+                config.phase_kinds,
+                medium_row.phase_params,
+                medium_row.phase_weights,
+                l,
+                c,
+            )
+        )(layer, cos_scat)
+        M_full = jnp.einsum(
+            "bij,bjk->bik", rotator(rotate_basis_angle(l_out, h_out_s, b)), M_s
+        ) / jnp.maximum(p_scalar, 1e-30)[:, None, None]
+        P_col = jnp.einsum("bij,bjk->bik", P, M_full)
+        b_col = h_in_s
+        beta_col = beta * albedo_col
+
+        # ---- surface interaction (Mueller-general) ---------------------
+        n_srf = p_new / jnp.maximum(r_new[:, None], 1e-12)
+        wo_local = _to_local(n_srf, l_out)
+        wi_sun_local = _to_local(n_srf, jnp.broadcast_to(w_sun, p_new.shape))
+        M_srf = surface_mueller(
+            config.surface_kind, surface_row.params, wi_sun_local, wo_local, None
+        )
+        _, h_out_srf = _scatter_frames(jnp.broadcast_to(d_sun, d.shape), l_out)
+        R_out_srf = rotator(rotate_basis_angle(l_out, h_out_srf, b))
+        mu_sun_srf = jnp.maximum(jnp.sum(n_srf * w_sun, axis=-1), 0.0)
+        S_sun_srf = jnp.zeros((B, 4)).at[:, 0].set(
+            beta * mu_sun_srf * sun_T(p_new) * E_sun
+        )
+        S_srf = jnp.einsum(
+            "bij,bjk,bkl,bl->bi", P, R_out_srf, M_srf, S_sun_srf
+        )
+
+        d_srf_local, w_srf = jax.vmap(
+            lambda w, k: bsdf_sample(config.surface_kind, surface_row.params, w, k)
+        )(wo_local, k_srf)
+        d_srf = _to_world(n_srf, d_srf_local)
+        M_cont = surface_mueller(
+            config.surface_kind, surface_row.params, d_srf_local, wo_local, None
+        )
+        h_in_c, h_out_c = _scatter_frames(-d_srf, l_out)
+        R_out_c = rotator(rotate_basis_angle(l_out, h_out_c, b))
+        f_scalar = jnp.maximum(M_cont[:, 0, 0], 1e-30)
+        P_srf = jnp.einsum(
+            "bij,bjk,bkl->bil", P, R_out_c, M_cont / f_scalar[:, None, None]
+        )
+        b_srf = h_in_c
+        beta_srf = beta * w_srf
+        p_srf = p_new + n_srf * eps_t
+
+        # ---- combine ----------------------------------------------------
+        S_add = jnp.where(
+            alive[:, None],
+            jnp.where(
+                accept[:, None],
+                S_col,
+                jnp.where(hit_surface[:, None], S_srf, 0.0),
+            ),
+            0.0,
+        )
+        S_acc = S_acc + S_add
+        p = jnp.where(hit_surface[:, None], p_srf, p_new)
+        d = jnp.where(
+            accept[:, None], d_new, jnp.where(hit_surface[:, None], d_srf, d)
+        )
+        P = jnp.where(
+            accept[:, None, None],
+            P_col,
+            jnp.where(hit_surface[:, None, None], P_srf, P),
+        )
+        b = jnp.where(
+            accept[:, None], b_col, jnp.where(hit_surface[:, None], b_srf, b)
+        )
+        beta = jnp.where(
+            accept, beta_col, jnp.where(hit_surface, beta_srf, beta)
+        )
+        interacted = accept | hit_surface
+        escaped = boundary & ~hit_surface
+        alive = alive & ~escaped & (beta > 0.0)
+        depth = depth + jnp.where(interacted & alive, 1, 0)
+
+        do_rr = interacted & (depth >= config.rr_depth)
+        q = jnp.clip(beta, 0.0, 0.95)
+        u_rr = jax.vmap(jax.random.uniform)(k_rr)
+        survive = u_rr < q
+        scale = jnp.where(do_rr & alive & survive, 1.0 / q, 1.0)
+        beta = beta * scale
+        P = P * scale[:, None, None]
+        alive = alive & jnp.where(do_rr, survive, True)
+        alive = alive & (depth < config.max_depth)
+
+        return (it + 1, p, d, P, b, beta, S_acc, alive, depth, keys)
+
+    def cond(carry):
+        return (carry[0] < max_iterations) & jnp.any(carry[7])
+
+    init = (
+        jnp.asarray(0),
+        init_p,
+        init_d,
+        P_init,
+        b_init,
+        jnp.ones(B, init_p.dtype),
+        jnp.zeros((B, 4), init_p.dtype),
+        jnp.ones(B, dtype=bool),
+        jnp.zeros(B, dtype=jnp.int32),
+        keys,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[6]
+
+
+def _render_row(
+    config, n_pix, spp, max_iterations, medium_row, surface_row, illum_row,
+    directions, target, key
+):
+    B = n_pix * spp
+    r_top = medium_row.radii[-1]
+    pix = jnp.repeat(jnp.arange(n_pix), spp)
+    w_v = directions[pix]
+    _, t_far, _ = ray_sphere_intersect(
+        jnp.broadcast_to(target, (B, 3)), w_v, r_top
+    )
+    init_p = target[None, :] + w_v * t_far[:, None]
+    init_d = -w_v
+    keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(key, (B,)), jnp.arange(B)
+    )
+    S = trace_paths_spherical_polarized(
+        config, medium_row, surface_row, illum_row, init_p, init_d, keys,
+        max_iterations,
+    )
+    S = S.reshape(n_pix, spp, 4)
+    stokes = jnp.mean(S, axis=1)
+    m2 = jnp.mean(S[..., 0] ** 2, axis=1)
+    return stokes, m2
+
+
+def render_batch_impl(
+    config, n_pix, spp, max_iterations, medium, surface, illum, directions,
+    target, keys
+):
+    med_axes = SphericalMediumArrays(
+        radii=None, sigma_t=0, sigma_majorant=0, albedo=0, phase_weights=0,
+        phase_params=0, sun_tau=0, mu_grid=None,
+    )
+    surf_axes = SurfaceArrays(
+        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
+    )
+    illum_axes = IlluminationArrays(
+        direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0
+    )
+    return jax.vmap(
+        lambda mr, sr, ir, k: _render_row(
+            config, n_pix, spp, max_iterations, mr, sr, ir, directions,
+            target, k
+        ),
+        in_axes=(med_axes, surf_axes, illum_axes, 0),
+    )(medium, surface, illum, keys)
+
+
+_render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2, 3))
+
+
+def render_spherical_polarized(
+    scene_medium: SphericalMediumArrays,
+    surface: SurfaceArrays,
+    illum: IlluminationArrays,
+    sensor: SensorArrays,
+    config: SceneConfig,
+    spp: int,
+    seed: int = 0,
+    max_iterations: int = 512,
+    spp_chunk: int | None = None,
+):
+    """Polarized spherical-shell render: ``stokes`` [S, N, 4]
+    (meridian-aligned), ``radiance`` = I, ``m2`` of I, ``spp``."""
+    from .tracer import MAX_PATHS_PER_DISPATCH
+
+    directions = jnp.asarray(sensor.directions)
+    target = jnp.asarray(sensor.target)
+    n_pix = directions.shape[0]
+    S = scene_medium.sigma_t.shape[0]
+
+    if spp_chunk is None:
+        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(S * n_pix, 1))
+        if spp > max_spp:
+            spp_chunk = max_spp
+
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    chunks = []
+    start = 0
+    step = spp_chunk or spp
+    while start < spp:
+        chunks.append(min(step, spp - start))
+        start += step
+
+    st_sum = jnp.zeros((S, n_pix, 4))
+    m2_sum = jnp.zeros((S, n_pix))
+    traced = 0
+    for chunk_id, n in enumerate(chunks):
+        chunk_keys = jax.vmap(jax.random.fold_in)(row_keys, jnp.full(S, chunk_id))
+        st, m2 = _render_batch(
+            config, n_pix, n, max_iterations, scene_medium, surface, illum,
+            directions, target, chunk_keys,
+        )
+        st_sum = st_sum + st * n
+        m2_sum = m2_sum + m2 * n
+        traced += n
+
+    stokes = st_sum / traced
+    return {
+        "stokes": stokes,
+        "radiance": stokes[..., 0],
+        "m2": m2_sum / traced,
+        "spp": traced,
+    }
