@@ -23,7 +23,7 @@ from ..ops.scene_state import (
 )
 from ..scenes.atmosphere import Atmosphere, MolecularAtmosphere, atmosphere_factory
 from ..scenes.geometry import PlaneParallelGeometry, SceneGeometry
-from ..scenes.measure import TargetPoint
+from ..scenes.measure import TargetPoint, TargetRectangle
 from ..scenes.surface import Surface, surface_converter
 from ..spectral.grid import CKDSpectralGrid, MonoSpectralGrid
 from ._core import EarthObservationExperiment
@@ -239,11 +239,23 @@ class AtmosphereExperiment(EarthObservationExperiment):
 
         # Sensor
         anchor = getattr(measure, "ray_anchor", None)
+        extent = None
+        pixel_targets = getattr(measure, "pixel_targets", None)
+        per_pixel = pixel_targets() if callable(pixel_targets) else None
         if anchor is not None:
             # camera-style measures: rays start at the anchor point
             target = np.asarray(anchor, dtype=np.float64)
+        elif per_pixel is not None:
+            # mpdistant: one target subcell per film pixel
+            target, extent = per_pixel
         elif isinstance(measure.target, TargetPoint):
             target = measure.target.xyz
+        elif isinstance(measure.target, TargetRectangle):
+            r = measure.target
+            target = np.array(
+                [0.5 * (r.xmin + r.xmax), 0.5 * (r.ymin + r.ymax), r.z]
+            )
+            extent = np.array([r.xmax - r.xmin, r.ymax - r.ymin])
         else:
             target = np.zeros(3)
         sensor = SensorArrays(
@@ -255,6 +267,7 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 else measure.ray_offset,
                 dtype=dtype,
             ),
+            target_extent=None if extent is None else jnp.asarray(extent, dtype=dtype),
         )
 
         integrator = self.integrator

@@ -57,6 +57,18 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
     padding: int = 0
 
     def __attrs_post_init__(self):
+        # Default distant-measure targets: the canopy-top footprint rectangle
+        # (reference ``_canopy.py:93-108`` / ``_canopy_atmosphere.py:195-210``)
+        # so BRF estimates average over the heterogeneous scene area rather
+        # than a single point.
+        if self.canopy is not None:
+            sx, sy, sz = (float(v) for v in self.canopy.size_km)
+            for m in self.measures:
+                if m.target is None and m.is_distant:
+                    m.target = TargetRectangle(
+                        xmin=-0.5 * sx, xmax=0.5 * sx,
+                        ymin=-0.5 * sy, ymax=0.5 * sy, z=sz,
+                    )
         super().__attrs_post_init__()
         if self.geometry.kind != "plane_parallel":
             raise ValueError("canopy experiments require plane-parallel geometry")

@@ -96,13 +96,20 @@ class SensorArrays:
     ``ray_offset``: altitude offset [km] below TOA for in-atmosphere
     placement (mirror of mdistant's ``ray_offset``,
     ``scenes/measure/_distant.py:334-361``); NaN = at TOA.
-    ``target``: [3] target point (plane-parallel scenes are x,y-invariant
-    unless the surface is textured).
+    ``target``: [3] target point, or [N, 3] per-pixel target points
+    (``mpdistant``: each film pixel images one subcell of the target
+    rectangle). Plane-parallel scenes are x,y-invariant unless the surface
+    is textured or a canopy is present.
+    ``target_extent``: optional [2] (or [N, 2]) full x,y extents of a jitter
+    rectangle centered on ``target`` — ray origins are sampled uniformly
+    over it per path, the TPU equivalent of the reference's rectangle
+    target sampling (``scenes/measure/_distant.py:139-228``).
     """
 
     directions: Any  # [N, 3]
-    target: Any  # [3]
+    target: Any  # [3] or [N, 3]
     ray_offset: Any  # scalar
+    target_extent: Any = None  # [2] or [N, 2], km
 
 
 @_pytree_dataclass

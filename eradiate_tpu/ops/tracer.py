@@ -224,9 +224,36 @@ def trace_paths(
     return final[5]
 
 
+def _per_path_targets(target, target_extent, pix, key, dtype):
+    """Expand sensor targets to per-path points [B, 3].
+
+    ``target`` may be [3] (shared) or [N, 3] (per-pixel, mpdistant);
+    ``target_extent`` ([2] or [N, 2]) jitters origins uniformly over a
+    centered rectangle — the TPU equivalent of the reference's rectangle
+    target sampling (``scenes/measure/_distant.py:139-228``).
+    """
+    B = pix.shape[0]
+    if target is None:
+        tgt = jnp.zeros((B, 3), dtype)
+    elif target.ndim == 2:
+        tgt = target[pix]
+    else:
+        tgt = jnp.broadcast_to(target, (B, 3))
+    if target_extent is not None:
+        ext = target_extent[pix] if target_extent.ndim == 2 else target_extent
+        u = jax.random.uniform(
+            jax.random.fold_in(key, 0x7A19), (B, 2), dtype=tgt.dtype
+        )
+        jitter = (u - 0.5) * ext
+        tgt = tgt + jnp.concatenate(
+            [jitter, jnp.zeros((B, 1), tgt.dtype)], axis=-1
+        )
+    return tgt
+
+
 def _render_row(
     config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
-    target=None, ray_offset=None,
+    target=None, ray_offset=None, target_extent=None,
 ):
     """Render one spectral slice: [N] pixels x spp samples.
 
@@ -241,17 +268,16 @@ def _render_row(
     pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
     init_d = -w_v  # into the scene
-    target_z = 0.0 if target is None else target[2]
-    target_xy = jnp.zeros(2) if target is None else target[:2]
+    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
     if ray_offset is None:
         ray_offset = jnp.asarray(jnp.nan)
     t_start = jnp.where(
         jnp.isnan(ray_offset),
-        (z_top - target_z) / clamp_mu(w_v[:, 2]),
+        (z_top - tgt[:, 2]) / clamp_mu(w_v[:, 2]),
         ray_offset,
     )
-    init_z = jnp.clip(target_z + w_v[:, 2] * t_start, None, z_top)
-    init_xy = target_xy[None, :] + w_v[:, :2] * t_start[:, None]
+    init_z = jnp.clip(tgt[:, 2] + w_v[:, 2] * t_start, None, z_top)
+    init_xy = tgt[:, :2] + w_v[:, :2] * t_start[:, None]
 
     path_ids = jnp.arange(B)
     keys = jax.vmap(jax.random.fold_in)(
@@ -286,7 +312,7 @@ def _render_row(
 
 def render_batch_impl(
     config, n_pix, spp, medium, surface, illum, directions, keys,
-    target=None, ray_offset=None,
+    target=None, ray_offset=None, target_extent=None,
 ):
     """Spectral-batched render (traceable; see ``_render_batch`` for the
     jitted entry). ``keys`` has leading spectral axis [S]."""
@@ -299,7 +325,8 @@ def render_batch_impl(
     illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row(
-            config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset
+            config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset,
+            target_extent,
         ),
         in_axes=(med_axes, surf_axes, illum_axes, 0),
     )(medium, surface, illum, keys)
@@ -311,7 +338,7 @@ _render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2))
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _render_full(
     config, n_pix, spp_chunk, n_chunks, medium, surface, illum, directions,
-    target, ray_offset, seed,
+    target, ray_offset, seed, target_extent=None,
 ):
     """Whole-measure render in ONE device program: key derivation, a scan
     over sample chunks and the accumulator arithmetic all live on device.
@@ -334,7 +361,7 @@ def _render_full(
         )
         rad, m2 = render_batch_impl(
             config, n_pix, spp_chunk, medium, surface, illum, directions,
-            chunk_keys, target, ray_offset,
+            chunk_keys, target, ray_offset, target_extent,
         )
         return (rad_sum + rad, m2_sum + m2), None
 
@@ -398,5 +425,8 @@ def render(
         jnp.asarray(sensor.ray_offset),
         # uint32: SeedState emits full 32-bit seeds that overflow int32
         jnp.asarray(int(seed) & 0xFFFFFFFF, dtype=jnp.uint32),
+        None
+        if sensor.target_extent is None
+        else jnp.asarray(sensor.target_extent),
     )
     return {"radiance": rad, "m2": m2, "spp": traced}

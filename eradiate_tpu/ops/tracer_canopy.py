@@ -296,20 +296,24 @@ def trace_paths_canopy(
 
 def _render_row_canopy(
     config, n_pix, spp, medium_row, surface_row, leaf_row, leaves, illum_row,
-    directions, target, ray_offset, key, tris=None, tri_row=None
+    directions, target, ray_offset, key, tris=None, tri_row=None,
+    target_extent=None,
 ):
+    from .tracer import _per_path_targets
+
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
     pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
+    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
     # start at TOA on the line through the target, unless ray_offset is
     # finite (camera/in-scene sensors: start at target + ray_offset * w_v)
     t_up = jnp.where(
         jnp.isnan(ray_offset),
-        (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6),
+        (z_top - tgt[:, 2]) / jnp.maximum(w_v[:, 2], 1e-6),
         ray_offset,
     )
-    init_pos = target[None, :] + w_v * t_up[:, None]
+    init_pos = tgt + w_v * t_up[:, None]
     init_d = -w_v
     keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
     L = trace_paths_canopy(
@@ -322,7 +326,8 @@ def _render_row_canopy(
 
 def render_batch_canopy_impl(
     config, n_pix, spp, medium, surface, leaf_params, leaves, illum,
-    directions, target, ray_offset, keys, tris=None, tri_params=None
+    directions, target, ray_offset, keys, tris=None, tri_params=None,
+    target_extent=None,
 ):
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
@@ -336,7 +341,7 @@ def render_batch_canopy_impl(
         return jax.vmap(
             lambda mr, sr, lr, ir, k: _render_row_canopy(
                 config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
-                ray_offset, k
+                ray_offset, k, target_extent=target_extent
             ),
             in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0),
         )(medium, surface, leaf_params, illum, keys)
@@ -344,7 +349,7 @@ def render_batch_canopy_impl(
     return jax.vmap(
         lambda mr, sr, lr, ir, k, tr: _render_row_canopy(
             config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
-            ray_offset, k, tris, tr
+            ray_offset, k, tris, tr, target_extent=target_extent
         ),
         in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0, tri_axes),
     )(medium, surface, leaf_params, illum, keys, tri_params)
@@ -407,6 +412,9 @@ def render_canopy(
             config, n_pix, n, scene.medium, scene.surface, leaf_params, leaves,
             scene.illumination, directions, target, ray_offset, chunk_keys,
             tris, tri_params,
+            None
+            if sensor.target_extent is None
+            else jnp.asarray(sensor.target_extent),
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

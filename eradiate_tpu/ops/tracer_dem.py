@@ -175,19 +175,22 @@ def trace_paths_dem(
 
 def _render_row_dem(
     config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
-    target, ray_offset, key
+    target, ray_offset, key, target_extent=None
 ):
+    from .tracer import _per_path_targets
+
     B = n_pix * spp
     z_top = medium_row.z_levels[-1]
     pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
+    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
     # TOA start through target, or target + ray_offset * w_v (cameras)
     t_up = jnp.where(
         jnp.isnan(ray_offset),
-        (z_top - target[2]) / jnp.maximum(w_v[:, 2], 1e-6),
+        (z_top - tgt[:, 2]) / jnp.maximum(w_v[:, 2], 1e-6),
         ray_offset,
     )
-    init_pos = target[None, :] + w_v * t_up[:, None]
+    init_pos = tgt + w_v * t_up[:, None]
     init_d = -w_v
     keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
     L = trace_paths_dem(
@@ -199,7 +202,7 @@ def _render_row_dem(
 
 def render_batch_dem_impl(
     config, n_pix, spp, medium, surface, dem, illum, directions, target,
-    ray_offset, keys
+    ray_offset, keys, target_extent=None
 ):
     med_axes = MediumArrays(
         z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
@@ -211,7 +214,7 @@ def render_batch_dem_impl(
     return jax.vmap(
         lambda mr, sr, ir, k: _render_row_dem(
             config, n_pix, spp, mr, sr, dem, ir, directions, target,
-            ray_offset, k
+            ray_offset, k, target_extent
         ),
         in_axes=(med_axes, surf_axes, illum_axes, 0),
     )(medium, surface, illum, keys)
@@ -255,6 +258,9 @@ def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
         rad, m2 = _render_batch_dem(
             config, n_pix, n, scene.medium, scene.surface, dem,
             scene.illumination, directions, target, ray_offset, chunk_keys,
+            None
+            if sensor.target_extent is None
+            else jnp.asarray(sensor.target_extent),
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

@@ -102,6 +102,11 @@ def render_sharded(
 
     directions = jnp.asarray(sensor.directions)
     n_pix = directions.shape[0]
+    target = jnp.asarray(sensor.target)
+    ray_offset = jnp.asarray(sensor.ray_offset)
+    target_extent = (
+        None if sensor.target_extent is None else jnp.asarray(sensor.target_extent)
+    )
 
     base_key = jax.random.key(seed)
     row_keys = jax.vmap(jax.random.fold_in)(
@@ -109,22 +114,28 @@ def render_sharded(
     )
 
     med_specs, surf_specs, illum_specs = _scene_specs(scene)
+    sensor_specs = jax.tree_util.tree_map(
+        lambda _: P(), (target, ray_offset, target_extent)
+    )
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(med_specs, surf_specs, illum_specs, P(), P("spectral")),
+        in_specs=(med_specs, surf_specs, illum_specs, P(), P("spectral"))
+        + (sensor_specs,),
         out_specs=(P("spectral"), P("spectral")),
         check_vma=False,
     )
-    def shard_fn(medium, surface, illum, dirs, keys):
+    def shard_fn(medium, surface, illum, dirs, keys, sensor_args):
+        tgt, roff, ext = sensor_args
         # per-sample-shard key stream
         sample_idx = jax.lax.axis_index("sample")
         local_keys = jax.vmap(
             lambda k: jax.random.fold_in(k, sample_idx)
         )(keys)
         rad, m2 = render_batch_impl(
-            config, n_pix, spp_local, medium, surface, illum, dirs, local_keys
+            config, n_pix, spp_local, medium, surface, illum, dirs, local_keys,
+            tgt, roff, ext,
         )
         # average the per-device estimates over the sample axis (each traced
         # spp_local samples -> equal weights)
@@ -134,6 +145,7 @@ def render_sharded(
 
     fn = jax.jit(shard_fn)
     rad, m2 = fn(
-        scene.medium, scene.surface, scene.illumination, directions, row_keys
+        scene.medium, scene.surface, scene.illumination, directions, row_keys,
+        (target, ray_offset, target_extent),
     )
     return {"radiance": rad, "m2": m2, "spp": spp}

@@ -24,6 +24,7 @@ __all__ = [
     "Measure",
     "MultiDistantMeasure",
     "DistantMeasure",
+    "MultiPixelDistantMeasure",
     "HemisphericalDistantMeasure",
     "DistantFluxMeasure",
     "RadiancemeterMeasure",
@@ -220,6 +221,73 @@ class MultiDistantMeasure(Measure):
         return angles_to_direction(
             np.deg2rad(self.angles), azimuth_convention=conv
         )
+
+
+@measure_factory.register("mpdistant", aliases=("multipixel_distant",))
+@attrs.define(eq=False, slots=False)
+class MultiPixelDistantMeasure(Measure):
+    """Multi-pixel distant measure (reference ``mpdistant`` plugin,
+    ``scenes/measure/_distant.py:500-639``): a single viewing direction with
+    a (W, H) film where each pixel images one subcell of the rectangular
+    target — a distant orthographic imager. Pixels jitter their ray origins
+    uniformly within their subcell.
+    """
+
+    direction: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 1.0]))
+    film_resolution: tuple = (32, 32)
+    azimuth_convention: str = "east_right"
+    ray_offset: float | None = None
+
+    def __attrs_post_init__(self):
+        self.direction = np.asarray(self.direction, dtype=np.float64)
+        self.direction = self.direction / np.linalg.norm(self.direction)
+
+    @classmethod
+    def from_angles(cls, angles, **kwargs):
+        angles = np.deg2rad(_as_deg_array(angles).reshape(2))
+        conv = AzimuthConvention.convert(
+            kwargs.get("azimuth_convention", "east_right").upper()
+        )
+        direction = np.squeeze(
+            angles_to_direction(angles[None, :], azimuth_convention=conv)
+        )
+        return cls(direction=direction, **kwargs)
+
+    @property
+    def is_distant(self) -> bool:
+        return True
+
+    @property
+    def film_shape(self) -> tuple:
+        return tuple(self.film_resolution)
+
+    def sensor_directions(self) -> np.ndarray:
+        n = int(np.prod(self.film_resolution))
+        return np.broadcast_to(self.direction, (n, 3)).copy()
+
+    @property
+    def viewing_angles(self) -> np.ndarray:
+        ang = np.rad2deg(direction_to_angles(self.direction[None, :]))
+        n = int(np.prod(self.film_resolution))
+        return np.broadcast_to(ang, (n, 2)).copy()
+
+    def pixel_targets(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Per-pixel target subcell centers [N, 3] and the (shared) subcell
+        extent [2], x-major ravel order matching ``sensor_directions``.
+        Requires a rectangle target; point targets return None."""
+        if not isinstance(self.target, TargetRectangle):
+            return None
+        nx, ny = self.film_resolution
+        r = self.target
+        dx = (r.xmax - r.xmin) / nx
+        dy = (r.ymax - r.ymin) / ny
+        xs = r.xmin + (np.arange(nx) + 0.5) * dx
+        ys = r.ymin + (np.arange(ny) + 0.5) * dy
+        xx, yy = np.meshgrid(xs, ys, indexing="ij")
+        centers = np.stack(
+            [xx.ravel(), yy.ravel(), np.full(nx * ny, r.z)], axis=-1
+        )
+        return centers, np.array([dx, dy])
 
 
 @measure_factory.register("distant")
