@@ -427,11 +427,44 @@ def ocean_legacy_eval(params, wi, wo, p=None):
 
 
 def ocean_grasp_eval(params, wi, wo, p=None):
-    """GRASP-style ocean BRDF (reference `ocean_grasp`,
-    `scenes/bsdfs/_ocean_grasp.py`): same Cox-Munk + whitecap + underlight
-    structure with GRASP's parameter interface (wind speed + water
-    reflectance term)."""
-    return ocean_legacy_eval(params, wi, wo, p)
+    """GRASP-convention ocean BRDF (reference `ocean_grasp`,
+    `scenes/bsdfs/_ocean_grasp.py`): Cox-Munk glint with a user-supplied
+    water IOR spectrum ``eta`` plus a lambertian water-body reflectance
+    term ``water_body_reflectance`` transmitted through the interface,
+    mixed with wind-driven whitecaps. Same structure as the legacy 6SV
+    surface but parametrized directly by (wind_speed, eta, R_wb) as in the
+    3DREAMS GRASP scenarios (``test_tools/test_cases/ocean.py:36-185``)."""
+    wind_speed = params["wind_speed"]
+    n_w = params["eta"]
+    R_wb = params["water_body_reflectance"]
+
+    mu_i = _mu(wi)
+    mu_o = _mu(wo)
+    valid = (mu_i > 1e-6) & (mu_o > 1e-6)
+    mu_i = jnp.maximum(mu_i, 1e-6)
+    mu_o = jnp.maximum(mu_o, 1e-6)
+
+    h = wi + wo
+    hn = jnp.linalg.norm(h, axis=-1, keepdims=True)
+    h = h / jnp.maximum(hn, 1e-12)
+    cos_beta = jnp.clip(h[..., 2], 1e-6, 1.0)
+    cos_theta_h = jnp.clip(jnp.sum(wi * h, axis=-1), 1e-6, 1.0)
+
+    sigma2 = 0.003 + 0.00512 * wind_speed
+    tan2_beta = (1.0 - cos_beta**2) / cos_beta**2
+    p_slope = jnp.exp(-tan2_beta / sigma2) / (jnp.pi * sigma2)
+    R_F = _fresnel_unpolarized(cos_theta_h, n_w)
+    f_glint = p_slope * R_F / (4.0 * mu_i * mu_o * cos_beta**4)
+
+    F_wc = _whitecap_fraction(wind_speed)
+    f_wc = 0.22 / jnp.pi
+
+    t_up = 1.0 - _fresnel_unpolarized(mu_o, n_w)
+    t_down = 1.0 - _fresnel_unpolarized(mu_i, n_w)
+    f_wb = R_wb * t_up * t_down / jnp.pi
+
+    f = F_wc * f_wc + (1.0 - F_wc) * (f_glint + f_wb)
+    return jnp.where(valid, f, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -356,10 +356,23 @@ class OceanLegacyBSDF(BSDF):
 
 @bsdf_factory.register("ocean_grasp")
 @attrs.define(eq=False, slots=False)
-class OceanGraspBSDF(OceanLegacyBSDF):
-    """GRASP-convention ocean BRDF (``scenes/bsdfs/_ocean_grasp.py``)."""
+class OceanGraspBSDF(BSDF):
+    """GRASP-convention ocean BRDF (``scenes/bsdfs/_ocean_grasp.py``):
+    Cox-Munk glint with a user-supplied water IOR spectrum plus a
+    lambertian water-body reflectance term and whitecaps."""
 
+    wind_speed: float = 0.01  # m/s at mast height
+    eta: Spectrum = _spec(1.34)  # water IOR (real part)
+    water_body_reflectance: Spectrum = _spec(0.0)
     kind: str = attrs.field(default="ocean_grasp", init=False)
+
+    def eval_params(self, w_nm) -> dict:
+        w = np.atleast_1d(np.asarray(w_nm))
+        return {
+            "wind_speed": np.full(w.shape, self.wind_speed),
+            "eta": self.eta.eval(w_nm),
+            "water_body_reflectance": self.water_body_reflectance.eval(w_nm),
+        }
 
 
 @bsdf_factory.register("ocean_mishchenko")

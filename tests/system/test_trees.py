@@ -15,12 +15,16 @@ from eradiate_tpu.experiments import CanopyExperiment
 
 
 def _run(canopy, spp=64, zenith=30.0):
+    # explicit point target on the central tree: keeps the darkening oracle
+    # sharp (the default canopy target is the footprint rectangle, which
+    # dilutes the trunk's effect over mostly-bare ground)
     exp = CanopyExperiment(
         illumination={"type": "directional", "zenith": zenith, "irradiance": 1.0},
         measures={
             "type": "mdistant",
             "construct": "from_angles",
             "angles": [[0.0, 0.0]],
+            "target": {"type": "point", "xyz": [0.0, 0.0, 0.0]},
             "spp": spp,
             "id": "m",
         },
