@@ -223,6 +223,11 @@ class ParticleLayer(Atmosphere):
             self.distribution = UniformParticleDistribution()
         if isinstance(self.dataset, str):
             self.dataset = load_particle_dataset(self.dataset)
+        elif hasattr(self.dataset, "data_vars"):
+            # xarray particle dataset (e.g. from load_aerosol_libradtran)
+            from .aerosols import particle_dataset_from_xarray
+
+            self.dataset = particle_dataset_from_xarray(self.dataset)
 
     def _shape_profile(self, zgrid: ZGrid) -> np.ndarray:
         """Normalized vertical profile f(z) with unit integral [1/km]."""

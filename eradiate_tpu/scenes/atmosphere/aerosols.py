@@ -82,6 +82,28 @@ def _surrogate(ident: str) -> ParticleDataset:
     )
 
 
+def particle_dataset_from_xarray(ds, ident="from_xarray") -> ParticleDataset:
+    """Build a ParticleDataset from an xarray particle dataset
+    (``sigma_t`` [w], ``albedo`` [w], ``phase`` [w, mu] or [w, mu, i, j]) —
+    the format produced by
+    :func:`eradiate_tpu.data.io.load_aerosol_libradtran` and by the
+    reference's aerosol files (``data/schemas/particle_dataset_v1.yml``).
+    4x4 phase data keeps the scalar (1, 1) Mueller component."""
+    phase = np.asarray(ds["phase"].values, dtype=np.float64)
+    if phase.ndim == 4:
+        phase = phase[:, :, 0, 0]
+    mu = np.asarray(ds["mu"].values, dtype=np.float64)
+    order = np.argsort(mu)
+    return ParticleDataset(
+        id=str(ds.attrs.get("id", ident)),
+        w=np.asarray(ds["w"].values, dtype=np.float64),
+        sigma_t=np.asarray(ds["sigma_t"].values, dtype=np.float64),
+        albedo=np.asarray(ds["albedo"].values, dtype=np.float64),
+        mu=mu[order],
+        phase=phase[:, order],
+    )
+
+
 def load_particle_dataset(identifier: str) -> ParticleDataset:
     """Load an aerosol dataset by id; falls back to analytic surrogates."""
     from ...data import resolve_data

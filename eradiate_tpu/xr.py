@@ -251,7 +251,12 @@ class Dataset:
         self.data_vars[key] = value
 
     def __getitem__(self, key):
-        return self.data_vars[key]
+        if key in self.data_vars:
+            return self.data_vars[key]
+        if key in self.coords:
+            # coordinate access, as in xarray: ds["w"]
+            return DataArray(self.coords[key], (key,), name=key)
+        raise KeyError(key)
 
     def __getattr__(self, key):
         try:
