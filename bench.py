@@ -22,7 +22,9 @@ import time
 import numpy as np
 
 N_VZA = 76
-SPP = 2048
+# large enough that device execution dominates the per-dispatch tunnel
+# latency (~30 ms measured); the engine chunks internally
+SPP = 65536
 N_LAYERS = 1200  # 100 m grid over 120 km (reference default)
 
 
@@ -53,22 +55,22 @@ def build_inputs():
 
 
 def measure_rate(reps=3):
-    import jax
-
     from eradiate_tpu.ops.tracer import render
 
     scene, sensor, config = build_inputs()
     n_pix = sensor.directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
 
-    # warmup/compile at the benchmarked shape
+    # warmup/compile at the benchmarked shape; sync via a full host fetch —
+    # under the remote-device tunnel, block_until_ready returns at enqueue
+    # time and would measure dispatch latency instead of execution
     out = render(scene, sensor, config, spp=SPP, seed=0)
-    jax.block_until_ready(out["radiance"])
+    np.asarray(out["radiance"])
 
     t0 = time.perf_counter()
     for i in range(reps):
         out = render(scene, sensor, config, spp=SPP, seed=i)
-        jax.block_until_ready(out["radiance"])
+        np.asarray(out["radiance"])
     dt = (time.perf_counter() - t0) / reps
     samples = S * n_pix * SPP
     return samples / dt

@@ -241,3 +241,94 @@ def phase_sample(phase_kinds, phase_params, phase_weights, layer, d_in, key):
         jax.random.uniform(k_cos, (2,)),
         jax.random.uniform(k_phi),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefetched-parameter variants: the tracer fetches all per-layer data
+# (blend weights + layer-indexed component params) in ONE fused dense pass
+# (``medium.collision_fetch``), then evaluates/samples with the fetched
+# values — avoiding one [B, L] HBM pass per table per bounce.
+# ---------------------------------------------------------------------------
+
+
+def layer_param_slots(phase_kinds, phase_params):
+    """Per-layer parameter tables the components index by layer.
+
+    Returns (tables, slots): ``tables`` is a list of [L] arrays to hand to
+    ``collision_fetch``; ``slots`` the matching (component, name) keys used
+    to rebuild per-path param dicts.
+    """
+    tables, slots = [], []
+    for c, kind in enumerate(phase_kinds):
+        if kind == "rayleigh":
+            tables.append(phase_params[c]["depol"])
+            slots.append((c, "depol"))
+    return tables, slots
+
+
+def rebuild_fetched(phase_kinds, slots, fetched):
+    """Arrange fetched per-path values into a per-component tuple of dicts
+    (a pytree that vmaps alongside the path batch)."""
+    at = [dict() for _ in phase_kinds]
+    for (c, name), val in zip(slots, fetched):
+        at[c][name] = val
+    return tuple(at)
+
+
+def _component_eval_at(kind, params, at, cos_theta):
+    if kind == "rayleigh":
+        return rayleigh_eval(at["depol"], cos_theta)
+    if kind == "hg":
+        return hg_eval(params["g"], cos_theta)
+    if kind == "isotropic":
+        return iso_eval(cos_theta)
+    if kind == "tab":
+        return tab_eval(params, cos_theta)
+    raise ValueError(f"unknown phase kind '{kind}'")
+
+
+def _component_sample_cos_at(kind, params, at, u):
+    if kind == "rayleigh":
+        return rayleigh_sample_cos(at["depol"], u)
+    if kind == "hg":
+        return hg_sample_cos(params["g"], u)
+    if kind == "isotropic":
+        return 2.0 * u[..., 0] - 1.0
+    if kind == "tab":
+        return tab_sample_cos(params, u)
+    raise ValueError(f"unknown phase kind '{kind}'")
+
+
+def phase_eval_at(phase_kinds, phase_params, weights_at, params_at, cos_theta):
+    """Blend-weighted phase value with prefetched per-path data.
+
+    ``weights_at``: [C] blend weights at the collision layer; ``params_at``:
+    per-component dicts of prefetched layer params (see
+    :func:`rebuild_fetched`); ``cos_theta``: [] scattering cosine.
+    """
+    total = 0.0
+    for c, kind in enumerate(phase_kinds):
+        total = total + weights_at[c] * _component_eval_at(
+            kind, phase_params[c], params_at[c], cos_theta
+        )
+    return total
+
+
+def phase_sample_at(
+    phase_kinds, phase_params, weights_at, params_at, d_in, u_sel, u_cos, u_phi
+):
+    """Sample a scattered direction from the blend with prefetched data
+    (prefetched counterpart of :func:`phase_sample_from_uniforms`)."""
+    phi = 2.0 * jnp.pi * u_phi
+    total = 0.0
+    for c in range(len(phase_kinds)):
+        total = total + weights_at[c]
+    cos_theta = 0.0
+    cdf = 0.0
+    for c, kind in enumerate(phase_kinds):
+        cdf = cdf + weights_at[c] / jnp.maximum(total, 1e-30)
+        cos_c = _component_sample_cos_at(kind, phase_params[c], params_at[c], u_cos)
+        selected = (u_sel < cdf) if c == 0 else (u_sel < cdf) & ~prev_cdf_hit
+        cos_theta = jnp.where(selected, cos_c, cos_theta)
+        prev_cdf_hit = u_sel < cdf
+    return direction_from_cos(d_in, cos_theta, phi)

@@ -33,8 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
-from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
-from .phase_ops import phase_eval, phase_sample
+from .medium import clamp_mu, collision_fetch, tau_at_z
+from .phase_ops import (
+    layer_param_slots,
+    phase_eval_at,
+    phase_sample_at,
+    rebuild_fetched,
+)
 from .scene_state import (
     IlluminationArrays,
     MediumArrays,
@@ -102,8 +107,20 @@ def trace_paths(
             + w_sun[None, :] * local[:, 2:3]
         )
 
+    # per-layer tables fetched in ONE fused dense pass per bounce: albedo,
+    # blend weights, layer-indexed component params (e.g. Rayleigh depol)
+    C = len(config.phase_kinds)
+    param_tables, param_slots = layer_param_slots(
+        config.phase_kinds, medium_row.phase_params
+    )
+    fetch_tables = (
+        [medium_row.albedo]
+        + [medium_row.phase_weights[c] for c in range(C)]
+        + param_tables
+    )
+
     def body(carry):
-        depth, z, xy, d, beta, L, alive, keys = carry
+        depth, z, tau_here, xy, d, beta, L, alive, keys = carry
 
         k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
         ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
@@ -113,11 +130,7 @@ def trace_paths(
         w_nee = sample_sun_dirs(k_sun)  # [B, 3] toward the sun
         mu_nee = clamp_mu(w_nee[:, 2])
 
-        def sun_transmittance(z):
-            return jnp.exp(-(tau_top - tau_z(z)) / mu_nee)
-
         mu = clamp_mu(d[:, 2])
-        tau_here = tau_z(z)
         tau_exit = jnp.where(
             mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu)
         )
@@ -131,34 +144,45 @@ def trace_paths(
 
         # ---- volume collision ------------------------------------------
         tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
-        z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        z_col, layer, fetched = collision_fetch(
+            tau_new, z_levels, tau_levels, fetch_tables
+        )
+        albedo_col = fetched[0]
+        weights_at = jnp.stack(fetched[1 : 1 + C], axis=-1)  # [B, C]
+        params_at = rebuild_fetched(
+            config.phase_kinds, param_slots, fetched[1 + C :]
+        )
         s_col = (z_col - z) / mu
         xy_col = xy + d[:, :2] * s_col[:, None]
-        albedo_col = take_1d(medium_row.albedo, layer)
 
-        # NEE: sun propagation -w_nee scattered into -d (toward sensor path)
+        # NEE: sun propagation -w_nee scattered into -d (toward sensor
+        # path). The collision's vertical tau IS tau_new, so the sun-path
+        # transmittance is closed-form — no second table inversion.
         cos_nee = jnp.einsum("ij,ij->i", -w_nee, -d)
         p_nee = jax.vmap(
-            lambda l, c: phase_eval(
-                config.phase_kinds,
-                medium_row.phase_params,
-                medium_row.phase_weights,
-                l,
-                c,
+            lambda w_at, p_at, c: phase_eval_at(
+                config.phase_kinds, medium_row.phase_params, w_at, p_at, c
             )
-        )(layer, cos_nee)
-        L_col = beta * albedo_col * p_nee * sun_transmittance(z_col) * E_sun
+        )(weights_at, params_at, cos_nee)
+        T_sun_col = jnp.exp(-(tau_top - tau_new) / mu_nee)
+        L_col = beta * albedo_col * p_nee * T_sun_col * E_sun
 
-        d_col = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+        def _sample_one(w_at, p_at, dd, kk):
+            # same key-split discipline as phase_sample: preserves the
+            # per-path RNG stream of the pre-fusion tracer
+            k_sel, k_cos, k_phi = jax.random.split(kk, 3)
+            return phase_sample_at(
                 config.phase_kinds,
                 medium_row.phase_params,
-                medium_row.phase_weights,
-                l,
+                w_at,
+                p_at,
                 dd,
-                kk,
+                jax.random.uniform(k_sel),
+                jax.random.uniform(k_cos, (2,)),
+                jax.random.uniform(k_phi),
             )
-        )(layer, d, k_scat)
+
+        d_col = jax.vmap(_sample_one)(weights_at, params_at, d, k_scat)
         beta_col = beta * albedo_col
 
         # ---- surface hit ------------------------------------------------
@@ -190,6 +214,7 @@ def trace_paths(
             0.0,
         )
         z = jnp.where(collide, z_col, z_bottom)
+        tau_here = jnp.where(collide, tau_new, 0.0)
         xy = jnp.where(collide[:, None], xy_col, xy_surf)
         d = jnp.where(collide[:, None], d_col, d_surf)
         beta = jnp.where(collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0))
@@ -203,16 +228,19 @@ def trace_paths(
         beta = jnp.where(do_rr & alive & survive, beta / q, beta)
         alive = alive & jnp.where(do_rr, survive, True)
 
-        return (depth + 1, z, xy, d, beta, L, alive, keys)
+        return (depth + 1, z, tau_here, xy, d, beta, L, alive, keys)
 
     def cond(carry):
         depth = carry[0]
-        alive = carry[6]
+        alive = carry[7]
         return (depth < config.max_depth) & jnp.any(alive)
 
     init = (
         jnp.asarray(0),
         init_z,
+        # vertical tau at the ray origins: the only tau(z) table lookup of
+        # the whole trace — afterwards tau is carried through the loop
+        tau_z(init_z),
         init_xy,
         init_d,
         jnp.ones(B, init_z.dtype),
@@ -221,7 +249,7 @@ def trace_paths(
         keys,
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final[5]
+    return final[6]
 
 
 def _per_path_targets(target, target_extent, pix, key, dtype):
@@ -315,21 +343,50 @@ def render_batch_impl(
     target=None, ray_offset=None, target_extent=None,
 ):
     """Spectral-batched render (traceable; see ``_render_batch`` for the
-    jitted entry). ``keys`` has leading spectral axis [S]."""
-    med_axes = MediumArrays(
-        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
-    )
-    surf_axes = SurfaceArrays(
-        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
-    )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
-    return jax.vmap(
-        lambda mr, sr, ir, k: _render_row(
+    jitted entry). ``keys`` has leading spectral axis [S].
+
+    Spectral rows run through ``lax.map`` (a scan), NOT ``vmap``: vmapping
+    the path-tracing ``while_loop`` turns the one-hot MXU fetch
+    (``medium.collision_fetch``) into a rank-3 batched matmul, which XLA
+    TPU fails to fuse with the mask generation — measured 7x slower than
+    the rank-2 form even at S=1. Sequential rows keep every row's loop a
+    fused rank-2 program; each row still traces n_pix x spp paths, plenty
+    to saturate the chip.
+    """
+    z_levels = medium.z_levels
+
+    def one_row(args):
+        mr_part, sr, ir, k = args
+        mr = MediumArrays(
+            z_levels=z_levels,
+            tau_levels=mr_part[0],
+            albedo=mr_part[1],
+            phase_weights=mr_part[2],
+            phase_params=mr_part[3],
+        )
+        return _render_row(
             config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset,
             target_extent,
+        )
+
+    med_part = (
+        medium.tau_levels,
+        medium.albedo,
+        medium.phase_weights,
+        medium.phase_params,
+    )
+    illum_bcast = IlluminationArrays(
+        direction=jnp.broadcast_to(
+            illum.direction, keys.shape[:1] + illum.direction.shape
         ),
-        in_axes=(med_axes, surf_axes, illum_axes, 0),
-    )(medium, surface, illum, keys)
+        irradiance=illum.irradiance,
+        cos_cutoff=jnp.broadcast_to(illum.cos_cutoff, keys.shape[:1]),
+        sky_radiance=illum.sky_radiance,
+        position=None
+        if illum.position is None
+        else jnp.broadcast_to(illum.position, keys.shape[:1] + (3,)),
+    )
+    return jax.lax.map(one_row, (med_part, surface, illum_bcast, keys))
 
 
 _render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2))
