@@ -99,13 +99,18 @@ def slant_path_matrix(radii, r0_grid, mu_grid, r_ground=None):
     return D, blocked
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def sun_tau_table(sigma_t, radii, mu_grid, r_ground=None, chunk=128):
     """Slant optical depth table tau[s, i, j] from level radius i toward
     the sun at local cosine mu_grid[j].
 
     sigma_t: [S, L]; radii: [L+1]. Chunked over the altitude axis to bound
     the [I, J, L] geometric tensor; the contraction over shells runs on the
-    MXU.
+    MXU. Jitted: eagerly, the chunk loop's ops each pay a host round trip
+    (~2 min measured under the remote-device tunnel vs <1 s compiled).
     """
     radii = jnp.asarray(radii)
     I = radii.shape[0]

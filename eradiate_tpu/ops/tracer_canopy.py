@@ -329,30 +329,57 @@ def render_batch_canopy_impl(
     directions, target, ray_offset, keys, tris=None, tri_params=None,
     target_extent=None,
 ):
-    med_axes = MediumArrays(
-        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
-    )
-    surf_axes = SurfaceArrays(
-        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
-    )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
-    leaf_axes = {k: 0 for k in leaf_params}
-    if tris is None:
-        return jax.vmap(
-            lambda mr, sr, lr, ir, k: _render_row_canopy(
-                config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
-                ray_offset, k, target_extent=target_extent
-            ),
-            in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0),
-        )(medium, surface, leaf_params, illum, keys)
-    tri_axes = {k: 0 for k in tri_params}
-    return jax.vmap(
-        lambda mr, sr, lr, ir, k, tr: _render_row_canopy(
+    # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
+    # the masked table lookups (see ops/tracer.render_batch_impl)
+    z_levels = medium.z_levels
+
+    def one_row(args):
+        mr_part, sr, lr, irr, sky, pos, k, tr = args
+        mr = MediumArrays(
+            z_levels=z_levels,
+            tau_levels=mr_part[0],
+            albedo=mr_part[1],
+            phase_weights=mr_part[2],
+            phase_params=mr_part[3],
+        )
+        ir = IlluminationArrays(
+            direction=illum.direction,
+            irradiance=irr,
+            cos_cutoff=illum.cos_cutoff,
+            sky_radiance=sky,
+            position=pos,
+        )
+        return _render_row_canopy(
             config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
             ray_offset, k, tris, tr, target_extent=target_extent
+        )
+
+    med_part = (
+        medium.tau_levels,
+        medium.albedo,
+        medium.phase_weights,
+        medium.phase_params,
+    )
+    S = keys.shape[0]
+    pos_rows = (
+        None
+        if illum.position is None
+        else jnp.broadcast_to(illum.position, (S, 3))
+    )
+    tri_rows = None if tris is None else tri_params
+    return jax.lax.map(
+        one_row,
+        (
+            med_part,
+            surface,
+            leaf_params,
+            illum.irradiance,
+            illum.sky_radiance,
+            pos_rows,
+            keys,
+            tri_rows,
         ),
-        in_axes=(med_axes, surf_axes, leaf_axes, illum_axes, 0, tri_axes),
-    )(medium, surface, leaf_params, illum, keys, tri_params)
+    )
 
 
 _render_batch_canopy = jax.jit(render_batch_canopy_impl, static_argnums=(0, 1, 2))

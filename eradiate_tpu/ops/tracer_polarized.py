@@ -351,19 +351,38 @@ def render_batch_polarized_impl(
 ):
     from .scene_state import IlluminationArrays, MediumArrays, SurfaceArrays
 
-    med_axes = MediumArrays(
-        z_levels=None, tau_levels=0, albedo=0, phase_weights=0, phase_params=0
-    )
-    surf_axes = SurfaceArrays(
-        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
-    )
-    illum_axes = IlluminationArrays(direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0)
-    return jax.vmap(
-        lambda mr, sr, ir, k: _render_row_polarized(
+    # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
+    # the masked table lookups (see ops/tracer.render_batch_impl)
+    z_levels = medium.z_levels
+
+    def one_row(args):
+        mr_part, sr, irr, sky, k = args
+        mr = MediumArrays(
+            z_levels=z_levels,
+            tau_levels=mr_part[0],
+            albedo=mr_part[1],
+            phase_weights=mr_part[2],
+            phase_params=mr_part[3],
+        )
+        ir = IlluminationArrays(
+            direction=illum.direction,
+            irradiance=irr,
+            cos_cutoff=illum.cos_cutoff,
+            sky_radiance=sky,
+        )
+        return _render_row_polarized(
             config, n_pix, spp, mr, sr, ir, directions, k
-        ),
-        in_axes=(med_axes, surf_axes, illum_axes, 0),
-    )(medium, surface, illum, keys)
+        )
+
+    med_part = (
+        medium.tau_levels,
+        medium.albedo,
+        medium.phase_weights,
+        medium.phase_params,
+    )
+    return jax.lax.map(
+        one_row, (med_part, surface, illum.irradiance, illum.sky_radiance, keys)
+    )
 
 
 _render_batch_polarized = jax.jit(render_batch_polarized_impl, static_argnums=(0, 1, 2))

@@ -302,23 +302,44 @@ def render_batch_impl(
     config, n_pix, spp, max_iterations, medium, surface, illum, directions,
     target, keys
 ):
-    med_axes = SphericalMediumArrays(
-        radii=None, sigma_t=0, sigma_majorant=0, albedo=0, phase_weights=0,
-        phase_params=0, sun_tau=0, mu_grid=None,
-    )
-    surf_axes = SurfaceArrays(
-        params=jax.tree_util.tree_map(lambda _: 0, surface.params)
-    )
-    illum_axes = IlluminationArrays(
-        direction=None, irradiance=0, cos_cutoff=None, sky_radiance=0
-    )
-    return jax.vmap(
-        lambda mr, sr, ir, k: _render_row(
+    # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
+    # the masked table lookups (see ops/tracer.render_batch_impl)
+    radii, mu_grid = medium.radii, medium.mu_grid
+
+    def one_row(args):
+        mr_part, sr, irr, sky, k = args
+        mr = SphericalMediumArrays(
+            radii=radii,
+            sigma_t=mr_part[0],
+            sigma_majorant=mr_part[1],
+            albedo=mr_part[2],
+            phase_weights=mr_part[3],
+            phase_params=mr_part[4],
+            sun_tau=mr_part[5],
+            mu_grid=mu_grid,
+        )
+        ir = IlluminationArrays(
+            direction=illum.direction,
+            irradiance=irr,
+            cos_cutoff=illum.cos_cutoff,
+            sky_radiance=sky,
+        )
+        return _render_row(
             config, n_pix, spp, max_iterations, mr, sr, ir, directions,
             target, k
-        ),
-        in_axes=(med_axes, surf_axes, illum_axes, 0),
-    )(medium, surface, illum, keys)
+        )
+
+    med_part = (
+        medium.sigma_t,
+        medium.sigma_majorant,
+        medium.albedo,
+        medium.phase_weights,
+        medium.phase_params,
+        medium.sun_tau,
+    )
+    return jax.lax.map(
+        one_row, (med_part, surface, illum.irradiance, illum.sky_radiance, keys)
+    )
 
 
 _render_batch = jax.jit(render_batch_impl, static_argnums=(0, 1, 2, 3))
