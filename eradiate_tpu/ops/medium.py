@@ -138,6 +138,32 @@ def layer_index(z, z_levels):
     return searchsorted_leq(z_levels, z)
 
 
+def fetch_at_index(idx, tables):
+    """Fetch several same-length tables at per-path indices in one pass.
+
+    ``tables``: sequence of [L] arrays; ``idx``: [...] int in [0, L).
+    Accelerator f32 path: single one-hot hi/lo bf16 matmul (MXU, fused
+    mask — see :func:`collision_fetch`); f64 keeps masked reductions; CPU
+    gathers. Returns a list of fetched arrays.
+    """
+    L = tables[0].shape[0]
+    if _dense_lookup() and tables[0].dtype == jnp.float32:
+        stacked = jnp.stack(tables, axis=1)  # [L, K]
+        iota = jnp.arange(L, dtype=jnp.int32)
+        mh = (iota == idx[..., None]).astype(jnp.bfloat16)
+        hi = stacked.astype(jnp.bfloat16)
+        lo = (stacked - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.matmul(mh, hi, preferred_element_type=jnp.float32) + jnp.matmul(
+            mh, lo, preferred_element_type=jnp.float32
+        )
+        return [out[..., k] for k in range(len(tables))]
+    if _dense_lookup():
+        iota = jnp.arange(L, dtype=jnp.int32)
+        m = iota == idx[..., None]
+        return [jnp.sum(jnp.where(m, t, 0), axis=-1) for t in tables]
+    return [t[idx] for t in tables]
+
+
 def collision_fetch(tau_new, z_levels, tau_levels, layer_tables=()):
     """Fused collision resolve: invert tau(z) AND fetch per-layer data in
     one dense pass.

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
-from .phase_ops import ortho_frame, phase_eval, phase_sample
+from .medium import fetch_at_index, searchsorted_leq
+from .phase_ops import (
+    layer_param_slots,
+    ortho_frame,
+    phase_eval_at,
+    phase_sample_at,
+    rebuild_fetched,
+)
 from .scene_state import SensorArrays, SurfaceArrays, IlluminationArrays, SceneConfig, _pytree_dataclass
 from .spherical import lookup_sun_tau, ray_sphere_intersect
 
@@ -130,37 +137,51 @@ def trace_paths_spherical(
         hit_surface = boundary & (t_ground <= t_exit) & config.has_surface
 
         # ---- tentative collision ---------------------------------------
+        # dense layer search + ONE fused one-hot fetch for all per-layer
+        # data (sigma, albedo, blend weights, layer-indexed phase params)
+        # — see ops/medium.fetch_at_index
         r_new = jnp.linalg.norm(p_new, axis=-1)
-        layer = jnp.clip(
-            jnp.searchsorted(radii, r_new, side="right") - 1, 0, radii.shape[0] - 2
+        layer = searchsorted_leq(radii, r_new)
+        C = len(config.phase_kinds)
+        param_tables, param_slots = layer_param_slots(
+            config.phase_kinds, medium_row.phase_params
         )
-        sigma_here = medium_row.sigma_t[layer]
+        fetched = fetch_at_index(
+            layer,
+            [medium_row.sigma_t, medium_row.albedo]
+            + [medium_row.phase_weights[c] for c in range(C)]
+            + param_tables,
+        )
+        sigma_here, albedo_col = fetched[0], fetched[1]
+        weights_at = jnp.stack(fetched[2 : 2 + C], axis=-1)
+        params_at = rebuild_fetched(
+            config.phase_kinds, param_slots, fetched[2 + C :]
+        )
         u_acc = jax.vmap(jax.random.uniform)(k_acc)
         accept = (~boundary) & (u_acc < sigma_here / sigma_maj)
-        null = (~boundary) & (~accept)
 
-        albedo_col = medium_row.albedo[layer]
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(
-            lambda l, c: phase_eval(
-                config.phase_kinds,
-                medium_row.phase_params,
-                medium_row.phase_weights,
-                l,
-                c,
+            lambda w_at, p_at, c: phase_eval_at(
+                config.phase_kinds, medium_row.phase_params, w_at, p_at, c
             )
-        )(layer, cos_nee)
+        )(weights_at, params_at, cos_nee)
         L_col = beta * albedo_col * p_nee * sun_T(p_new) * E_sun
-        d_col = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+
+        def _sample_one(w_at, p_at, dd, kk):
+            k_sel, k_cos, k_phi = jax.random.split(kk, 3)
+            return phase_sample_at(
                 config.phase_kinds,
                 medium_row.phase_params,
-                medium_row.phase_weights,
-                l,
+                w_at,
+                p_at,
                 dd,
-                kk,
+                jax.random.uniform(k_sel),
+                jax.random.uniform(k_cos, (2,)),
+                jax.random.uniform(k_phi),
             )
-        )(layer, d, k_scat)
+
+        d_col = jax.vmap(_sample_one)(weights_at, params_at, d, k_scat)
         beta_col = beta * albedo_col
 
         # ---- surface interaction ---------------------------------------
