@@ -52,23 +52,15 @@ from .scene_state import (
 __all__ = ["render", "trace_paths"]
 
 
-def trace_paths(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    illum_row,
-    init_z,
-    init_xy,
-    init_d,
-    keys,
-    u0_dist=None,
-):
-    """Trace a batch of paths through one spectral slice.
+def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
+    """Build the per-bounce transition closure shared by the one-shot and
+    regenerative path loops.
 
-    All per-path inputs have leading batch axis [B]; medium/surface/illum
-    rows are per-spectral-index slices (no S axis). Returns per-path
-    radiance estimates [B]. ``u0_dist`` [B] optionally overrides the
-    first-flight distance uniform (stratified/low-discrepancy samplers).
+    The returned ``bounce(depth_b, z, tau_here, xy, d, beta, keys,
+    u0_dist)`` advances every lane by one path vertex and returns
+    ``(contribution, z', tau', xy', d', beta', alive')`` — state updates are
+    unconditional (callers mask dead lanes), matching the physics of the
+    reference's ``piecewise_volpath`` integrator (SURVEY §2.1).
     """
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
@@ -80,11 +72,6 @@ def trace_paths(
     E_sun = illum_row.irradiance  # scalar for this spectral slice
     L_sky = illum_row.sky_radiance  # uniform environment radiance
     cos_cutoff = illum_row.cos_cutoff  # 1.0 = ideal directional emitter
-
-    def tau_z(z):
-        return tau_at_z(z, z_levels, tau_levels)
-
-    B = init_z.shape[0]
 
     def sample_sun_dirs(key_batch):
         """Cone-sampled directions toward the (possibly finite-size) sun.
@@ -119,10 +106,8 @@ def trace_paths(
         + param_tables
     )
 
-    def body(carry):
-        depth, z, tau_here, xy, d, beta, L, alive, keys = carry
-
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+    def bounce(depth_b, z, tau_here, xy, d, beta, keys, u0_dist=None):
+        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
         ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
         k_dist, k_scat, k_srf, k_rr, k_sun = (
             ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4],
@@ -138,7 +123,7 @@ def trace_paths(
         if u0_dist is not None:
             # primary-dimension override: stratified/LD samplers structure
             # the first flight; subsequent bounces are path-divergent
-            u = jnp.where(depth == 0, u0_dist, u)
+            u = jnp.where(depth_b == 0, u0_dist, u)
         tau_s = -jnp.log1p(-u)
         collide = tau_s < tau_exit
 
@@ -203,32 +188,64 @@ def trace_paths(
         beta_surf = beta * w_surf
 
         # ---- combine ----------------------------------------------------
-        L = L + jnp.where(
-            alive,
-            jnp.where(
-                collide,
-                L_col,
-                # escaping paths collect the uniform sky radiance
-                jnp.where(hit_surface, L_surf, beta * L_sky),
-            ),
-            0.0,
+        contribution = jnp.where(
+            collide,
+            L_col,
+            # escaping paths collect the uniform sky radiance
+            jnp.where(hit_surface, L_surf, beta * L_sky),
         )
-        z = jnp.where(collide, z_col, z_bottom)
-        tau_here = jnp.where(collide, tau_new, 0.0)
-        xy = jnp.where(collide[:, None], xy_col, xy_surf)
-        d = jnp.where(collide[:, None], d_col, d_surf)
-        beta = jnp.where(collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0))
-        alive = alive & (collide | hit_surface) & (beta > 0.0)
+        z2 = jnp.where(collide, z_col, z_bottom)
+        tau2 = jnp.where(collide, tau_new, 0.0)
+        xy2 = jnp.where(collide[:, None], xy_col, xy_surf)
+        d2 = jnp.where(collide[:, None], d_col, d_surf)
+        beta2 = jnp.where(
+            collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0)
+        )
+        alive2 = (collide | hit_surface) & (beta2 > 0.0)
 
         # ---- Russian roulette ------------------------------------------
-        do_rr = depth >= config.rr_depth
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = depth_b >= config.rr_depth
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
-        alive = alive & jnp.where(do_rr, survive, True)
+        beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
 
-        return (depth + 1, z, tau_here, xy, d, beta, L, alive, keys)
+        return contribution, z2, tau2, xy2, d2, beta2, alive2
+
+    return bounce
+
+
+def trace_paths(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    keys,
+    u0_dist=None,
+):
+    """Trace a batch of paths through one spectral slice (one sample per
+    lane).
+
+    All per-path inputs have leading batch axis [B]; medium/surface/illum
+    rows are per-spectral-index slices (no S axis). Returns per-path
+    radiance estimates [B]. ``u0_dist`` [B] optionally overrides the
+    first-flight distance uniform (stratified/low-discrepancy samplers).
+    """
+    B = init_z.shape[0]
+    bounce = _make_bounce(config, medium_row, surface_row, illum_row)
+
+    def body(carry):
+        depth, z, tau_here, xy, d, beta, L, alive, keys = carry
+        contribution, z2, tau2, xy2, d2, beta2, alive2 = bounce(
+            jnp.full(B, depth), z, tau_here, xy, d, beta, keys, u0_dist
+        )
+        L = L + jnp.where(alive, contribution, 0.0)
+        alive = alive & alive2
+        return (depth + 1, z2, tau2, xy2, d2, beta2, L, alive, keys)
 
     def cond(carry):
         depth = carry[0]
@@ -240,7 +257,7 @@ def trace_paths(
         init_z,
         # vertical tau at the ray origins: the only tau(z) table lookup of
         # the whole trace — afterwards tau is carried through the loop
-        tau_z(init_z),
+        tau_at_z(init_z, medium_row.z_levels, medium_row.tau_levels),
         init_xy,
         init_d,
         jnp.ones(B, init_z.dtype),
@@ -250,6 +267,117 @@ def trace_paths(
     )
     final = jax.lax.while_loop(cond, body, init)
     return final[6]
+
+
+def trace_paths_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+    ext=None,
+):
+    """Regenerative wavefront trace: each lane renders ``quota`` samples.
+
+    The one-shot loop (:func:`trace_paths`) wastes most of its iterations:
+    mean useful path depth on atmosphere scenes is ~2–3 bounces while the
+    batch-wide ``while_loop`` runs until the *longest* path dies (~13+
+    trips measured) — >75% of every [B, L]-shaped pass processes dead
+    lanes. Here a lane immediately re-initializes a fresh path (next sample
+    of its pixel) the moment one terminates, keeping lane utilization near
+    100%: total iterations ~= quota x E[depth] + one straggler tail,
+    instead of quota x max-tail. Lane count is then sized to saturate the
+    chip rather than to hold the whole sample budget (classic wavefront
+    path regeneration).
+
+    RNG: sample ``s`` of lane ``l`` uses ``fold_in(row_key,
+    lane_first[l] + s)`` with ``lane_first = pixel * spp_traced + slot *
+    quota``, i.e. keys depend only on (pixel, global sample index) — the
+    estimate distribution is invariant to the lane/quota decomposition.
+
+    ``init_z/init_xy/init_d`` are per-lane ray anchors (constant across a
+    lane's samples — plane-parallel distant sensors fix the direction and
+    start altitude per pixel); ``ext`` [B, 2] optionally jitters the xy
+    origin per sample over a centered rectangle (rectangle targets).
+    Returns ``(L_sum, m2_sum)`` per lane, summed over its samples.
+    """
+    B = init_z.shape[0]
+    dtype = init_z.dtype
+    bounce = _make_bounce(config, medium_row, surface_row, illum_row)
+    tau0 = tau_at_z(init_z, medium_row.z_levels, medium_row.tau_levels)
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def origin_xy(keys):
+        if ext is None:
+            return init_xy
+        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
+            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
+        )
+        return init_xy + (u - 0.5) * ext
+
+    def body(carry):
+        (s_local, depth, z, tau_here, xy, d, beta, L_cur, keys, done,
+         L_sum, m2_sum) = carry
+
+        contribution, z2, tau2, xy2, d2, beta2, alive2 = bounce(
+            depth, z, tau_here, xy, d, beta, keys
+        )
+        active = ~done
+        L_cur = L_cur + jnp.where(active, contribution, 0.0)
+        depth = depth + 1
+        # path ends on absorption/escape/RR kill or at the depth cap
+        path_end = active & (~alive2 | (depth >= config.max_depth))
+
+        # close out finished samples
+        L_sum = L_sum + jnp.where(path_end, L_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, L_cur * L_cur, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        # regenerate: fresh path for the lane's next sample
+        regen = path_end & ~done
+        keys_new = sample_key(s_local)
+        keys = jnp.where(regen, keys_new, keys)
+        xy_new = origin_xy(keys_new)
+        z = jnp.where(regen, init_z, z2)
+        tau_here = jnp.where(regen, tau0, tau2)
+        xy = jnp.where(regen[:, None], xy_new, xy2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        L_cur = jnp.where(path_end, 0.0, L_cur)
+        depth = jnp.where(regen, 0, depth)
+
+        return (s_local, depth, z, tau_here, xy, d, beta, L_cur, keys,
+                done, L_sum, m2_sum)
+
+    def cond(carry):
+        return jnp.any(~carry[9])
+
+    keys0 = sample_key(jnp.zeros(B, jnp.int32))
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        init_z,
+        tau0,
+        origin_xy(keys0),
+        init_d,
+        jnp.ones(B, dtype),
+        jnp.zeros(B, dtype),
+        keys0,
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros(B, dtype),
+        jnp.zeros(B, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[10], final[11]
 
 
 def _per_path_targets(target, target_extent, pix, key, dtype):
@@ -279,6 +407,85 @@ def _per_path_targets(target, target_extent, pix, key, dtype):
     return tgt
 
 
+#: Lane-count target for the regenerative tracer: enough lanes to saturate
+#: the chip's vector/matrix units, small enough that the per-iteration
+#: [B, L] table passes stay VMEM-resident while lanes multiplex many
+#: samples each. Swept 2^13..2^20 on v5e (1200-layer AFGL scene): rate
+#: peaks at 2^14 (42 M samples/s vs 32 M at 2^17, 21 M at 2^20).
+REGEN_LANES_TARGET = 2**14
+
+
+def _lane_plan(n_pix: int, spp: int) -> tuple[int, int]:
+    """(lanes_per_pixel, quota) for the regenerative tracer."""
+    lp = max(1, min(spp, REGEN_LANES_TARGET // max(n_pix, 1)))
+    quota = -(-spp // lp)
+    return lp, quota
+
+
+def _ray_anchors(
+    config, medium_row, pix, directions, key, target, ray_offset,
+    target_extent, with_jitter,
+):
+    """Per-lane ray anchors (init_z, init_xy, init_d, ext).
+
+    ``with_jitter=True`` applies rectangle-target jitter here (one-shot
+    tracer); ``False`` returns the un-jittered anchors plus the per-lane
+    extent so the regenerative tracer can re-jitter per sample.
+    """
+    z_top = medium_row.z_levels[-1]
+    w_v = directions[pix]
+    init_d = -w_v  # into the scene
+    ext = None
+    if with_jitter:
+        tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
+    else:
+        tgt = _per_path_targets(target, None, pix, key, w_v.dtype)
+        if target_extent is not None:
+            ext = (
+                target_extent[pix]
+                if target_extent.ndim == 2
+                else jnp.broadcast_to(target_extent, (pix.shape[0], 2))
+            )
+    if ray_offset is None:
+        ray_offset = jnp.asarray(jnp.nan)
+    t_start = jnp.where(
+        jnp.isnan(ray_offset),
+        (z_top - tgt[:, 2]) / clamp_mu(w_v[:, 2]),
+        ray_offset,
+    )
+    init_z = jnp.clip(tgt[:, 2] + w_v[:, 2] * t_start, None, z_top)
+    init_xy = tgt[:, :2] + w_v[:, :2] * t_start[:, None]
+    return init_z, init_xy, init_d, ext
+
+
+def _render_row_regen(
+    config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
+    target=None, ray_offset=None, target_extent=None,
+):
+    """Render one spectral slice with the regenerative tracer
+    (``independent`` sampler): [n_pix * lanes_per_pixel] lanes x quota
+    samples each."""
+    lp, quota = _lane_plan(n_pix, spp)
+    spp_traced = lp * quota
+    B = n_pix * lp
+
+    pix = jnp.repeat(jnp.arange(n_pix), lp)
+    slot = jnp.tile(jnp.arange(lp), n_pix)
+    lane_first = pix * spp_traced + slot * quota
+
+    init_z, init_xy, init_d, ext = _ray_anchors(
+        config, medium_row, pix, directions, key, target, ray_offset,
+        target_extent, with_jitter=False,
+    )
+    L_sum, m2_sum = trace_paths_regen(
+        config, medium_row, surface_row, illum_row, init_z, init_xy, init_d,
+        key, lane_first, quota, ext=ext,
+    )
+    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp_traced
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp_traced
+    return radiance, m2
+
+
 def _render_row(
     config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
     target=None, ray_offset=None, target_extent=None,
@@ -291,21 +498,12 @@ def _render_row(
     ``scenes/measure/_distant.py:334-361``).
     """
     B = n_pix * spp
-    z_top = medium_row.z_levels[-1]
 
     pix = jnp.repeat(jnp.arange(n_pix), spp)
-    w_v = directions[pix]
-    init_d = -w_v  # into the scene
-    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
-    if ray_offset is None:
-        ray_offset = jnp.asarray(jnp.nan)
-    t_start = jnp.where(
-        jnp.isnan(ray_offset),
-        (z_top - tgt[:, 2]) / clamp_mu(w_v[:, 2]),
-        ray_offset,
+    init_z, init_xy, init_d, _ = _ray_anchors(
+        config, medium_row, pix, directions, key, target, ray_offset,
+        target_extent, with_jitter=True,
     )
-    init_z = jnp.clip(tgt[:, 2] + w_v[:, 2] * t_start, None, z_top)
-    init_xy = tgt[:, :2] + w_v[:, :2] * t_start[:, None]
 
     path_ids = jnp.arange(B)
     keys = jax.vmap(jax.random.fold_in)(
@@ -355,6 +553,10 @@ def render_batch_impl(
     """
     z_levels = medium.z_levels
 
+    row_fn = (
+        _render_row_regen if config.sampler == "independent" else _render_row
+    )
+
     def one_row(args):
         mr_part, sr, ir, k = args
         mr = MediumArrays(
@@ -364,7 +566,7 @@ def render_batch_impl(
             phase_weights=mr_part[2],
             phase_params=mr_part[3],
         )
-        return _render_row(
+        return row_fn(
             config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset,
             target_extent,
         )
@@ -461,13 +663,24 @@ def render(
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
 
-    if spp_chunk is None:
-        per_sample_paths = S * n_pix
-        spp_chunk = max(1, MAX_PATHS_PER_DISPATCH // max(per_sample_paths, 1))
-    spp_chunk = min(spp_chunk, spp)
-    # uniform chunks (sample budget rounds up to a chunk multiple)
-    n_chunks = -(-spp // spp_chunk)
-    traced = n_chunks * spp_chunk
+    if config.sampler == "independent":
+        # regenerative tracer: memory scales with lane count, not with the
+        # sample budget — the whole budget runs in one dispatch (lanes
+        # multiplex quota samples each; see trace_paths_regen)
+        spp_chunk = spp
+        n_chunks = 1
+        lp, quota = _lane_plan(n_pix, spp)
+        traced = lp * quota
+    else:
+        if spp_chunk is None:
+            per_sample_paths = S * n_pix
+            spp_chunk = max(
+                1, MAX_PATHS_PER_DISPATCH // max(per_sample_paths, 1)
+            )
+        spp_chunk = min(spp_chunk, spp)
+        # uniform chunks (sample budget rounds up to a chunk multiple)
+        n_chunks = -(-spp // spp_chunk)
+        traced = n_chunks * spp_chunk
 
     rad, m2 = _render_full(
         config,
