@@ -296,9 +296,13 @@ def trace_paths_regen(
     path regeneration).
 
     RNG: sample ``s`` of lane ``l`` uses ``fold_in(row_key,
-    lane_first[l] + s)`` with ``lane_first = pixel * spp_traced + slot *
-    quota``, i.e. keys depend only on (pixel, global sample index) — the
-    estimate distribution is invariant to the lane/quota decomposition.
+    lane_first[l] + s)`` where ``lane_first`` partitions each pixel's
+    contiguous sample-id range [pixel * spp, pixel * spp + spp) across its
+    lanes — keys depend only on (pixel, global sample index), so the sample
+    set (and hence the estimate, up to float summation order) is invariant
+    to the lane/quota decomposition and matches the one-shot tracer
+    exactly. ``quota`` may be per-lane ([B] int) to cover ``spp`` not
+    divisible by lanes-per-pixel.
 
     ``init_z/init_xy/init_d`` are per-lane ray anchors (constant across a
     lane's samples — plane-parallel distant sensors fix the direction and
@@ -416,10 +420,32 @@ REGEN_LANES_TARGET = 2**14
 
 
 def _lane_plan(n_pix: int, spp: int) -> tuple[int, int]:
-    """(lanes_per_pixel, quota) for the regenerative tracer."""
+    """(lanes_per_pixel, max quota) for the regenerative tracer."""
     lp = max(1, min(spp, REGEN_LANES_TARGET // max(n_pix, 1)))
     quota = -(-spp // lp)
     return lp, quota
+
+
+def lane_partition(n_pix: int, spp: int):
+    """Exact-spp lane partition shared by the regenerative tracers.
+
+    Returns ``(lp, pix, slot, lane_first, quota)``: ``n_pix * lp`` lanes;
+    lane ``(pixel, slot)`` renders samples ``lane_first .. lane_first +
+    quota - 1`` where sample ids tile ``[pixel * spp, (pixel + 1) * spp)``
+    exactly (the first ``spp % lp`` slots of each pixel take one extra
+    sample). Keys derived from these ids depend only on (pixel, sample),
+    so estimates are invariant to the decomposition.
+    """
+    lp, _ = _lane_plan(n_pix, spp)
+    pix = jnp.repeat(jnp.arange(n_pix), lp)
+    slot = jnp.tile(jnp.arange(lp), n_pix)
+    q_lo, rem = divmod(spp, lp)
+    quota = jnp.where(slot < rem, q_lo + 1, q_lo)
+    start = jnp.where(
+        slot < rem, slot * (q_lo + 1), rem * (q_lo + 1) + (slot - rem) * q_lo
+    )
+    lane_first = pix * spp + start
+    return lp, pix, slot, lane_first, quota
 
 
 def _ray_anchors(
@@ -465,13 +491,8 @@ def _render_row_regen(
     """Render one spectral slice with the regenerative tracer
     (``independent`` sampler): [n_pix * lanes_per_pixel] lanes x quota
     samples each."""
-    lp, quota = _lane_plan(n_pix, spp)
-    spp_traced = lp * quota
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
     B = n_pix * lp
-
-    pix = jnp.repeat(jnp.arange(n_pix), lp)
-    slot = jnp.tile(jnp.arange(lp), n_pix)
-    lane_first = pix * spp_traced + slot * quota
 
     init_z, init_xy, init_d, ext = _ray_anchors(
         config, medium_row, pix, directions, key, target, ray_offset,
@@ -481,8 +502,8 @@ def _render_row_regen(
         config, medium_row, surface_row, illum_row, init_z, init_xy, init_d,
         key, lane_first, quota, ext=ext,
     )
-    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp_traced
-    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp_traced
+    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
     return radiance, m2
 
 
@@ -669,8 +690,7 @@ def render(
         # multiplex quota samples each; see trace_paths_regen)
         spp_chunk = spp
         n_chunks = 1
-        lp, quota = _lane_plan(n_pix, spp)
-        traced = lp * quota
+        traced = spp  # per-lane quotas split the budget exactly
     else:
         if spp_chunk is None:
             per_sample_paths = S * n_pix

@@ -109,18 +109,10 @@ def _scatter_frames(l_in, l_out):
     return h_in, h_out
 
 
-def trace_paths_polarized(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    illum_row,
-    init_z,
-    init_xy,
-    init_d,
-    keys,
-):
-    """Returns per-path Stokes estimates [B, 4] in the meridian basis of
-    the initial viewing direction."""
+def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_row):
+    """Per-bounce Mueller-transport transition closure shared by the
+    one-shot and regenerative loops; see
+    :func:`eradiate_tpu.ops.tracer._make_bounce` for the pattern."""
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
     tau_top = tau_levels[-1]
@@ -137,17 +129,9 @@ def trace_paths_polarized(
     def sun_transmittance(z):
         return jnp.exp(-(tau_top - tau_z(z)) / mu_sun)
 
-    B = init_z.shape[0]
-
-    # initial light segment: toward the sensor; meridian basis
-    l_1 = -init_d
-    b_init = default_basis(l_1)
-    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
-
-    def body(carry):
-        depth, z, xy, d, P, b, beta, S_acc, alive, keys = carry
-
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+    def bounce(depth_b, z, xy, d, P, b, beta, keys):
+        B = z.shape[0]
+        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
         ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
         k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
@@ -271,37 +255,65 @@ def trace_paths_polarized(
 
         # ---- combine ----------------------------------------------------
         S_add = jnp.where(
-            alive[:, None],
-            jnp.where(
-                collide[:, None],
-                S_col,
-                jnp.where(hit_surface[:, None], S_surf, 0.0),
-            ),
-            0.0,
+            collide[:, None],
+            S_col,
+            jnp.where(hit_surface[:, None], S_surf, 0.0),
         )
-        S_acc = S_acc + S_add
-        z = jnp.where(collide, z_col, z_bottom)
-        xy = jnp.where(collide[:, None], xy_col, xy_surf)
-        d = jnp.where(collide[:, None], d_new, d_srf)
-        P = jnp.where(
+        z2 = jnp.where(collide, z_col, z_bottom)
+        xy2 = jnp.where(collide[:, None], xy_col, xy_surf)
+        d2 = jnp.where(collide[:, None], d_new, d_srf)
+        P2 = jnp.where(
             collide[:, None, None],
             P_col,
             jnp.where(hit_surface[:, None, None], P_surf, P),
         )
-        b = jnp.where(collide[:, None], b_col, b_surf)
-        beta = jnp.where(collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0))
-        alive = alive & (collide | hit_surface) & (beta > 0.0)
+        b2 = jnp.where(collide[:, None], b_col, b_surf)
+        beta2 = jnp.where(
+            collide, beta_col, jnp.where(hit_surface, beta_surf, 0.0)
+        )
+        alive2 = (collide | hit_surface) & (beta2 > 0.0)
 
-        do_rr = depth >= config.rr_depth
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = depth_b >= config.rr_depth
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        scale = jnp.where(do_rr & alive & survive, 1.0 / q, 1.0)
-        beta = beta * scale
-        P = P * scale[:, None, None]
-        alive = alive & jnp.where(do_rr, survive, True)
+        scale = jnp.where(do_rr & alive2 & survive, 1.0 / q, 1.0)
+        beta2 = beta2 * scale
+        P2 = P2 * scale[:, None, None]
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
 
-        return (depth + 1, z, xy, d, P, b, beta, S_acc, alive, keys)
+        return S_add, z2, xy2, d2, P2, b2, beta2, alive2
+
+    return bounce
+
+
+def trace_paths_polarized(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    keys,
+):
+    """One-shot loop: per-path Stokes estimates [B, 4] in the meridian
+    basis of the initial viewing direction."""
+    B = init_z.shape[0]
+    bounce = _make_bounce_polarized(config, medium_row, surface_row, illum_row)
+
+    # initial light segment: toward the sensor; meridian basis
+    b_init = default_basis(-init_d)
+    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    def body(carry):
+        depth, z, xy, d, P, b, beta, S_acc, alive, keys = carry
+        S_add, z2, xy2, d2, P2, b2, beta2, alive2 = bounce(
+            jnp.full(B, depth), z, xy, d, P, b, beta, keys
+        )
+        S_acc = S_acc + jnp.where(alive[:, None], S_add, 0.0)
+        alive = alive & alive2
+        return (depth + 1, z2, xy2, d2, P2, b2, beta2, S_acc, alive, keys)
 
     def cond(carry):
         return (carry[0] < config.max_depth) & jnp.any(carry[8])
@@ -322,15 +334,97 @@ def trace_paths_polarized(
     return final[7]
 
 
+def trace_paths_polarized_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_z,
+    init_xy,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+):
+    """Regenerative Mueller-transport trace (see
+    :func:`eradiate_tpu.ops.tracer.trace_paths_regen`): lanes re-seed a
+    fresh (pixel, sample) path on death; keys depend only on the global
+    sample id, so the sample set matches the one-shot loop exactly.
+    Returns ``(S_sum [B, 4], m2_sum [B])`` summed over each lane's
+    samples (m2 over the I component)."""
+    B = init_z.shape[0]
+    dtype = init_z.dtype
+    bounce = _make_bounce_polarized(config, medium_row, surface_row, illum_row)
+    b_init = default_basis(-init_d)
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def body(carry):
+        (s_local, depth, z, xy, d, P, b, beta, S_cur, keys, done,
+         S_sum, m2_sum) = carry
+
+        S_add, z2, xy2, d2, P2, b2, beta2, alive2 = bounce(
+            depth, z, xy, d, P, b, beta, keys
+        )
+        active = ~done
+        S_cur = S_cur + jnp.where(active[:, None], S_add, 0.0)
+        depth = depth + 1
+        path_end = active & (~alive2 | (depth >= config.max_depth))
+
+        S_sum = S_sum + jnp.where(path_end[:, None], S_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, S_cur[:, 0] ** 2, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        regen = path_end & ~done
+        keys = jnp.where(regen, sample_key(s_local), keys)
+        z = jnp.where(regen, init_z, z2)
+        xy = jnp.where(regen[:, None], init_xy, xy2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        P = jnp.where(regen[:, None, None], eye4, P2)
+        b = jnp.where(regen[:, None], b_init, b2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        S_cur = jnp.where(path_end[:, None], 0.0, S_cur)
+        depth = jnp.where(regen, 0, depth)
+
+        return (s_local, depth, z, xy, d, P, b, beta, S_cur, keys, done,
+                S_sum, m2_sum)
+
+    def cond(carry):
+        return jnp.any(~carry[10])
+
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        init_z,
+        init_xy,
+        init_d,
+        eye4,
+        b_init,
+        jnp.ones(B, dtype),
+        jnp.zeros((B, 4), dtype),
+        sample_key(jnp.zeros(B, jnp.int32)),
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros((B, 4), dtype),
+        jnp.zeros(B, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[11], final[12]
+
+
 def _render_row_polarized(
     config, n_pix, spp, medium_row, surface_row, illum_row, directions, key
 ):
-    B = n_pix * spp
+    from .tracer import lane_partition
+
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    B = n_pix * lp
     z_top = medium_row.z_levels[-1]
-    pix = jnp.repeat(jnp.arange(n_pix), spp)
     init_d = -directions[pix]
-    keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
-    S = trace_paths_polarized(
+    S_sum, m2_sum = trace_paths_polarized_regen(
         config,
         medium_row,
         surface_row,
@@ -338,11 +432,12 @@ def _render_row_polarized(
         jnp.full(B, z_top),
         jnp.zeros((B, 2)),
         init_d,
-        keys,
+        key,
+        lane_first,
+        quota,
     )
-    S = S.reshape(n_pix, spp, 4)
-    stokes = jnp.mean(S, axis=1)  # [N, 4]
-    m2 = jnp.mean(S[..., 0] ** 2, axis=1)
+    stokes = jnp.sum(S_sum.reshape(n_pix, lp, 4), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
     return stokes, m2
 
 
@@ -390,17 +485,14 @@ _render_batch_polarized = jax.jit(render_batch_polarized_impl, static_argnums=(0
 
 def render_polarized(scene, sensor, config, spp, seed=0, spp_chunk=None):
     """Polarized render: returns ``stokes`` [S, N, 4] (meridian-aligned),
-    ``radiance`` [S, N] (= I), ``m2`` of I, ``spp``."""
-    from .tracer import MAX_PATHS_PER_DISPATCH
+    ``radiance`` [S, N] (= I), ``m2`` of I, ``spp``.
 
+    The regenerative loop bounds memory by lane count, so the whole budget
+    runs in one dispatch unless ``spp_chunk`` streams it explicitly.
+    """
     directions = jnp.asarray(sensor.directions)
     n_pix = directions.shape[0]
     S = scene.medium.tau_levels.shape[0]
-
-    if spp_chunk is None:
-        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(S * n_pix, 1))
-        if spp > max_spp:
-            spp_chunk = max_spp
 
     base_key = jax.random.key(seed)
     row_keys = jax.vmap(jax.random.fold_in)(

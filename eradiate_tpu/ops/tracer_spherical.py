@@ -73,16 +73,10 @@ def _to_world(n, v):
     )
 
 
-def trace_paths_spherical(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    illum_row,
-    init_p,
-    init_d,
-    keys,
-    max_iterations: int,
-):
+def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
+    """Per-tentative-event transition closure (delta tracking) shared by
+    the one-shot and regenerative loops; see
+    :func:`eradiate_tpu.ops.tracer._make_bounce` for the pattern."""
     radii = medium_row.radii
     r_ground = radii[0]
     r_top = radii[-1]
@@ -92,7 +86,6 @@ def trace_paths_spherical(
     w_sun = -d_sun
     E_sun = illum_row.irradiance
 
-    B = init_p.shape[0]
     eps_t = 1e-4  # km; surface offset to avoid self-intersection
 
     def sun_T(p):
@@ -104,10 +97,8 @@ def trace_paths_spherical(
         )
         return jnp.exp(-jnp.minimum(tau, 80.0))
 
-    def body(carry):
-        it, p, d, beta, L, alive, depth, keys = carry
-
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, it))
+    def event(evt_b, p, d, beta, depth, keys):
+        k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
         ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
         k_dist, k_acc, k_scat, k_srf, k_rr = (
             ks[:, 0],
@@ -209,33 +200,58 @@ def trace_paths_spherical(
         p_srf = p_new + n_srf * eps_t
 
         # ---- combine ----------------------------------------------------
-        L = L + jnp.where(
-            alive,
-            jnp.where(accept, L_col, jnp.where(hit_surface, L_srf, 0.0)),
-            0.0,
+        contribution = jnp.where(
+            accept, L_col, jnp.where(hit_surface, L_srf, 0.0)
         )
-        p = jnp.where(hit_surface[:, None], p_srf, p_new)
-        d = jnp.where(
+        p2 = jnp.where(hit_surface[:, None], p_srf, p_new)
+        d2 = jnp.where(
             accept[:, None], d_col, jnp.where(hit_surface[:, None], d_srf, d)
         )
-        beta = jnp.where(
+        beta2 = jnp.where(
             accept, beta_col, jnp.where(hit_surface, beta_srf, beta)
         )
         interacted = accept | hit_surface
         escaped = boundary & ~hit_surface
-        alive = alive & ~escaped & (beta > 0.0)
-        depth = depth + jnp.where(interacted & alive, 1, 0)
+        alive2 = ~escaped & (beta2 > 0.0)
+        depth2 = depth + jnp.where(interacted & alive2, 1, 0)
 
         # ---- Russian roulette (on real interactions past rr_depth) ------
-        do_rr = interacted & (depth >= config.rr_depth)
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = interacted & (depth2 >= config.rr_depth)
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
-        alive = alive & jnp.where(do_rr, survive, True)
-        alive = alive & (depth < config.max_depth)
+        beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
+        alive2 = alive2 & (depth2 < config.max_depth)
 
-        return (it + 1, p, d, beta, L, alive, depth, keys)
+        return contribution, p2, d2, beta2, depth2, alive2
+
+    return event
+
+
+def trace_paths_spherical(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_p,
+    init_d,
+    keys,
+    max_iterations: int,
+):
+    """One-shot loop: one sample per lane (kept as the reference
+    implementation; the regenerative loop below is the production path)."""
+    B = init_p.shape[0]
+    event = _make_event(config, medium_row, surface_row, illum_row)
+
+    def body(carry):
+        it, p, d, beta, L, alive, depth, keys = carry
+        contribution, p2, d2, beta2, depth2, alive2 = event(
+            jnp.full(B, it), p, d, beta, depth, keys
+        )
+        L = L + jnp.where(alive, contribution, 0.0)
+        alive = alive & alive2
+        return (it + 1, p2, d2, beta2, L, alive, depth2, keys)
 
     def cond(carry):
         it = carry[0]
@@ -256,14 +272,93 @@ def trace_paths_spherical(
     return final[4]
 
 
+def trace_paths_spherical_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_p,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+    max_iterations: int,
+):
+    """Regenerative delta-tracking trace: each lane renders ``quota``
+    samples, re-seeding a fresh path the moment one dies (see
+    :func:`eradiate_tpu.ops.tracer.trace_paths_regen` for rationale —
+    delta tracking amplifies the straggler problem because null events
+    inflate the iteration count of unlucky paths). ``evt`` counts
+    tentative events since the current path's start, so the per-sample RNG
+    stream ``fold_in(fold_in(row_key, sample_id), evt)`` is identical to
+    the one-shot tracer's."""
+    B = init_p.shape[0]
+    dtype = init_p.dtype
+    event = _make_event(config, medium_row, surface_row, illum_row)
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def body(carry):
+        (s_local, evt, depth, p, d, beta, L_cur, keys, done,
+         L_sum, m2_sum) = carry
+
+        contribution, p2, d2, beta2, depth2, alive2 = event(
+            evt, p, d, beta, depth, keys
+        )
+        active = ~done
+        L_cur = L_cur + jnp.where(active, contribution, 0.0)
+        evt = evt + 1
+        path_end = active & (~alive2 | (evt >= max_iterations))
+
+        L_sum = L_sum + jnp.where(path_end, L_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, L_cur * L_cur, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        regen = path_end & ~done
+        keys = jnp.where(regen, sample_key(s_local), keys)
+        p = jnp.where(regen[:, None], init_p, p2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        depth = jnp.where(regen, 0, depth2)
+        evt = jnp.where(regen, 0, evt)
+        L_cur = jnp.where(path_end, 0.0, L_cur)
+
+        return (s_local, evt, depth, p, d, beta, L_cur, keys, done,
+                L_sum, m2_sum)
+
+    def cond(carry):
+        return jnp.any(~carry[8])
+
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        init_p,
+        init_d,
+        jnp.ones(B, dtype),
+        jnp.zeros(B, dtype),
+        sample_key(jnp.zeros(B, jnp.int32)),
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros(B, dtype),
+        jnp.zeros(B, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[9], final[10]
+
+
 def _render_row_spherical(
     config, n_pix, spp, max_iterations, medium_row, surface_row, illum_row,
     directions, target, key
 ):
-    B = n_pix * spp
+    from .tracer import lane_partition
+
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    B = n_pix * lp
     r_top = medium_row.radii[-1]
 
-    pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]  # toward the sensor
     # start at TOA along the viewing ray through the target
     _, t_far, _ = ray_sphere_intersect(
@@ -272,15 +367,13 @@ def _render_row_spherical(
     init_p = target[None, :] + w_v * t_far[:, None]
     init_d = -w_v
 
-    keys = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(key, (B,)), jnp.arange(B)
+    L_sum, m2_sum = trace_paths_spherical_regen(
+        config, medium_row, surface_row, illum_row, init_p, init_d, key,
+        lane_first, quota, max_iterations,
     )
-    L = trace_paths_spherical(
-        config, medium_row, surface_row, illum_row, init_p, init_d, keys,
-        max_iterations,
-    )
-    L = L.reshape(n_pix, spp)
-    return jnp.mean(L, axis=1), jnp.mean(L * L, axis=1)
+    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
+    return radiance, m2
 
 
 def render_batch_spherical_impl(
@@ -342,18 +435,16 @@ def render_spherical(
     max_iterations: int = 512,
     spp_chunk: int | None = None,
 ):
-    """Render the spectral batch through a spherical-shell atmosphere."""
-    from .tracer import MAX_PATHS_PER_DISPATCH
+    """Render the spectral batch through a spherical-shell atmosphere.
 
+    The regenerative loop bounds memory by lane count (not spp), so the
+    whole sample budget runs in one dispatch; ``spp_chunk`` remains
+    available for callers that stream accumulators (checkpointing).
+    """
     directions = jnp.asarray(sensor.directions)
     target = jnp.asarray(sensor.target)
     n_pix = directions.shape[0]
     S = scene_medium.sigma_t.shape[0]
-
-    if spp_chunk is None:
-        max_spp = max(1, MAX_PATHS_PER_DISPATCH // max(S * n_pix, 1))
-        if spp > max_spp:
-            spp_chunk = max_spp
 
     base_key = jax.random.key(seed)
     row_keys = jax.vmap(jax.random.fold_in)(

@@ -222,3 +222,88 @@ class TestReproducibility:
         r1 = render(scene, sensor, cfg, spp=32, seed=1)
         r2 = render(scene, sensor, cfg, spp=32, seed=2)
         assert float(r1["radiance"][0, 0]) != float(r2["radiance"][0, 0])
+
+
+class TestPathRegeneration:
+    """The regenerative wavefront loop must reproduce the one-shot tracer:
+    identical per-(pixel, sample) RNG keys mean identical sample sets, so
+    means/moments agree to float-summation order."""
+
+    def _row_inputs(self, spp=512, n_pix=6):
+        scene = make_scene(sigma_t=2e-3, albedo=0.9, reflectance=0.4, S=1)
+        sensor = make_sensor(np.linspace(-60, 60, n_pix))
+        mr = MediumArrays(
+            z_levels=scene.medium.z_levels,
+            tau_levels=scene.medium.tau_levels[0],
+            albedo=scene.medium.albedo[0],
+            phase_weights=scene.medium.phase_weights[0],
+            phase_params=jax.tree_util.tree_map(
+                lambda x: x[0], scene.medium.phase_params
+            ),
+        )
+        sr = SurfaceArrays(
+            params={"reflectance": scene.surface.params["reflectance"][0]}
+        )
+        ir = IlluminationArrays(
+            direction=scene.illumination.direction,
+            irradiance=scene.illumination.irradiance[0],
+            cos_cutoff=1.0,
+            sky_radiance=scene.illumination.sky_radiance[0],
+        )
+        return mr, sr, ir, sensor, spp, n_pix
+
+    def test_matches_one_shot(self, monkeypatch):
+        from eradiate_tpu.ops import tracer as T
+
+        mr, sr, ir, sensor, spp, n_pix = self._row_inputs()
+        cfg = SceneConfig(max_depth=16)
+        key = jax.random.key(11)
+        rad_a, m2_a = T._render_row(
+            cfg, n_pix, spp, mr, sr, ir, sensor.directions, key
+        )
+        # force real regeneration: many samples per lane
+        monkeypatch.setattr(T, "REGEN_LANES_TARGET", 64)
+        lp, quota = T._lane_plan(n_pix, spp)
+        assert quota > 1
+        rad_b, m2_b = T._render_row_regen(
+            cfg, n_pix, spp, mr, sr, ir, sensor.directions, key
+        )
+        np.testing.assert_allclose(rad_a, rad_b, rtol=5e-5)
+        np.testing.assert_allclose(m2_a, m2_b, rtol=5e-5)
+
+    def test_lane_plan_invariance(self, monkeypatch):
+        """Estimates are invariant to the lane/quota decomposition."""
+        from eradiate_tpu.ops import tracer as T
+
+        mr, sr, ir, sensor, spp, n_pix = self._row_inputs(spp=256)
+        cfg = SceneConfig(max_depth=16)
+        key = jax.random.key(3)
+        results = []
+        for lanes in (20, 128, 10**9):  # uneven + even + one-lane-per-sample
+            monkeypatch.setattr(T, "REGEN_LANES_TARGET", lanes)
+            results.append(
+                np.asarray(
+                    T._render_row_regen(
+                        cfg, n_pix, spp, mr, sr, ir, sensor.directions, key
+                    )[0]
+                )
+            )
+        assert len(results) >= 2
+        for r in results[1:]:
+            np.testing.assert_allclose(results[0], r, rtol=5e-5)
+
+    def test_rectangle_target_jitter(self, monkeypatch):
+        """Regen path handles per-sample rectangle-target jitter."""
+        from eradiate_tpu.ops import tracer as T
+
+        monkeypatch.setattr(T, "REGEN_LANES_TARGET", 64)
+        scene = make_scene(sigma_t=1e-3, reflectance=0.5)
+        sensor = SensorArrays(
+            directions=make_sensor(np.linspace(-50, 50, 4)).directions,
+            target=jnp.zeros(3),
+            ray_offset=jnp.nan,
+            target_extent=jnp.asarray([10.0, 10.0]),
+        )
+        out = render(scene, sensor, SceneConfig(max_depth=8), spp=128, seed=2)
+        rad = np.asarray(out["radiance"])
+        assert np.all(np.isfinite(rad)) and np.all(rad > 0)
