@@ -146,17 +146,14 @@ class AtmosphereExperiment(EarthObservationExperiment):
         )
         spherical = self.geometry.kind == "spherical_shell"
         if spherical:
-            from ..ops.spherical import sun_tau_table
             from ..ops.tracer_spherical import SphericalMediumArrays
 
             radii = jnp.asarray(
                 self.geometry.planet_radius + zgrid.levels, dtype=dtype
             )
             sig = jnp.asarray(sigma_t, dtype=dtype)
-            # local-cosine grid refined near mu = 0 (tangent region where
-            # the slant optical depth varies fastest): mu = x |x|
-            x = np.linspace(-1.0, 1.0, 193)
-            mu_grid = jnp.asarray(x * np.abs(x), dtype=dtype)
+            # sun transmittance is computed in closed form per event
+            # (ops/spherical.slant_tau_exact) — no precomputed slant table
             medium = SphericalMediumArrays(
                 radii=radii,
                 sigma_t=sig,
@@ -166,8 +163,6 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 albedo=jnp.asarray(albedo, dtype=dtype),
                 phase_weights=jnp.asarray(weights, dtype=dtype),
                 phase_params=phase_params_dev,
-                sun_tau=sun_tau_table(sig, radii, mu_grid),
-                mu_grid=mu_grid,
             )
         else:
             # host-side cumulative tau: under a remote-device tunnel every

@@ -91,10 +91,19 @@ def ray_leaves_nearest(p, d, t_max, leaves: LeafCloudArrays, chunk: int = 512):
     def reduce_fn(carry, t, xs):
         best_t, best_n = carry
         c, n, r = xs
-        idx = jnp.argmin(t, axis=1)
-        tmin = t[jnp.arange(B), idx]
+        # gather-free winner selection: per-lane gathers (t[arange, idx],
+        # n[idx]) lower to serial dynamic slices on TPU; min + equality
+        # one-hot masked reductions stay fully vectorized. Exact f32 ties
+        # (measure-zero) average the tied normals.
+        tmin = jnp.min(t, axis=1)
+        m = (t == tmin[:, None]) & jnp.isfinite(tmin)[:, None]
+        cnt = jnp.maximum(jnp.sum(m, axis=1), 1)
+        n_sel = jnp.stack(
+            [jnp.sum(jnp.where(m, n[None, :, j], 0.0), axis=1) for j in range(3)],
+            axis=-1,
+        ) / cnt[:, None].astype(t.dtype)
         better = tmin < best_t
-        best_n = jnp.where(better[:, None], n[idx], best_n)
+        best_n = jnp.where(better[:, None], n_sel, best_n)
         best_t = jnp.where(better, tmin, best_t)
         return best_t, best_n
 

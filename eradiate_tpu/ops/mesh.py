@@ -116,12 +116,24 @@ def ray_tris_nearest(p, d, t_max, tris: TriangleMeshArrays, chunk: int = 512):
     def reduce_fn(carry, t, xs):
         best_t, best_n = carry
         v, a, b = xs
-        idx = jnp.argmin(t, axis=1)
-        tmin = t[jnp.arange(B), idx]
-        n = jnp.cross(a[idx], b[idx])
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        # gather-free winner selection (see ops/canopy.ray_leaves_nearest):
+        # per-lane gathers lower to serial dynamic slices on TPU
+        n_tri = jnp.cross(a, b)  # [Nc, 3]
+        n_tri = n_tri / jnp.maximum(
+            jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-12
+        )
+        tmin = jnp.min(t, axis=1)
+        m = (t == tmin[:, None]) & jnp.isfinite(tmin)[:, None]
+        cnt = jnp.maximum(jnp.sum(m, axis=1), 1)
+        n_sel = jnp.stack(
+            [
+                jnp.sum(jnp.where(m, n_tri[None, :, j], 0.0), axis=1)
+                for j in range(3)
+            ],
+            axis=-1,
+        ) / cnt[:, None].astype(t.dtype)
         better = tmin < best_t
-        best_n = jnp.where(better[:, None], n, best_n)
+        best_n = jnp.where(better[:, None], n_sel, best_n)
         best_t = jnp.where(better, tmin, best_t)
         return best_t, best_n
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 __all__ = [
     "ray_sphere_intersect",
     "slant_path_matrix",
+    "slant_tau_exact",
     "sun_tau_table",
     "lookup_sun_tau",
 ]
@@ -49,10 +50,22 @@ def ray_sphere_intersect(p, d, radius):
 
 
 def _seg(b2, ra, rb):
-    """Path length between radii ra <= rb at squared impact parameter b2."""
+    """Path length between radii ra <= rb at squared impact parameter b2.
+
+    Callers guarantee ra >= b (shell bounds are clamped to the tangent
+    radius), so the cancellation-stable form
+
+        sqrt(rb^2 - b^2) - sqrt(ra^2 - b^2) = (rb - ra)(rb + ra) / (fa + fb)
+
+    applies: the naive difference of two ~6400 km sqrts loses ~3 digits in
+    f32 (0.1% tau error on 1 km shells); this form is exact for vertical
+    rays and ~1e-7 relative elsewhere.
+    """
     fa = jnp.sqrt(jnp.maximum(ra * ra - b2, 0.0))
     fb = jnp.sqrt(jnp.maximum(rb * rb - b2, 0.0))
-    return jnp.maximum(fb - fa, 0.0)
+    num = jnp.maximum(rb - ra, 0.0) * (rb + ra)
+    den = fa + fb
+    return jnp.where(den > 0.0, num / jnp.maximum(den, 1e-30), 0.0)
 
 
 def slant_path_matrix(radii, r0_grid, mu_grid, r_ground=None):
@@ -131,6 +144,156 @@ def sun_tau_table(sigma_t, radii, mu_grid, r_ground=None, chunk=128):
         sigma_t.shape[0], n_chunks * chunk, mu_grid.shape[0]
     )
     return taus[:, :I, :]
+
+
+def slant_tau_exact(p, w, radii, sigma, r_ground=None):
+    """Exact slant optical depth from points ``p`` toward unit direction
+    ``w`` through concentric shells (no table, no interpolation).
+
+    Same geometry as :func:`slant_path_matrix`, vectorized over a path
+    batch instead of a (radius, cosine) grid: per shell the traversed
+    length is a difference of ``sqrt(r^2 - b^2)`` terms at the ray's
+    squared impact parameter ``b^2``, so the whole computation is ~10
+    fused elementwise passes over [B, L] plus one reduction. TPU note:
+    this replaces the bilinear table lookup (searchsorted + 2D gathers
+    lower to serial dynamic slices on TPU — the dominant cost of the
+    spherical tracer when used per event, two orders of magnitude slower
+    than this closed form) and removes the [L+1, M] table precompute
+    entirely.
+
+    p: [B, 3] (planet-centered km); w: [3] unit; sigma: [L] per-shell
+    extinction; radii: [L+1]. Descending rays whose tangent radius dips
+    below ``r_ground`` return TAU_BLOCKED (ground shadow).
+    """
+    radii = jnp.asarray(radii)
+    r_ground = radii[0] if r_ground is None else r_ground
+    r2 = jnp.sum(p * p, axis=-1)
+    r = jnp.sqrt(r2)
+    mu = jnp.sum(p * w, axis=-1) / jnp.maximum(r, 1e-12)
+    sin2 = jnp.clip(1.0 - mu * mu, 0.0, 1.0)
+    b2 = r2 * sin2
+    b = jnp.sqrt(b2)
+    descending = mu < 0.0
+    blocked = descending & (b <= r_ground)
+
+    lo = radii[:-1][None, :]  # [1, L]
+    hi = radii[1:][None, :]
+    b2e = b2[:, None]
+    re = r[:, None]
+    be = b[:, None]
+
+    # ascending part: shells in [max(r, b), r_top]
+    asc_lo = jnp.maximum(lo, jnp.maximum(re, be))
+    up = _seg(b2e, jnp.minimum(asc_lo, hi), hi)
+
+    # descending prefix (mu < 0): shells in [b, r] traversed once more,
+    # and the ascending part then covers [b, r_top]
+    des_lo = jnp.maximum(lo, be)
+    des_hi = jnp.minimum(hi, re)
+    down = _seg(b2e, jnp.minimum(des_lo, des_hi), des_hi)
+    up_tan = _seg(b2e, jnp.minimum(des_lo, hi), hi)
+
+    D = jnp.where(descending[:, None], down + up_tan, up)  # [B, L]
+    tau = jnp.einsum("bl,l->b", D, sigma)
+    return jnp.where(blocked, TAU_BLOCKED, tau)
+
+
+def shell_flight(p, d, t_max, radii, sigma, tau_s):
+    """Exact free-flight sampling through concentric shells.
+
+    The spherical analog of the plane-parallel closed-form sampler
+    (``ops/medium.z_at_tau``): with piecewise-constant extinction per
+    shell, the cumulative optical depth along a straight ray is piecewise
+    linear in the path coordinate, so collisions invert it exactly — no
+    null-collision/majorant loop, deterministic transmittance (zero
+    tracking variance). Replaces the reference's stock ``heterogeneous``
+    delta-tracking medium with the exactness its ``piecewise`` medium has
+    in plane-parallel geometry (SURVEY §2.1).
+
+    Parametrize the ray by the signed coordinate x along ``d`` with origin
+    at the closest approach to the planet center: r(x) = sqrt(b^2 + x^2).
+    Shell k is traversed for |x| in [X(r_k), X(r_{k+1})] with
+    X(r) = sqrt(max(r^2 - b^2, 0)); the 2L+1 candidate segments (L on the
+    descending leg, a below-tangent gap, L ascending) have constant sigma,
+    so cum-tau at the segment ends is one cumsum and the inversion is a
+    dense table search.
+
+    p: [B, 3]; d: [B, 3] unit; t_max: [B] flight cap (ground/top exit);
+    radii: [L+1]; sigma: [L]; tau_s: [B] sampled exponential depths.
+    Returns (collide [B] bool, t_col [B], layer [B] int32) with
+    t_col <= t_max at collisions.
+    """
+    Lp1 = radii.shape[0]
+    L = Lp1 - 1
+    dtype = radii.dtype
+    x0 = jnp.sum(p * d, axis=-1)  # [B]
+    b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+    X = jnp.sqrt(jnp.maximum(radii[None, :] ** 2 - b2[:, None], 0.0))  # [B, L+1]
+
+    # G[b, k] = tau from the tangent point to level k along one leg:
+    # prefix sums of per-shell slant depths c = sigma * dX. A per-lane
+    # cumsum over [B, L+1] lowers to ~log2(L) shifted HBM passes; a
+    # triangular one-hot matmul runs it on the MXU instead (hi/lo bf16
+    # split recovers ~f32 accuracy; the 0/1 triangle is exact in bf16).
+    c = sigma[None, :] * jnp.diff(X, axis=1)  # [B, L]
+    tri = (
+        jnp.arange(L, dtype=jnp.int32)[:, None]
+        < jnp.arange(Lp1, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)  # [L, L+1]
+    c_hi = c.astype(jnp.bfloat16)
+    c_lo = (c - c_hi.astype(dtype)).astype(jnp.bfloat16)
+    G = jnp.matmul(
+        c_hi, tri, preferred_element_type=dtype
+    ) + jnp.matmul(c_lo, tri, preferred_element_type=dtype)  # [B, L+1]
+
+    def G_at(y):
+        """Interpolate G(|x|) and return (value, shell index)."""
+        k = jnp.clip(
+            jnp.sum((X <= y[:, None]).astype(jnp.int32), axis=1) - 1, 0, L - 1
+        )
+        iota = jnp.arange(Lp1, dtype=jnp.int32)
+        m = iota[None, :] == k[:, None]
+        Gk = jnp.sum(jnp.where(m, G, 0.0), axis=1)
+        Xk = jnp.sum(jnp.where(m, X, 0.0), axis=1)
+        sig_k = jnp.sum(
+            jnp.where(m[:, :L], sigma[None, :], 0.0), axis=1
+        )
+        return Gk + sig_k * jnp.maximum(y - Xk, 0.0), k
+
+    def G_inv(v):
+        """Invert G: y with G(y) = v; returns (y, shell index)."""
+        k = jnp.clip(
+            jnp.sum((G <= v[:, None]).astype(jnp.int32), axis=1) - 1, 0, L - 1
+        )
+        iota = jnp.arange(Lp1, dtype=jnp.int32)
+        m = iota[None, :] == k[:, None]
+        Gk = jnp.sum(jnp.where(m, G, 0.0), axis=1)
+        Xk = jnp.sum(jnp.where(m, X, 0.0), axis=1)
+        sig_k = jnp.sum(
+            jnp.where(m[:, :L], sigma[None, :], 0.0), axis=1
+        )
+        y = Xk + (v - Gk) / jnp.maximum(sig_k, 1e-30)
+        return y, k
+
+    desc = x0 < 0.0
+    A, _ = G_at(jnp.abs(x0))  # tau tangent -> start position
+    x_max = x0 + t_max
+    Gm, _ = G_at(jnp.abs(x_max))
+    tau_max = jnp.where(
+        desc,
+        jnp.where(x_max < 0.0, A - Gm, A + Gm),
+        Gm - A,
+    )
+    collide = tau_s < jnp.maximum(tau_max, 0.0)
+
+    # inversion: descending lanes spend up to A before the tangent, then
+    # continue on the ascending leg; ascending lanes invert directly
+    on_desc = desc & (tau_s < A)
+    v = jnp.where(on_desc, A - tau_s, jnp.where(desc, tau_s - A, A + tau_s))
+    y, layer = G_inv(v)
+    x_col = jnp.where(on_desc, -y, y)
+    t_col = jnp.clip(x_col - x0, 0.0, t_max)
+    return collide, t_col, layer
 
 
 def lookup_sun_tau(table, radii, mu_grid, r, mu):

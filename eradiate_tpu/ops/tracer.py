@@ -17,9 +17,10 @@ Design (SURVEY §7.1 "engine"):
   collision and surface bounce. Directional emitters are delta
   distributions, so NEE is the only sampling strategy that reaches them and
   carries MIS weight 1 (finite-size astro objects add a cone term later).
-- **Static-depth scan** with alive masking: ``lax.scan`` over ``max_depth``
-  iterations keeps shapes static for XLA; Russian roulette kills paths after
-  ``rr_depth``.
+- **Path regeneration**: lanes re-seed a fresh (pixel, sample) path the
+  moment one dies (``trace_paths_regen``), keeping every ``while_loop``
+  iteration ~100% utilized; Russian roulette kills paths after
+  ``rr_depth``, ``max_depth`` bounds each sample.
 - Radiance and second-moment accumulators are computed per (pixel), the
   moment being over per-sample path contributions (mirror of the reference's
   ``moment`` integrator semantics, ``_path_tracers.py:68-69``).

@@ -43,19 +43,11 @@ def _to_local(n, v):
     )
 
 
-def trace_paths_canopy(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    leaf_row,  # dict: reflectance, transmittance (scalars per spectral row)
-    leaves: LeafCloudArrays,
-    illum_row,
-    init_pos,  # [B, 3]
-    init_d,
-    keys,
-    tris=None,  # TriangleMeshArrays | None: trunks / mesh canopy elements
-    tri_row=None,  # dict: reflectance, transmittance (bilambertian)
+def _canopy_helpers(
+    config, medium_row, leaf_row, leaves, illum_row, tris, tri_row
 ):
+    """Shared closures (medium tau, emitter NEE terms) for the canopy
+    loops."""
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
     tau_top = tau_levels[-1]
@@ -126,13 +118,76 @@ def trace_paths_canopy(
         E = jnp.where(in_beam & ~occ, E * T_atm, 0.0)
         return w_nee, E
 
+    return {"tau_z": tau_z, "sun_T": sun_T, "nee_dir": nee_dir, "nee_at": nee_at}
+
+
+def trace_paths_canopy(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    leaf_row,  # dict: reflectance, transmittance (scalars per spectral row)
+    leaves: LeafCloudArrays,
+    illum_row,
+    init_pos,  # [B, 3]
+    init_d,
+    keys,
+    tris=None,  # TriangleMeshArrays | None: trunks / mesh canopy elements
+    tri_row=None,  # dict: reflectance, transmittance (bilambertian)
+):
+    """One-shot loop: one sample per lane (reference implementation; the
+    regenerative loop below is the production path)."""
+    helpers = _canopy_helpers(
+        config, medium_row, leaf_row, leaves, illum_row, tris, tri_row
+    )
     B = init_pos.shape[0]
     eps = 1e-6
 
+    bounce = _make_bounce_canopy(
+        config, medium_row, surface_row, leaf_row, leaves, illum_row,
+        tris, tri_row, helpers["tau_z"], helpers["nee_dir"],
+        helpers["nee_at"], eps,
+    )
+
     def body(carry):
         depth, pos, d, beta, L, alive, keys = carry
+        L_add, pos2, d2, beta2, alive2 = bounce(
+            jnp.full(B, depth), pos, d, beta, keys
+        )
+        L = L + jnp.where(alive, L_add, 0.0)
+        alive = alive & alive2
+        return (depth + 1, pos2, d2, beta2, L, alive, keys)
 
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+    def cond(carry):
+        return (carry[0] < config.max_depth) & jnp.any(carry[5])
+
+    init = (
+        jnp.asarray(0),
+        init_pos,
+        init_d,
+        jnp.ones(B, init_pos.dtype),
+        jnp.zeros(B, init_pos.dtype),
+        jnp.ones(B, dtype=bool),
+        keys,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[4]
+
+
+def _make_bounce_canopy(
+    config, medium_row, surface_row, leaf_row, leaves, illum_row,
+    tris, tri_row, tau_z, nee_dir, nee_at, eps,
+):
+    """Per-bounce transition closure shared by the one-shot and
+    regenerative canopy loops (see ops/tracer._make_bounce)."""
+    z_levels = medium_row.z_levels
+    tau_levels = medium_row.tau_levels
+    tau_top = tau_levels[-1]
+    z_bottom = z_levels[0]
+    z_top = z_levels[-1]
+
+    def bounce(depth_b, pos, d, beta, keys):
+        B = pos.shape[0]
+        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
         ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
         k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
@@ -174,9 +229,32 @@ def trace_paths_canopy(
         pos_ground = pos + d * t_ground[:, None]
         pos_ground = pos_ground.at[:, 2].set(z_bottom)
 
+        # ---- shared NEE -----------------------------------------------
+        # ONE occlusion sweep per bounce: each lane evaluates NEE only at
+        # its actual event vertex (three separate nee_at calls each cost a
+        # full [B x n_leaves] shadow sweep — the dominant canopy cost).
+        # The leaf offset uses the emitter direction, which is
+        # position-independent for the directional sun and varies
+        # negligibly over the offset for spot sources.
+        # leaf frame (needed for the off-surface shadow origin)
+        to_front = -jnp.sign(jnp.einsum("ij,ij->i", d, n_leaf))
+        n_shade = n_leaf * to_front[:, None]
+        w_nee_leaf_dir = nee_dir(pos_leaf)
+        wi_leaf_sign = jnp.sign(
+            jnp.einsum("ij,ij->i", n_shade, w_nee_leaf_dir)
+        )[:, None]
+        pos_leaf_off = pos_leaf + n_shade * wi_leaf_sign * eps
+        pos_ground_off = pos_ground + jnp.asarray([0.0, 0.0, eps])
+        pos_nee = jnp.where(
+            event_leaf[:, None],
+            pos_leaf_off,
+            jnp.where(event_med[:, None], pos_med, pos_ground_off),
+        )
+        w_nee, E_nee = nee_at(pos_nee)
+
         # ---- medium collision ------------------------------------------
         albedo_col = take_1d(medium_row.albedo, layer)
-        w_nee_med, E_med = nee_at(pos_med)
+        w_nee_med, E_med = w_nee, E_nee
         # incoming light propagation (-w_nee) scattered into -d
         cos_nee = jnp.einsum("ij,ij->i", w_nee_med, d)
         p_nee = jax.vmap(
@@ -195,12 +273,10 @@ def trace_paths_canopy(
         beta_med = beta * albedo_col
 
         # ---- leaf interaction (bilambertian) ---------------------------
-        # orient the local frame toward the incident side
-        to_front = -jnp.sign(jnp.einsum("ij,ij->i", d, n_leaf))
-        n_shade = n_leaf * to_front[:, None]
+        # local frame (n_shade, computed above) oriented toward the
+        # incident side
         wo_leaf = _to_local(n_shade, -d)
-        w_nee_leaf = nee_dir(pos_leaf)
-        wi_sun_leaf = _to_local(n_shade, w_nee_leaf)
+        wi_sun_leaf = _to_local(n_shade, w_nee)
         if tris is not None:
             # per-path optics: bilambertian either way (trunks have zero
             # transmittance via their tri_row values)
@@ -218,11 +294,10 @@ def trace_paths_canopy(
                 "transmittance": jnp.broadcast_to(leaf_row["transmittance"], (B,)),
             }
         f_leaf = bilambertian_eval(lp, wi_sun_leaf, wo_leaf)
-        cos_sun_leaf = jnp.abs(jnp.einsum("ij,ij->i", n_shade, w_nee_leaf))
-        # shadow ray from slightly off the leaf, on the emitter's side
-        pos_leaf_off = pos_leaf + n_shade * jnp.sign(wi_sun_leaf[:, 2:3]) * eps
-        _, E_leaf_nee = nee_at(pos_leaf_off)
-        L_leaf = beta * f_leaf * cos_sun_leaf * E_leaf_nee
+        cos_sun_leaf = jnp.abs(jnp.einsum("ij,ij->i", n_shade, w_nee))
+        # E_nee was evaluated at pos_leaf_off (the shadow origin slightly
+        # off the leaf on the emitter's side) for event_leaf lanes
+        L_leaf = beta * f_leaf * cos_sun_leaf * E_nee
         d_leaf_local, w_leaf = jax.vmap(
             lambda r, t, w, k: bilambertian_sample(
                 {"reflectance": r, "transmittance": t}, w, k
@@ -234,7 +309,7 @@ def trace_paths_canopy(
 
         # ---- ground -----------------------------------------------------
         wo = -d
-        w_nee_g, E_g = nee_at(pos_ground + jnp.asarray([0.0, 0.0, eps]))
+        w_nee_g, E_g = w_nee, E_nee
         f_g = bsdf_eval(
             config.surface_kind, surface_row.params, w_nee_g, wo,
             pos_ground[:, :2],
@@ -253,45 +328,125 @@ def trace_paths_canopy(
             event_leaf, L_leaf,
             jnp.where(event_med, L_med, jnp.where(event_ground, L_ground, 0.0)),
         )
-        L = L + jnp.where(alive, L_add, 0.0)
-        pos = jnp.where(
+        pos2 = jnp.where(
             event_leaf[:, None], pos_leaf_new,
             jnp.where(event_med[:, None], pos_med, pos_ground),
         )
-        d = jnp.where(
+        d2 = jnp.where(
             event_leaf[:, None], d_leaf,
             jnp.where(event_med[:, None], d_med, d_ground),
         )
-        beta = jnp.where(
+        beta2 = jnp.where(
             event_leaf, beta_leaf,
             jnp.where(event_med, beta_med, jnp.where(event_ground, beta_ground, 0.0)),
         )
         interacted = event_leaf | event_med | event_ground
-        alive = alive & interacted & (beta > 0.0)
+        alive2 = interacted & (beta2 > 0.0)
 
-        do_rr = depth >= config.rr_depth
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = depth_b >= config.rr_depth
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
-        alive = alive & jnp.where(do_rr, survive, True)
+        beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
 
-        return (depth + 1, pos, d, beta, L, alive, keys)
+        return L_add, pos2, d2, beta2, alive2
+
+    return bounce
+
+
+def trace_paths_canopy_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    leaf_row,
+    leaves: LeafCloudArrays,
+    illum_row,
+    init_pos,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+    ext=None,
+    tris=None,
+    tri_row=None,
+):
+    """Regenerative canopy trace (see ops/tracer.trace_paths_regen):
+    lanes re-seed a fresh (pixel, sample) path on death; ``ext`` [B, 2]
+    jitters the xy origin per sample (footprint rectangle targets).
+    Returns (L_sum, m2_sum) per lane."""
+    # reuse the closure setup of the one-shot entrypoint
+    helpers = _canopy_helpers(
+        config, medium_row, leaf_row, leaves, illum_row, tris, tri_row
+    )
+    bounce = _make_bounce_canopy(
+        config, medium_row, surface_row, leaf_row, leaves, illum_row,
+        tris, tri_row, helpers["tau_z"], helpers["nee_dir"],
+        helpers["nee_at"], 1e-6,
+    )
+    B = init_pos.shape[0]
+    dtype = init_pos.dtype
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def origin(keys):
+        if ext is None:
+            return init_pos
+        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
+            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
+        )
+        jit = (u - 0.5) * ext
+        return init_pos + jnp.concatenate(
+            [jit, jnp.zeros((B, 1), dtype)], axis=-1
+        )
+
+    def body(carry):
+        (s_local, depth, pos, d, beta, L_cur, keys, done,
+         L_sum, m2_sum) = carry
+
+        L_add, pos2, d2, beta2, alive2 = bounce(depth, pos, d, beta, keys)
+        active = ~done
+        L_cur = L_cur + jnp.where(active, L_add, 0.0)
+        depth = depth + 1
+        path_end = active & (~alive2 | (depth >= config.max_depth))
+
+        L_sum = L_sum + jnp.where(path_end, L_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, L_cur * L_cur, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        regen = path_end & ~done
+        keys_new = sample_key(s_local)
+        keys = jnp.where(regen, keys_new, keys)
+        pos = jnp.where(regen[:, None], origin(keys_new), pos2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        L_cur = jnp.where(path_end, 0.0, L_cur)
+        depth = jnp.where(regen, 0, depth)
+
+        return (s_local, depth, pos, d, beta, L_cur, keys, done,
+                L_sum, m2_sum)
 
     def cond(carry):
-        return (carry[0] < config.max_depth) & jnp.any(carry[5])
+        return jnp.any(~carry[7])
 
+    keys0 = sample_key(jnp.zeros(B, jnp.int32))
     init = (
-        jnp.asarray(0),
-        init_pos,
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        origin(keys0),
         init_d,
-        jnp.ones(B, init_pos.dtype),
-        jnp.zeros(B, init_pos.dtype),
-        jnp.ones(B, dtype=bool),
-        keys,
+        jnp.ones(B, dtype),
+        jnp.zeros(B, dtype),
+        keys0,
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros(B, dtype),
+        jnp.zeros(B, dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final[4]
+    return final[8], final[9]
 
 
 def _render_row_canopy(
@@ -299,13 +454,21 @@ def _render_row_canopy(
     directions, target, ray_offset, key, tris=None, tri_row=None,
     target_extent=None,
 ):
-    from .tracer import _per_path_targets
+    from .tracer import _per_path_targets, lane_partition
 
-    B = n_pix * spp
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    B = n_pix * lp
     z_top = medium_row.z_levels[-1]
-    pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
-    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
+    tgt = _per_path_targets(target, None, pix, key, w_v.dtype)
+    if target_extent is not None:
+        ext = (
+            target_extent[pix]
+            if target_extent.ndim == 2
+            else jnp.broadcast_to(target_extent, (B, 2))
+        )
+    else:
+        ext = None
     # start at TOA on the line through the target, unless ray_offset is
     # finite (camera/in-scene sensors: start at target + ray_offset * w_v)
     t_up = jnp.where(
@@ -315,13 +478,14 @@ def _render_row_canopy(
     )
     init_pos = tgt + w_v * t_up[:, None]
     init_d = -w_v
-    keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
-    L = trace_paths_canopy(
+    L_sum, m2_sum = trace_paths_canopy_regen(
         config, medium_row, surface_row, leaf_row, leaves, illum_row,
-        init_pos, init_d, keys, tris=tris, tri_row=tri_row,
+        init_pos, init_d, key, lane_first, quota, ext=ext,
+        tris=tris, tri_row=tri_row,
     )
-    L = L.reshape(n_pix, spp)
-    return jnp.mean(L, axis=1), jnp.mean(L * L, axis=1)
+    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
+    return radiance, m2
 
 
 def render_batch_canopy_impl(

@@ -39,16 +39,9 @@ def _to_local(n, v):
     )
 
 
-def trace_paths_dem(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    dem: DemArrays,
-    illum_row,
-    init_pos,
-    init_d,
-    keys,
-):
+def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_row):
+    """Per-bounce transition closure shared by the one-shot and
+    regenerative DEM loops (see ops/tracer._make_bounce)."""
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
     tau_top = tau_levels[-1]
@@ -74,13 +67,10 @@ def trace_paths_dem(
         )
         return T_atm * jnp.where(hit, 0.0, 1.0)
 
-    B = init_pos.shape[0]
     eps = 1e-5
 
-    def body(carry):
-        depth, pos, d, beta, L, alive, keys = carry
-
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, depth))
+    def bounce(depth_b, pos, d, beta, keys):
+        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
         ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
         k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
@@ -142,20 +132,47 @@ def trace_paths_dem(
 
         # ---- combine ----------------------------------------------------
         L_add = jnp.where(event_dem, L_dem, jnp.where(event_med, L_med, 0.0))
-        L = L + jnp.where(alive, L_add, 0.0)
-        pos = jnp.where(event_dem[:, None], pos_dem_off, pos_med)
-        d = jnp.where(event_dem[:, None], d_srf, jnp.where(event_med[:, None], d_med, d))
-        beta = jnp.where(event_dem, beta_srf, jnp.where(event_med, beta_med, 0.0))
-        alive = alive & (event_dem | event_med) & (beta > 0.0)
+        pos2 = jnp.where(event_dem[:, None], pos_dem_off, pos_med)
+        d2 = jnp.where(event_dem[:, None], d_srf, jnp.where(event_med[:, None], d_med, d))
+        beta2 = jnp.where(event_dem, beta_srf, jnp.where(event_med, beta_med, 0.0))
+        alive2 = (event_dem | event_med) & (beta2 > 0.0)
 
-        do_rr = depth >= config.rr_depth
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = depth_b >= config.rr_depth
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        beta = jnp.where(do_rr & alive & survive, beta / q, beta)
-        alive = alive & jnp.where(do_rr, survive, True)
+        beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
 
-        return (depth + 1, pos, d, beta, L, alive, keys)
+        return L_add, pos2, d2, beta2, alive2
+
+    return bounce
+
+
+def trace_paths_dem(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    dem: DemArrays,
+    illum_row,
+    init_pos,
+    init_d,
+    keys,
+):
+    """One-shot loop: one sample per lane (reference implementation)."""
+    B = init_pos.shape[0]
+    bounce = _make_bounce_dem(
+        config, medium_row, surface_row, dem, illum_row
+    )
+
+    def body(carry):
+        depth, pos, d, beta, L, alive, keys = carry
+        L_add, pos2, d2, beta2, alive2 = bounce(
+            jnp.full(B, depth), pos, d, beta, keys
+        )
+        L = L + jnp.where(alive, L_add, 0.0)
+        alive = alive & alive2
+        return (depth + 1, pos2, d2, beta2, L, alive, keys)
 
     def cond(carry):
         return (carry[0] < config.max_depth) & jnp.any(carry[5])
@@ -173,17 +190,107 @@ def trace_paths_dem(
     return final[4]
 
 
+def trace_paths_dem_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    dem: DemArrays,
+    illum_row,
+    init_pos,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+    ext=None,
+):
+    """Regenerative DEM trace (see ops/tracer.trace_paths_regen)."""
+    B = init_pos.shape[0]
+    dtype = init_pos.dtype
+    bounce = _make_bounce_dem(
+        config, medium_row, surface_row, dem, illum_row
+    )
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def origin(keys):
+        if ext is None:
+            return init_pos
+        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
+            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
+        )
+        jit = (u - 0.5) * ext
+        return init_pos + jnp.concatenate(
+            [jit, jnp.zeros((B, 1), dtype)], axis=-1
+        )
+
+    def body(carry):
+        (s_local, depth, pos, d, beta, L_cur, keys, done,
+         L_sum, m2_sum) = carry
+
+        L_add, pos2, d2, beta2, alive2 = bounce(depth, pos, d, beta, keys)
+        active = ~done
+        L_cur = L_cur + jnp.where(active, L_add, 0.0)
+        depth = depth + 1
+        path_end = active & (~alive2 | (depth >= config.max_depth))
+
+        L_sum = L_sum + jnp.where(path_end, L_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, L_cur * L_cur, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        regen = path_end & ~done
+        keys_new = sample_key(s_local)
+        keys = jnp.where(regen, keys_new, keys)
+        pos = jnp.where(regen[:, None], origin(keys_new), pos2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        L_cur = jnp.where(path_end, 0.0, L_cur)
+        depth = jnp.where(regen, 0, depth)
+
+        return (s_local, depth, pos, d, beta, L_cur, keys, done,
+                L_sum, m2_sum)
+
+    def cond(carry):
+        return jnp.any(~carry[7])
+
+    keys0 = sample_key(jnp.zeros(B, jnp.int32))
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        origin(keys0),
+        init_d,
+        jnp.ones(B, dtype),
+        jnp.zeros(B, dtype),
+        keys0,
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros(B, dtype),
+        jnp.zeros(B, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[8], final[9]
+
+
 def _render_row_dem(
     config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
     target, ray_offset, key, target_extent=None
 ):
-    from .tracer import _per_path_targets
+    from .tracer import _per_path_targets, lane_partition
 
-    B = n_pix * spp
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    B = n_pix * lp
     z_top = medium_row.z_levels[-1]
-    pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
-    tgt = _per_path_targets(target, target_extent, pix, key, w_v.dtype)
+    tgt = _per_path_targets(target, None, pix, key, w_v.dtype)
+    if target_extent is not None:
+        ext = (
+            target_extent[pix]
+            if target_extent.ndim == 2
+            else jnp.broadcast_to(target_extent, (B, 2))
+        )
+    else:
+        ext = None
     # TOA start through target, or target + ray_offset * w_v (cameras)
     t_up = jnp.where(
         jnp.isnan(ray_offset),
@@ -192,12 +299,13 @@ def _render_row_dem(
     )
     init_pos = tgt + w_v * t_up[:, None]
     init_d = -w_v
-    keys = jax.vmap(jax.random.fold_in)(jnp.broadcast_to(key, (B,)), jnp.arange(B))
-    L = trace_paths_dem(
-        config, medium_row, surface_row, dem, illum_row, init_pos, init_d, keys
+    L_sum, m2_sum = trace_paths_dem_regen(
+        config, medium_row, surface_row, dem, illum_row, init_pos, init_d,
+        key, lane_first, quota, ext=ext,
     )
-    L = L.reshape(n_pix, spp)
-    return jnp.mean(L, axis=1), jnp.mean(L * L, axis=1)
+    radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
+    return radiance, m2
 
 
 def render_batch_dem_impl(

@@ -2,17 +2,17 @@
 
 Curved-shell counterpart of :mod:`eradiate_tpu.ops.tracer` (BASELINE
 config 4; reference: ``sphericalcoordsvolume`` + ``heterogeneous`` medium,
-SURVEY §2.1). Free flight uses **null-collision delta tracking** against a
-per-spectral-row majorant (the radial sigma profile is strongly
-stratified, so tentative events are cheap constant-time radius lookups),
-and next-event estimation uses the precomputed Chapman-style slant
-optical-depth table (:func:`eradiate_tpu.ops.spherical.sun_tau_table`) —
-deterministic sun transmittance without per-event shell marching.
+SURVEY §2.1). Free flight is **exact**: the cumulative optical depth along
+a straight ray through piecewise-constant shells is closed-form, so
+collisions invert it directly (:func:`eradiate_tpu.ops.spherical.
+shell_flight`) — no null-collision/majorant loop, zero tracking variance
+(the deterministic-transmittance quality the reference's ``piecewise``
+medium has in plane-parallel geometry, extended to shells). Next-event
+estimation likewise computes the sun slant optical depth in closed form
+per event (:func:`eradiate_tpu.ops.spherical.slant_tau_exact`).
 
-Null collisions are folded into the main while-loop: an iteration is one
-tentative event; only accepted collisions advance the scatter depth. The
-loop is bounded by ``config.max_depth`` real scatters times an expected
-null-event budget.
+Every while-loop iteration is a real scatter/surface event; the loop is
+bounded by ``config.max_depth``.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .bsdf_ops import bsdf_eval, bsdf_sample
-from .medium import fetch_at_index, searchsorted_leq
+from .medium import fetch_at_index
 from .phase_ops import (
     layer_param_slots,
     ortho_frame,
@@ -34,7 +34,7 @@ from .phase_ops import (
     rebuild_fetched,
 )
 from .scene_state import SensorArrays, SurfaceArrays, IlluminationArrays, SceneConfig, _pytree_dataclass
-from .spherical import lookup_sun_tau, ray_sphere_intersect
+from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
 
 __all__ = ["SphericalMediumArrays", "render_spherical"]
 
@@ -49,8 +49,11 @@ class SphericalMediumArrays:
     albedo: Any  # [S, L]
     phase_weights: Any  # [S, C, L]
     phase_params: Any
-    sun_tau: Any  # [S, L+1, M] slant optical depth to the sun
-    mu_grid: Any  # [M]
+    #: deprecated (slant tau is computed in closed form per event via
+    #: :func:`eradiate_tpu.ops.spherical.slant_tau_exact`); kept as
+    #: optional fields for older callers
+    sun_tau: Any = None
+    mu_grid: Any = None
 
 
 def _to_local(n, v):
@@ -80,7 +83,6 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
     radii = medium_row.radii
     r_ground = radii[0]
     r_top = radii[-1]
-    sigma_maj = jnp.maximum(medium_row.sigma_majorant, 1e-12)
 
     d_sun = illum_row.direction
     w_sun = -d_sun
@@ -89,24 +91,16 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
     eps_t = 1e-4  # km; surface offset to avoid self-intersection
 
     def sun_T(p):
-        r = jnp.linalg.norm(p, axis=-1)
-        n = p / jnp.maximum(r[..., None], 1e-12)
-        mu = jnp.sum(n * w_sun, axis=-1)
-        tau = lookup_sun_tau(
-            medium_row.sun_tau, radii, medium_row.mu_grid, r, mu
-        )
+        # closed-form slant optical depth (no table, no gathers — the
+        # bilinear table lookup's per-lane gathers dominated the whole
+        # spherical tracer on TPU)
+        tau = slant_tau_exact(p, w_sun, radii, medium_row.sigma_t)
         return jnp.exp(-jnp.minimum(tau, 80.0))
 
     def event(evt_b, p, d, beta, depth, keys):
         k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
-        k_dist, k_acc, k_scat, k_srf, k_rr = (
-            ks[:, 0],
-            ks[:, 1],
-            ks[:, 2],
-            ks[:, 3],
-            ks[:, 4],
-        )
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
+        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
         # distance to boundaries
         tgn, tgf, hit_g = ray_sphere_intersect(p, d, r_ground)
@@ -119,37 +113,38 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         t_exit = jnp.maximum(ttf, eps_t)
         t_max = jnp.minimum(t_ground, t_exit)
 
+        # ---- exact free flight -----------------------------------------
+        # closed-form inversion of the piecewise cumulative tau along the
+        # ray (ops/spherical.shell_flight) — every event is a REAL
+        # collision; no null-collision/majorant loop, deterministic
+        # transmittance (the 'piecewise' exactness in shell geometry)
         u = jax.vmap(jax.random.uniform)(k_dist)
-        dt = -jnp.log1p(-u) / sigma_maj
-        boundary = dt >= t_max
-        t_step = jnp.minimum(dt, t_max)
+        tau_s = -jnp.log1p(-u)
+        accept, t_col, layer = shell_flight(
+            p, d, t_max, radii, medium_row.sigma_t, tau_s
+        )
+        t_step = jnp.where(accept, t_col, t_max)
         p_new = p + d * t_step[:, None]
 
-        hit_surface = boundary & (t_ground <= t_exit) & config.has_surface
+        hit_surface = (~accept) & (t_ground <= t_exit) & config.has_surface
 
-        # ---- tentative collision ---------------------------------------
-        # dense layer search + ONE fused one-hot fetch for all per-layer
-        # data (sigma, albedo, blend weights, layer-indexed phase params)
-        # — see ops/medium.fetch_at_index
-        r_new = jnp.linalg.norm(p_new, axis=-1)
-        layer = searchsorted_leq(radii, r_new)
+        # ONE fused one-hot fetch for all per-layer data (albedo, blend
+        # weights, layer-indexed phase params) — see ops/medium.fetch_at_index
         C = len(config.phase_kinds)
         param_tables, param_slots = layer_param_slots(
             config.phase_kinds, medium_row.phase_params
         )
         fetched = fetch_at_index(
             layer,
-            [medium_row.sigma_t, medium_row.albedo]
+            [medium_row.albedo]
             + [medium_row.phase_weights[c] for c in range(C)]
             + param_tables,
         )
-        sigma_here, albedo_col = fetched[0], fetched[1]
-        weights_at = jnp.stack(fetched[2 : 2 + C], axis=-1)
+        albedo_col = fetched[0]
+        weights_at = jnp.stack(fetched[1 : 1 + C], axis=-1)
         params_at = rebuild_fetched(
-            config.phase_kinds, param_slots, fetched[2 + C :]
+            config.phase_kinds, param_slots, fetched[1 + C :]
         )
-        u_acc = jax.vmap(jax.random.uniform)(k_acc)
-        accept = (~boundary) & (u_acc < sigma_here / sigma_maj)
 
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(
@@ -176,6 +171,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         beta_col = beta * albedo_col
 
         # ---- surface interaction ---------------------------------------
+        r_new = jnp.linalg.norm(p_new, axis=-1)
         n_srf = p_new / jnp.maximum(r_new[:, None], 1e-12)
         mu_sun_srf = jnp.sum(n_srf * w_sun, axis=-1)
         wo_local = _to_local(n_srf, -d)
@@ -211,7 +207,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             accept, beta_col, jnp.where(hit_surface, beta_srf, beta)
         )
         interacted = accept | hit_surface
-        escaped = boundary & ~hit_surface
+        escaped = ~accept & ~hit_surface
         alive2 = ~escaped & (beta2 > 0.0)
         depth2 = depth + jnp.where(interacted & alive2, 1, 0)
 
@@ -382,7 +378,7 @@ def render_batch_spherical_impl(
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
-    radii, mu_grid = medium.radii, medium.mu_grid
+    radii = medium.radii
 
     def one_row(args):
         mr_part, sr, irr, sky, k = args
@@ -393,8 +389,6 @@ def render_batch_spherical_impl(
             albedo=mr_part[2],
             phase_weights=mr_part[3],
             phase_params=mr_part[4],
-            sun_tau=mr_part[5],
-            mu_grid=mu_grid,
         )
         ir = IlluminationArrays(
             direction=illum.direction,
@@ -412,7 +406,6 @@ def render_batch_spherical_impl(
         medium.albedo,
         medium.phase_weights,
         medium.phase_params,
-        medium.sun_tau,
     )
     return jax.lax.map(
         one_row, (med_part, surface, illum.irradiance, illum.sky_radiance, keys)

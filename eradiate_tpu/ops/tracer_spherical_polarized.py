@@ -28,58 +28,36 @@ from .scene_state import (
     SurfaceArrays,
     SceneConfig,
 )
-from .spherical import lookup_sun_tau, ray_sphere_intersect
+from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
 from .tracer_polarized import _phase_mueller, _scatter_frames
 from .tracer_spherical import SphericalMediumArrays, _to_local, _to_world
 
 __all__ = ["render_spherical_polarized"]
 
 
-def trace_paths_spherical_polarized(
-    config: SceneConfig,
-    medium_row,
-    surface_row,
-    illum_row,
-    init_p,
-    init_d,
-    keys,
-    max_iterations: int,
-):
-    """Returns per-path Stokes estimates [B, 4] in the meridian basis of
-    the initial viewing direction."""
+def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_row):
+    """Per-tentative-event Mueller-transport closure shared by the
+    one-shot and regenerative loops (see ops/tracer._make_bounce)."""
     radii = medium_row.radii
     r_ground = radii[0]
     r_top = radii[-1]
-    sigma_maj = jnp.maximum(medium_row.sigma_majorant, 1e-12)
 
     d_sun = illum_row.direction
     w_sun = -d_sun
     E_sun = illum_row.irradiance
 
-    B = init_p.shape[0]
     eps_t = 1e-4
 
     def sun_T(p):
-        r = jnp.linalg.norm(p, axis=-1)
-        n = p / jnp.maximum(r[..., None], 1e-12)
-        mu = jnp.sum(n * w_sun, axis=-1)
-        tau = lookup_sun_tau(
-            medium_row.sun_tau, radii, medium_row.mu_grid, r, mu
-        )
+        # closed-form slant optical depth (see ops/spherical.slant_tau_exact)
+        tau = slant_tau_exact(p, w_sun, radii, medium_row.sigma_t)
         return jnp.exp(-jnp.minimum(tau, 80.0))
 
-    l_1 = -init_d
-    b_init = default_basis(l_1)
-    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
-
-    def body(carry):
-        it, p, d, P, b, beta, S_acc, alive, depth, keys = carry
-
-        k_iter = jax.vmap(jax.random.fold_in)(keys, jnp.full(B, it))
-        ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
-        k_dist, k_acc, k_scat, k_srf, k_rr = (
-            ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4],
-        )
+    def event(evt_b, p, d, P, b, beta, depth, keys):
+        B = p.shape[0]
+        k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
+        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
         tgn, tgf, hit_g = ray_sphere_intersect(p, d, r_ground)
         t_ground = jnp.where(
@@ -98,25 +76,22 @@ def trace_paths_spherical_polarized(
         t_exit = jnp.maximum(ttf, eps_t)
         t_max = jnp.minimum(t_ground, t_exit)
 
+        # exact free flight (see ops/spherical.shell_flight): every event
+        # is a real collision; no null-collision/majorant loop
         u = jax.vmap(jax.random.uniform)(k_dist)
-        dt = -jnp.log1p(-u) / sigma_maj
-        boundary = dt >= t_max
-        t_step = jnp.minimum(dt, t_max)
+        tau_s = -jnp.log1p(-u)
+        accept, t_col, layer = shell_flight(
+            p, d, t_max, radii, medium_row.sigma_t, tau_s
+        )
+        t_step = jnp.where(accept, t_col, t_max)
         p_new = p + d * t_step[:, None]
 
-        hit_surface = boundary & (t_ground <= t_exit) & config.has_surface
+        hit_surface = (~accept) & (t_ground <= t_exit) & config.has_surface
 
         r_new = jnp.linalg.norm(p_new, axis=-1)
-        layer = jnp.clip(
-            jnp.searchsorted(radii, r_new, side="right") - 1,
-            0,
-            radii.shape[0] - 2,
-        )
-        sigma_here = medium_row.sigma_t[layer]
-        u_acc = jax.vmap(jax.random.uniform)(k_acc)
-        accept = (~boundary) & (u_acc < sigma_here / sigma_maj)
+        from .medium import take_1d
 
-        albedo_col = medium_row.albedo[layer]
+        albedo_col = take_1d(medium_row.albedo, layer)
         l_out = -d
 
         # ---- NEE at accepted collisions --------------------------------
@@ -212,46 +187,70 @@ def trace_paths_spherical_polarized(
 
         # ---- combine ----------------------------------------------------
         S_add = jnp.where(
-            alive[:, None],
-            jnp.where(
-                accept[:, None],
-                S_col,
-                jnp.where(hit_surface[:, None], S_srf, 0.0),
-            ),
-            0.0,
+            accept[:, None],
+            S_col,
+            jnp.where(hit_surface[:, None], S_srf, 0.0),
         )
-        S_acc = S_acc + S_add
-        p = jnp.where(hit_surface[:, None], p_srf, p_new)
-        d = jnp.where(
+        p2 = jnp.where(hit_surface[:, None], p_srf, p_new)
+        d2 = jnp.where(
             accept[:, None], d_new, jnp.where(hit_surface[:, None], d_srf, d)
         )
-        P = jnp.where(
+        P2 = jnp.where(
             accept[:, None, None],
             P_col,
             jnp.where(hit_surface[:, None, None], P_srf, P),
         )
-        b = jnp.where(
+        b2 = jnp.where(
             accept[:, None], b_col, jnp.where(hit_surface[:, None], b_srf, b)
         )
-        beta = jnp.where(
+        beta2 = jnp.where(
             accept, beta_col, jnp.where(hit_surface, beta_srf, beta)
         )
         interacted = accept | hit_surface
-        escaped = boundary & ~hit_surface
-        alive = alive & ~escaped & (beta > 0.0)
-        depth = depth + jnp.where(interacted & alive, 1, 0)
+        escaped = ~accept & ~hit_surface
+        alive2 = ~escaped & (beta2 > 0.0)
+        depth2 = depth + jnp.where(interacted & alive2, 1, 0)
 
-        do_rr = interacted & (depth >= config.rr_depth)
-        q = jnp.clip(beta, 0.0, 0.95)
+        do_rr = interacted & (depth2 >= config.rr_depth)
+        q = jnp.clip(beta2, 0.0, 0.95)
         u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
-        scale = jnp.where(do_rr & alive & survive, 1.0 / q, 1.0)
-        beta = beta * scale
-        P = P * scale[:, None, None]
-        alive = alive & jnp.where(do_rr, survive, True)
-        alive = alive & (depth < config.max_depth)
+        scale = jnp.where(do_rr & alive2 & survive, 1.0 / q, 1.0)
+        beta2 = beta2 * scale
+        P2 = P2 * scale[:, None, None]
+        alive2 = alive2 & jnp.where(do_rr, survive, True)
+        alive2 = alive2 & (depth2 < config.max_depth)
 
-        return (it + 1, p, d, P, b, beta, S_acc, alive, depth, keys)
+        return S_add, p2, d2, P2, b2, beta2, depth2, alive2
+
+    return event
+
+
+def trace_paths_spherical_polarized(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_p,
+    init_d,
+    keys,
+    max_iterations: int,
+):
+    """One-shot loop: per-path Stokes estimates [B, 4] in the meridian
+    basis of the initial viewing direction (reference implementation)."""
+    B = init_p.shape[0]
+    event = _make_event_polarized(config, medium_row, surface_row, illum_row)
+    b_init = default_basis(-init_d)
+    P_init = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+    def body(carry):
+        it, p, d, P, b, beta, S_acc, alive, depth, keys = carry
+        S_add, p2, d2, P2, b2, beta2, depth2, alive2 = event(
+            jnp.full(B, it), p, d, P, b, beta, depth, keys
+        )
+        S_acc = S_acc + jnp.where(alive[:, None], S_add, 0.0)
+        alive = alive & alive2
+        return (it + 1, p2, d2, P2, b2, beta2, S_acc, alive, depth2, keys)
 
     def cond(carry):
         return (carry[0] < max_iterations) & jnp.any(carry[7])
@@ -272,29 +271,104 @@ def trace_paths_spherical_polarized(
     return final[6]
 
 
+def trace_paths_spherical_polarized_regen(
+    config: SceneConfig,
+    medium_row,
+    surface_row,
+    illum_row,
+    init_p,
+    init_d,
+    row_key,
+    lane_first,
+    quota,
+    max_iterations: int,
+):
+    """Regenerative polarized delta-tracking trace (see
+    ops/tracer.trace_paths_regen). Returns (S_sum [B, 4], m2_sum [B])."""
+    B = init_p.shape[0]
+    dtype = init_p.dtype
+    event = _make_event_polarized(config, medium_row, surface_row, illum_row)
+    b_init = default_basis(-init_d)
+    eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    row_keys_b = jnp.broadcast_to(row_key, (B,))
+
+    def sample_key(s_local):
+        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+
+    def body(carry):
+        (s_local, evt, depth, p, d, P, b, beta, S_cur, keys, done,
+         S_sum, m2_sum) = carry
+
+        S_add, p2, d2, P2, b2, beta2, depth2, alive2 = event(
+            evt, p, d, P, b, beta, depth, keys
+        )
+        active = ~done
+        S_cur = S_cur + jnp.where(active[:, None], S_add, 0.0)
+        evt = evt + 1
+        path_end = active & (~alive2 | (evt >= max_iterations))
+
+        S_sum = S_sum + jnp.where(path_end[:, None], S_cur, 0.0)
+        m2_sum = m2_sum + jnp.where(path_end, S_cur[:, 0] ** 2, 0.0)
+        s_local = s_local + path_end.astype(s_local.dtype)
+        done = done | (s_local >= quota)
+
+        regen = path_end & ~done
+        keys = jnp.where(regen, sample_key(s_local), keys)
+        p = jnp.where(regen[:, None], init_p, p2)
+        d = jnp.where(regen[:, None], init_d, d2)
+        P = jnp.where(regen[:, None, None], eye4, P2)
+        b = jnp.where(regen[:, None], b_init, b2)
+        beta = jnp.where(regen, jnp.ones((), dtype), beta2)
+        depth = jnp.where(regen, 0, depth2)
+        evt = jnp.where(regen, 0, evt)
+        S_cur = jnp.where(path_end[:, None], 0.0, S_cur)
+
+        return (s_local, evt, depth, p, d, P, b, beta, S_cur, keys, done,
+                S_sum, m2_sum)
+
+    def cond(carry):
+        return jnp.any(~carry[10])
+
+    init = (
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        init_p,
+        init_d,
+        eye4,
+        b_init,
+        jnp.ones(B, dtype),
+        jnp.zeros((B, 4), dtype),
+        sample_key(jnp.zeros(B, jnp.int32)),
+        jnp.zeros(B, dtype=bool),
+        jnp.zeros((B, 4), dtype),
+        jnp.zeros(B, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final[11], final[12]
+
+
 def _render_row(
     config, n_pix, spp, max_iterations, medium_row, surface_row, illum_row,
     directions, target, key
 ):
-    B = n_pix * spp
+    from .tracer import lane_partition
+
+    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    B = n_pix * lp
     r_top = medium_row.radii[-1]
-    pix = jnp.repeat(jnp.arange(n_pix), spp)
     w_v = directions[pix]
     _, t_far, _ = ray_sphere_intersect(
         jnp.broadcast_to(target, (B, 3)), w_v, r_top
     )
     init_p = target[None, :] + w_v * t_far[:, None]
     init_d = -w_v
-    keys = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(key, (B,)), jnp.arange(B)
+    S_sum, m2_sum = trace_paths_spherical_polarized_regen(
+        config, medium_row, surface_row, illum_row, init_p, init_d, key,
+        lane_first, quota, max_iterations,
     )
-    S = trace_paths_spherical_polarized(
-        config, medium_row, surface_row, illum_row, init_p, init_d, keys,
-        max_iterations,
-    )
-    S = S.reshape(n_pix, spp, 4)
-    stokes = jnp.mean(S, axis=1)
-    m2 = jnp.mean(S[..., 0] ** 2, axis=1)
+    stokes = jnp.sum(S_sum.reshape(n_pix, lp, 4), axis=1) / spp
+    m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
     return stokes, m2
 
 
@@ -304,7 +378,7 @@ def render_batch_impl(
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
-    radii, mu_grid = medium.radii, medium.mu_grid
+    radii = medium.radii
 
     def one_row(args):
         mr_part, sr, irr, sky, k = args
@@ -315,8 +389,6 @@ def render_batch_impl(
             albedo=mr_part[2],
             phase_weights=mr_part[3],
             phase_params=mr_part[4],
-            sun_tau=mr_part[5],
-            mu_grid=mu_grid,
         )
         ir = IlluminationArrays(
             direction=illum.direction,
@@ -335,7 +407,6 @@ def render_batch_impl(
         medium.albedo,
         medium.phase_weights,
         medium.phase_params,
-        medium.sun_tau,
     )
     return jax.lax.map(
         one_row, (med_part, surface, illum.irradiance, illum.sky_radiance, keys)
