@@ -22,9 +22,10 @@ import time
 import numpy as np
 
 N_VZA = 76
-# large enough that device execution dominates the per-dispatch tunnel
-# latency (~30 ms measured); the engine chunks internally
-SPP = 65536
+# large enough that device execution dominates the per-render fixed costs
+# (~45 ms measured under the remote tunnel: dispatch + host fetch); the
+# regenerative engine multiplexes the whole budget over a fixed lane pool
+SPP = 262144
 N_LAYERS = 1200  # 100 m grid over 120 km (reference default)
 
 

@@ -118,3 +118,19 @@ class TestIndex:
         i = SpectralIndex.new(w=550.0, g=0.5)
         assert isinstance(i, CKDSpectralIndex)
         assert i.as_hashable == (550.0, 0.5)
+
+
+def test_packaged_srf_store():
+    """Band SRFs load by dataset id from the packaged store (synthetic
+    Gaussian stand-ins for the reference's online data store)."""
+    from eradiate_tpu.data import load_srf
+    from eradiate_tpu.spectral.response import BandSRF, srf_converter
+
+    srf = load_srf("sentinel_2a-msi-4")
+    assert isinstance(srf, BandSRF)
+    lo, hi = srf.support
+    assert lo < 664.6 < hi  # S2A B4 center
+    # converter resolves bare id strings the same way
+    srf2 = srf_converter("sentinel_2a-msi-8a")
+    assert isinstance(srf2, BandSRF)
+    assert srf2.integrate() > 0.0
