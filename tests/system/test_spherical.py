@@ -348,3 +348,31 @@ class TestShellFlight:
                 jnp.asarray([tau_s], jnp.float32),
             )
             assert bool(np.asarray(col)[0]) == expect, (tau_s, tau_ref)
+
+
+class TestSphericalRegenInvariance:
+    """Spherical estimates are invariant to the lane/quota decomposition
+    (regen keys depend only on (pixel, global sample id))."""
+
+    def test_lane_plan_invariance(self, monkeypatch, mode_mono):
+        import eradiate_tpu.ops.tracer as T
+
+        def run():
+            exp = AtmosphereExperiment(
+                geometry={"type": "spherical_shell"},
+                illumination={"type": "directional", "zenith": 40.0},
+                measures={
+                    "type": "mdistant", "construct": "hplane",
+                    "zeniths": [-30.0, 0.0, 30.0], "azimuth": 0.0,
+                    "spp": 64, "id": "m",
+                },
+                surface={"type": "lambertian", "reflectance": 0.4},
+                atmosphere={"type": "molecular"},
+            )
+            eradiate_tpu.root_seed_state.reset(7)
+            return eradiate_tpu.run(exp)["brf"].values
+
+        ref = run()
+        monkeypatch.setattr(T, "REGEN_LANES_TARGET", 16)  # quota > 1
+        alt = run()
+        np.testing.assert_allclose(ref, alt, rtol=1e-4)
