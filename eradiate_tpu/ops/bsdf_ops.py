@@ -659,22 +659,28 @@ def bsdf_eval(kind, params, wi, wo, p=None):
     return fn(params, wi, wo, p)
 
 
-def bilambertian_sample(params, wo, key):
+def bilambertian_sample_from_uniforms(params, wo, u_side, u):
     """Sample the two-sided diffuse BSDF in the local leaf frame (+z = the
-    side ``wo`` leaves from). Returns (w_new, weight): reflect with
-    probability rho/(rho+tau) (cosine-weighted, +z), transmit otherwise
+    side ``wo`` leaves from) from pre-drawn uniforms (``u_side`` [...],
+    ``u`` [..., 2]). Returns (w_new, weight): reflect with probability
+    rho/(rho+tau) (cosine-weighted, +z), transmit otherwise
     (cosine-weighted, -z); weight = rho + tau."""
     rho = params["reflectance"]
     tau = params["transmittance"]
     total = rho + tau
-    k_side, k_dir = jax.random.split(key)
-    u_side = jax.random.uniform(k_side, wo.shape[:-1])
     reflect = u_side < rho / jnp.maximum(total, 1e-12)
-    u = jax.random.uniform(k_dir, wo.shape[:-1] + (2,))
     w_new = square_to_cosine_hemisphere(u)
     w_new = jnp.where(reflect[..., None], w_new, w_new * jnp.asarray([1.0, 1.0, -1.0]))
     weight = jnp.where(total > 0, total, 0.0)
     return w_new, weight
+
+
+def bilambertian_sample(params, wo, key):
+    """Key-based wrapper over :func:`bilambertian_sample_from_uniforms`."""
+    k_side, k_dir = jax.random.split(key)
+    u_side = jax.random.uniform(k_side, wo.shape[:-1])
+    u = jax.random.uniform(k_dir, wo.shape[:-1] + (2,))
+    return bilambertian_sample_from_uniforms(params, wo, u_side, u)
 
 
 def bsdf_sample_from_uniforms(kind, params, wo, u, p=None):

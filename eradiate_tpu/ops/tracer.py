@@ -33,7 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_eval, bsdf_sample
+from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .medium import clamp_mu, collision_fetch, tau_at_z
 from .phase_ops import (
     layer_param_slots,
@@ -74,8 +74,9 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
     L_sky = illum_row.sky_radiance  # uniform environment radiance
     cos_cutoff = illum_row.cos_cutoff  # 1.0 = ideal directional emitter
 
-    def sample_sun_dirs(key_batch):
-        """Cone-sampled directions toward the (possibly finite-size) sun.
+    def sample_sun_dirs(u):
+        """Cone-sampled directions toward the (possibly finite-size) sun
+        from pre-drawn uniforms ``u`` [B, 2].
 
         For an astro-object emitter the irradiance spreads over the disk
         solid angle; uniform cone sampling with pdf 1/Omega makes the NEE
@@ -86,7 +87,6 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         from ..core.warp import square_to_uniform_cone
         from .phase_ops import ortho_frame
 
-        u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(key_batch)
         local = square_to_uniform_cone(u, cos_cutoff)
         t1, t2 = ortho_frame(w_sun)
         return (
@@ -108,19 +108,26 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
     )
 
     def bounce(depth_b, z, tau_here, xy, d, beta, keys, u0_dist=None):
+        # ONE batched threefry draw per bounce: per-purpose key splits +
+        # separate uniform() calls cost ~40 tiny [B]-shaped kernels per
+        # iteration (~79 us/iter at B=16k, as large as all the physics);
+        # a single [B, 10] draw from the iteration key collapses them.
         k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 5))(k_iter)
-        k_dist, k_scat, k_srf, k_rr, k_sun = (
-            ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4],
-        )
-        w_nee = sample_sun_dirs(k_sun)  # [B, 3] toward the sun
+        U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
+        u_dist = U[:, 0]
+        u_sun = U[:, 1:3]
+        u_ph_sel, u_ph_cos, u_ph_phi = U[:, 3], U[:, 4:6], U[:, 6]
+        u_srf = U[:, 7:9]
+        u_rr = U[:, 9]
+
+        w_nee = sample_sun_dirs(u_sun)  # [B, 3] toward the sun
         mu_nee = clamp_mu(w_nee[:, 2])
 
         mu = clamp_mu(d[:, 2])
         tau_exit = jnp.where(
             mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu)
         )
-        u = jax.vmap(jax.random.uniform)(k_dist)
+        u = u_dist
         if u0_dist is not None:
             # primary-dimension override: stratified/LD samplers structure
             # the first flight; subsequent bounces are path-divergent
@@ -153,22 +160,21 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         T_sun_col = jnp.exp(-(tau_top - tau_new) / mu_nee)
         L_col = beta * albedo_col * p_nee * T_sun_col * E_sun
 
-        def _sample_one(w_at, p_at, dd, kk):
-            # same key-split discipline as phase_sample: preserves the
-            # per-path RNG stream of the pre-fusion tracer
-            k_sel, k_cos, k_phi = jax.random.split(kk, 3)
+        def _sample_one(w_at, p_at, dd, us, uc, up):
             return phase_sample_at(
                 config.phase_kinds,
                 medium_row.phase_params,
                 w_at,
                 p_at,
                 dd,
-                jax.random.uniform(k_sel),
-                jax.random.uniform(k_cos, (2,)),
-                jax.random.uniform(k_phi),
+                us,
+                uc,
+                up,
             )
 
-        d_col = jax.vmap(_sample_one)(weights_at, params_at, d, k_scat)
+        d_col = jax.vmap(_sample_one)(
+            weights_at, params_at, d, u_ph_sel, u_ph_cos, u_ph_phi
+        )
         beta_col = beta * albedo_col
 
         # ---- surface hit ------------------------------------------------
@@ -181,11 +187,9 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
             config.surface_kind, surface_row.params, w_nee, wo, xy_surf
         )
         L_surf = beta * f_nee * mu_nee * T_sun_bottom * E_sun
-        d_surf, w_surf = jax.vmap(
-            lambda w, k, p: bsdf_sample(
-                config.surface_kind, surface_row.params, w, k, p
-            )
-        )(wo, k_srf, xy_surf)
+        d_surf, w_surf = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo, u_srf, xy_surf
+        )
         beta_surf = beta * w_surf
 
         # ---- combine ----------------------------------------------------
@@ -207,7 +211,6 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         # ---- Russian roulette ------------------------------------------
         do_rr = depth_b >= config.rr_depth
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
         alive2 = alive2 & jnp.where(do_rr, survive, True)

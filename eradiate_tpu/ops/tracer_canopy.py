@@ -16,10 +16,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bilambertian_eval, bilambertian_sample, bsdf_eval, bsdf_sample
+from .bsdf_ops import (
+    bilambertian_eval,
+    bilambertian_sample_from_uniforms,
+    bsdf_eval,
+    bsdf_sample_from_uniforms,
+)
 from .canopy import LeafCloudArrays, ray_leaves_nearest, ray_leaves_occluded
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
-from .phase_ops import ortho_frame, phase_eval, phase_sample
+from .phase_ops import ortho_frame, phase_eval, phase_sample_from_uniforms
 from .scene_state import (
     IlluminationArrays,
     MediumArrays,
@@ -187,16 +192,19 @@ def _make_bounce_canopy(
 
     def bounce(depth_b, pos, d, beta, keys):
         B = pos.shape[0]
+        # one batched threefry draw per bounce (see ops/tracer._make_bounce)
         k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        u_dist = U[:, 0]
+        u_sel, u_cos, u_phi = U[:, 1], U[:, 2:4], U[:, 4]
+        u_srf = U[:, 5:7]
+        u_rr = U[:, 7]
 
         z = pos[:, 2]
         mu = clamp_mu(d[:, 2])
         tau_here = tau_z(z)
         tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
-        u = jax.vmap(jax.random.uniform)(k_dist)
-        tau_s = -jnp.log1p(-u)
+        tau_s = -jnp.log1p(-u_dist)
         collide_med = tau_s < tau_exit
 
         tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
@@ -265,11 +273,11 @@ def _make_bounce_canopy(
         )(layer, cos_nee)
         L_med = beta * albedo_col * p_nee * E_med
         d_med = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+            lambda l, dd, us, uc, up: phase_sample_from_uniforms(
                 config.phase_kinds, medium_row.phase_params,
-                medium_row.phase_weights, l, dd, kk,
+                medium_row.phase_weights, l, dd, us, uc, up,
             )
-        )(layer, d, k_scat)
+        )(layer, d, u_sel, u_cos, u_phi)
         beta_med = beta * albedo_col
 
         # ---- leaf interaction (bilambertian) ---------------------------
@@ -298,11 +306,12 @@ def _make_bounce_canopy(
         # E_nee was evaluated at pos_leaf_off (the shadow origin slightly
         # off the leaf on the emitter's side) for event_leaf lanes
         L_leaf = beta * f_leaf * cos_sun_leaf * E_nee
+        # leaf sampling reuses the phase uniform slots (exclusive branches)
         d_leaf_local, w_leaf = jax.vmap(
-            lambda r, t, w, k: bilambertian_sample(
-                {"reflectance": r, "transmittance": t}, w, k
+            lambda r, t, w, us, uc: bilambertian_sample_from_uniforms(
+                {"reflectance": r, "transmittance": t}, w, us, uc
             )
-        )(lp["reflectance"], lp["transmittance"], wo_leaf, k_scat)
+        )(lp["reflectance"], lp["transmittance"], wo_leaf, u_sel, u_cos)
         d_leaf = _to_world(n_shade, d_leaf_local)
         beta_leaf = beta * w_leaf
         pos_leaf_new = pos_leaf + d_leaf * eps
@@ -316,11 +325,10 @@ def _make_bounce_canopy(
         )
         mu_nee_g = jnp.maximum(w_nee_g[:, 2], 0.0)
         L_ground = beta * f_g * mu_nee_g * E_g
-        d_ground, w_g = jax.vmap(
-            lambda w, k, pp: bsdf_sample(
-                config.surface_kind, surface_row.params, w, k, pp
-            )
-        )(wo, k_srf, pos_ground[:, :2])
+        d_ground, w_g = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo, u_srf,
+            pos_ground[:, :2],
+        )
         beta_ground = beta * w_g
 
         # ---- combine ----------------------------------------------------
@@ -345,7 +353,6 @@ def _make_bounce_canopy(
 
         do_rr = depth_b >= config.rr_depth
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
         alive2 = alive2 & jnp.where(do_rr, survive, True)

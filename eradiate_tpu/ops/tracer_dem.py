@@ -12,10 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_eval, bsdf_sample
+from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .dem import DemArrays, dem_intersect, dem_normal
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
-from .phase_ops import ortho_frame, phase_eval, phase_sample
+from .phase_ops import ortho_frame, phase_eval, phase_sample_from_uniforms
 from .scene_state import (
     IlluminationArrays,
     MediumArrays,
@@ -70,16 +70,19 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
     eps = 1e-5
 
     def bounce(depth_b, pos, d, beta, keys):
+        # one batched threefry draw per bounce (see ops/tracer._make_bounce)
         k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        u_dist = U[:, 0]
+        u_sel, u_cos, u_phi = U[:, 1], U[:, 2:4], U[:, 4]
+        u_srf = U[:, 5:7]
+        u_rr = U[:, 7]
 
         z = pos[:, 2]
         mu = clamp_mu(d[:, 2])
         tau_here = tau_z(z)
         tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
-        u = jax.vmap(jax.random.uniform)(k_dist)
-        tau_s = -jnp.log1p(-u)
+        tau_s = -jnp.log1p(-u_dist)
         collide_med = tau_s < tau_exit
 
         tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
@@ -107,11 +110,11 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         )(layer, cos_nee)
         L_med = beta * albedo_col * p_nee * sun_T(pos_med) * E_sun
         d_med = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+            lambda l, dd, us, uc, up: phase_sample_from_uniforms(
                 config.phase_kinds, medium_row.phase_params,
-                medium_row.phase_weights, l, dd, kk,
+                medium_row.phase_weights, l, dd, us, uc, up,
             )
-        )(layer, d, k_scat)
+        )(layer, d, u_sel, u_cos, u_phi)
         beta_med = beta * albedo_col
 
         # ---- terrain hit ------------------------------------------------
@@ -122,11 +125,10 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         cos_sun = jnp.maximum(jnp.einsum("ij,j->i", n_srf, w_sun), 0.0)
         pos_dem_off = pos_dem + n_srf * eps
         L_dem = beta * f_nee * cos_sun * sun_T(pos_dem_off) * E_sun
-        d_srf_l, w_srf = jax.vmap(
-            lambda w, k, pp: bsdf_sample(
-                config.surface_kind, surface_row.params, w, k, pp
-            )
-        )(wo_l, k_srf, pos_dem[:, :2])
+        d_srf_l, w_srf = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo_l, u_srf,
+            pos_dem[:, :2],
+        )
         d_srf = _to_world(n_srf, d_srf_l)
         beta_srf = beta * w_srf
 
@@ -139,7 +141,6 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
 
         do_rr = depth_b >= config.rr_depth
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
         alive2 = alive2 & jnp.where(do_rr, survive, True)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_sample
+from .bsdf_ops import bsdf_sample_from_uniforms
 from .bsdf_polarized import surface_mueller
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .mueller import (
@@ -36,7 +36,7 @@ from .mueller import (
     rotate_basis_angle,
     rotator,
 )
-from .phase_ops import phase_eval, phase_sample
+from .phase_ops import phase_eval, phase_sample_from_uniforms
 from .scene_state import SceneConfig
 
 __all__ = ["render_polarized"]
@@ -131,15 +131,20 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
 
     def bounce(depth_b, z, xy, d, P, b, beta, keys):
         B = z.shape[0]
+        # one batched threefry draw per bounce, SAME slot layout as the
+        # scalar tracer (ops/tracer._make_bounce) so scalar/polarized runs
+        # with the same seed trace identical sample paths
         k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
+        u_dist = U[:, 0]
+        u_ph_sel, u_ph_cos, u_ph_phi = U[:, 3], U[:, 4:6], U[:, 6]
+        u_srf = U[:, 7:9]
+        u_rr = U[:, 9]
 
         mu = clamp_mu(d[:, 2])
         tau_here = tau_z(z)
         tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
-        u = jax.vmap(jax.random.uniform)(k_dist)
-        tau_s = -jnp.log1p(-u)
+        tau_s = -jnp.log1p(-u_dist)
         collide = tau_s < tau_exit
 
         tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
@@ -174,15 +179,17 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
 
         # ---- sampled continuation --------------------------------------
         d_new = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+            lambda l, dd, us, uc, up: phase_sample_from_uniforms(
                 config.phase_kinds,
                 medium_row.phase_params,
                 medium_row.phase_weights,
                 l,
                 dd,
-                kk,
+                us,
+                uc,
+                up,
             )
-        )(layer, d, k_scat)
+        )(layer, d, u_ph_sel, u_ph_cos, u_ph_phi)
         l_in_new = -d_new
         cos_scat = jnp.einsum("ij,ij->i", d_new, d)
         p_scalar = jax.vmap(
@@ -236,11 +243,9 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
 
         # sampled continuation: light would come from d_srf (propagation
         # -d_srf) and leave along wo
-        d_srf, w_srf = jax.vmap(
-            lambda w, k, pp: bsdf_sample(
-                config.surface_kind, surface_row.params, w, k, pp
-            )
-        )(wo, k_srf, xy_surf)
+        d_srf, w_srf = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo, u_srf, xy_surf
+        )
         M_cont = surface_mueller(
             config.surface_kind, surface_row.params, d_srf, wo, xy_surf
         )
@@ -275,7 +280,6 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
 
         do_rr = depth_b >= config.rr_depth
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         scale = jnp.where(do_rr & alive2 & survive, 1.0 / q, 1.0)
         beta2 = beta2 * scale

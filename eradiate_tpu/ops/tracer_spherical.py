@@ -24,7 +24,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_eval, bsdf_sample
+from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .medium import fetch_at_index
 from .phase_ops import (
     layer_param_slots,
@@ -98,9 +98,13 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         return jnp.exp(-jnp.minimum(tau, 80.0))
 
     def event(evt_b, p, d, beta, depth, keys):
+        # one batched threefry draw per event (see ops/tracer._make_bounce)
         k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        u_dist = U[:, 0]
+        u_ph_sel, u_ph_cos, u_ph_phi = U[:, 1], U[:, 2:4], U[:, 4]
+        u_srf = U[:, 5:7]
+        u_rr = U[:, 7]
 
         # distance to boundaries
         tgn, tgf, hit_g = ray_sphere_intersect(p, d, r_ground)
@@ -118,8 +122,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         # ray (ops/spherical.shell_flight) — every event is a REAL
         # collision; no null-collision/majorant loop, deterministic
         # transmittance (the 'piecewise' exactness in shell geometry)
-        u = jax.vmap(jax.random.uniform)(k_dist)
-        tau_s = -jnp.log1p(-u)
+        tau_s = -jnp.log1p(-u_dist)
         accept, t_col, layer = shell_flight(
             p, d, t_max, radii, medium_row.sigma_t, tau_s
         )
@@ -154,20 +157,21 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         )(weights_at, params_at, cos_nee)
         L_col = beta * albedo_col * p_nee * sun_T(p_new) * E_sun
 
-        def _sample_one(w_at, p_at, dd, kk):
-            k_sel, k_cos, k_phi = jax.random.split(kk, 3)
+        def _sample_one(w_at, p_at, dd, us, uc, up):
             return phase_sample_at(
                 config.phase_kinds,
                 medium_row.phase_params,
                 w_at,
                 p_at,
                 dd,
-                jax.random.uniform(k_sel),
-                jax.random.uniform(k_cos, (2,)),
-                jax.random.uniform(k_phi),
+                us,
+                uc,
+                up,
             )
 
-        d_col = jax.vmap(_sample_one)(weights_at, params_at, d, k_scat)
+        d_col = jax.vmap(_sample_one)(
+            weights_at, params_at, d, u_ph_sel, u_ph_cos, u_ph_phi
+        )
         beta_col = beta * albedo_col
 
         # ---- surface interaction ---------------------------------------
@@ -187,9 +191,9 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             * sun_T(p_new)
             * E_sun
         )
-        d_srf_local, w_srf = jax.vmap(
-            lambda w, k: bsdf_sample(config.surface_kind, surface_row.params, w, k)
-        )(wo_local, k_srf)
+        d_srf_local, w_srf = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo_local, u_srf
+        )
         d_srf = _to_world(n_srf, d_srf_local)
         beta_srf = beta * w_srf
         # lift off the surface to avoid re-intersection
@@ -214,7 +218,6 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         # ---- Russian roulette (on real interactions past rr_depth) ------
         do_rr = interacted & (depth2 >= config.rr_depth)
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         beta2 = jnp.where(do_rr & alive2 & survive, beta2 / q, beta2)
         alive2 = alive2 & jnp.where(do_rr, survive, True)

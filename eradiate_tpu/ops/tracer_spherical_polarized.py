@@ -18,10 +18,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .bsdf_ops import bsdf_sample
+from .bsdf_ops import bsdf_sample_from_uniforms
 from .bsdf_polarized import surface_mueller
 from .mueller import default_basis, rotate_basis_angle, rotator
-from .phase_ops import phase_eval, phase_sample
+from .phase_ops import phase_eval, phase_sample_from_uniforms
 from .scene_state import (
     IlluminationArrays,
     SensorArrays,
@@ -55,9 +55,14 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
 
     def event(evt_b, p, d, P, b, beta, depth, keys):
         B = p.shape[0]
+        # one batched threefry draw per event, same slot layout as the
+        # scalar spherical tracer (ops/tracer_spherical._make_event)
         k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(k_iter)
-        k_dist, k_scat, k_srf, k_rr = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        u_dist = U[:, 0]
+        u_ph_sel, u_ph_cos, u_ph_phi = U[:, 1], U[:, 2:4], U[:, 4]
+        u_srf = U[:, 5:7]
+        u_rr = U[:, 7]
 
         tgn, tgf, hit_g = ray_sphere_intersect(p, d, r_ground)
         t_ground = jnp.where(
@@ -78,8 +83,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
 
         # exact free flight (see ops/spherical.shell_flight): every event
         # is a real collision; no null-collision/majorant loop
-        u = jax.vmap(jax.random.uniform)(k_dist)
-        tau_s = -jnp.log1p(-u)
+        tau_s = -jnp.log1p(-u_dist)
         accept, t_col, layer = shell_flight(
             p, d, t_max, radii, medium_row.sigma_t, tau_s
         )
@@ -114,15 +118,17 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
 
         # ---- sampled continuation at accepted collisions ---------------
         d_new = jax.vmap(
-            lambda l, dd, kk: phase_sample(
+            lambda l, dd, us, uc, up: phase_sample_from_uniforms(
                 config.phase_kinds,
                 medium_row.phase_params,
                 medium_row.phase_weights,
                 l,
                 dd,
-                kk,
+                us,
+                uc,
+                up,
             )
-        )(layer, d, k_scat)
+        )(layer, d, u_ph_sel, u_ph_cos, u_ph_phi)
         l_in_new = -d_new
         cos_scat = jnp.einsum("ij,ij->i", d_new, d)
         p_scalar = jax.vmap(
@@ -168,9 +174,9 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
             "bij,bjk,bkl,bl->bi", P, R_out_srf, M_srf, S_sun_srf
         )
 
-        d_srf_local, w_srf = jax.vmap(
-            lambda w, k: bsdf_sample(config.surface_kind, surface_row.params, w, k)
-        )(wo_local, k_srf)
+        d_srf_local, w_srf = bsdf_sample_from_uniforms(
+            config.surface_kind, surface_row.params, wo_local, u_srf
+        )
         d_srf = _to_world(n_srf, d_srf_local)
         M_cont = surface_mueller(
             config.surface_kind, surface_row.params, d_srf_local, wo_local, None
@@ -213,7 +219,6 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
 
         do_rr = interacted & (depth2 >= config.rr_depth)
         q = jnp.clip(beta2, 0.0, 0.95)
-        u_rr = jax.vmap(jax.random.uniform)(k_rr)
         survive = u_rr < q
         scale = jnp.where(do_rr & alive2 & survive, 1.0 / q, 1.0)
         beta2 = beta2 * scale

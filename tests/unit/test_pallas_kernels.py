@@ -78,3 +78,32 @@ class TestLeafIntersectPallas:
         )
         np.testing.assert_array_equal(np.asarray(hit_pl), np.asarray(hit_ref))
         np.testing.assert_allclose(np.asarray(t_pl), np.asarray(t_ref), rtol=1e-5)
+
+
+class TestCollisionFetchPallas:
+    """Experimental fused search+fetch kernel (interpret mode on CPU)."""
+
+    def test_matches_searchsorted_gather(self):
+        from eradiate_tpu.ops.pallas.collision_fetch import (
+            collision_fetch_pallas,
+        )
+
+        L = 300
+        key = jax.random.key(0)
+        tau = jnp.concatenate(
+            [jnp.zeros(1),
+             jnp.cumsum(jnp.abs(jax.random.normal(key, (L,))) * 1e-3)]
+        )
+        stacked = jax.random.normal(jax.random.key(1), (L + 1, 6))
+        q = jax.random.uniform(jax.random.key(2), (1000,)) * float(tau[-1])
+        out, idx = collision_fetch_pallas(
+            q, tau, stacked, block_b=256, interpret=True
+        )
+        idx_ref = np.clip(
+            np.searchsorted(np.asarray(tau), np.asarray(q), side="right") - 1,
+            0, L - 1,
+        )
+        np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(stacked)[idx_ref], rtol=2e-4, atol=1e-5
+        )
