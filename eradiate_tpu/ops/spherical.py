@@ -12,8 +12,9 @@ piecewise-constant extinction. Two ingredients:
   cosine) **Chapman-style table** per spectral index, contracted on the MXU
   as a [L+1*M, L] x [L, S] matmul, then bilinearly interpolated by the
   tracer at every NEE event.
-- **Ray/sphere stepping** for the delta-tracking free-flight sampler
-  (the ``heterogeneous`` medium analog).
+- **Ray/sphere stepping** and the **exact free-flight sampler**
+  (:func:`shell_flight`) that replaces the ``heterogeneous`` medium's
+  delta tracking.
 
 All radii in km; the planet center is the coordinate origin.
 """

@@ -77,7 +77,7 @@ def _to_world(n, v):
 
 
 def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
-    """Per-tentative-event transition closure (delta tracking) shared by
+    """Per-event transition closure (exact shell free flight) shared by
     the one-shot and regenerative loops; see
     :func:`eradiate_tpu.ops.tracer._make_bounce` for the pattern."""
     radii = medium_row.radii
@@ -283,14 +283,12 @@ def trace_paths_spherical_regen(
     quota,
     max_iterations: int,
 ):
-    """Regenerative delta-tracking trace: each lane renders ``quota``
-    samples, re-seeding a fresh path the moment one dies (see
-    :func:`eradiate_tpu.ops.tracer.trace_paths_regen` for rationale —
-    delta tracking amplifies the straggler problem because null events
-    inflate the iteration count of unlucky paths). ``evt`` counts
-    tentative events since the current path's start, so the per-sample RNG
-    stream ``fold_in(fold_in(row_key, sample_id), evt)`` is identical to
-    the one-shot tracer's."""
+    """Regenerative shell trace: each lane renders ``quota`` samples,
+    re-seeding a fresh path the moment one dies (see
+    :func:`eradiate_tpu.ops.tracer.trace_paths_regen` for rationale).
+    ``evt`` counts events since the current path's start, so the
+    per-sample RNG stream ``fold_in(fold_in(row_key, sample_id), evt)``
+    is identical to the one-shot tracer's."""
     B = init_p.shape[0]
     dtype = init_p.dtype
     event = _make_event(config, medium_row, surface_row, illum_row)

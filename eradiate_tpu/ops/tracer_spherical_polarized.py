@@ -1,6 +1,6 @@
 """Wavefront path tracer — polarized transport, spherical-shell geometry.
 
-Combines the delta-tracking shell traversal of
+Combines the exact-flight shell traversal of
 :mod:`eradiate_tpu.ops.tracer_spherical` with the Mueller/Stokes calculus
 of :mod:`eradiate_tpu.ops.tracer_polarized` (reference: polarized Mitsuba
 variants rendering ``sphericalcoordsvolume`` media, SURVEY §2.1). Null
@@ -288,7 +288,7 @@ def trace_paths_spherical_polarized_regen(
     quota,
     max_iterations: int,
 ):
-    """Regenerative polarized delta-tracking trace (see
+    """Regenerative polarized shell trace (see
     ops/tracer.trace_paths_regen). Returns (S_sum [B, 4], m2_sum [B])."""
     B = init_p.shape[0]
     dtype = init_p.dtype
