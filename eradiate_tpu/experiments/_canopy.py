@@ -79,10 +79,16 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
             canopy = canopy.padded_copy(self.padding)
         flat, mesh = canopy.flatten_full()
         dtype = mode().device_dtype
+        # Morton-order the leaves so the Pallas sweep kernels' per-block
+        # bounding spheres are tight (ops/canopy.morton_order) — pure
+        # reordering, results are order-invariant
+        from ..ops.canopy import morton_order
+
+        order = morton_order(flat.positions)
         leaves = LeafCloudArrays(
-            centers=jnp.asarray(flat.positions, dtype=dtype),
-            normals=jnp.asarray(flat.orientations, dtype=dtype),
-            radii=jnp.asarray(flat.radii, dtype=dtype),
+            centers=jnp.asarray(flat.positions[order], dtype=dtype),
+            normals=jnp.asarray(flat.orientations[order], dtype=dtype),
+            radii=jnp.asarray(flat.radii[order], dtype=dtype),
         )
         tris = None
         if mesh is not None:

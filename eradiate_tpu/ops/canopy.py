@@ -22,7 +22,15 @@ import jax.numpy as jnp
 
 from .scene_state import _pytree_dataclass
 
-__all__ = ["LeafCloudArrays", "ray_leaves_nearest", "ray_leaves_occluded"]
+__all__ = [
+    "LeafCloudArrays",
+    "leaf_nearest",
+    "leaf_occluded",
+    "leaf_spheres",
+    "morton_order",
+    "ray_leaves_nearest",
+    "ray_leaves_occluded",
+]
 
 
 @_pytree_dataclass
@@ -122,3 +130,115 @@ def ray_leaves_occluded(p, d, t_max, leaves: LeafCloudArrays, chunk: int = 512):
     return _scan_chunks(
         p, d, leaves, t_max, chunk, reduce_fn, jnp.zeros(p.shape[0], dtype=bool)
     )
+
+
+def morton_order(positions):
+    """Host-side Morton (Z-curve) ordering permutation for leaf positions
+    [N, 3] (numpy). Spatially adjacent leaves land in adjacent array slots,
+    which makes the per-block bounding spheres of the Pallas sweep kernels
+    tight (:func:`eradiate_tpu.ops.pallas.leaf_intersect.leaf_block_spheres`)
+    so that block culling actually rejects tiles. Pure reordering — the
+    sweep results are order-invariant (min/any reductions).
+    """
+    import numpy as np
+
+    pos = np.asarray(positions, dtype=np.float64)
+    lo = pos.min(axis=0)
+    span = np.maximum(pos.max(axis=0) - lo, 1e-12)
+    q = np.clip((pos - lo) / span * ((1 << 21) - 1), 0, (1 << 21) - 1).astype(
+        np.uint64
+    )
+    code = np.zeros(pos.shape[0], dtype=np.uint64)
+    for b in range(21):
+        for ax in range(3):
+            code |= ((q[:, ax] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + ax
+            )
+    return np.argsort(code, kind="stable")
+
+
+def _pallas_eligible(p, leaves: LeafCloudArrays) -> bool:
+    """The Mosaic sweep kernels are f32-only and TPU-only; everything else
+    (CPU tests, f64 double modes) takes the XLA dense sweep.
+    ``ERADIATE_NO_PALLAS=1`` forces the XLA path (A/B tooling)."""
+    import os
+
+    if os.environ.get("ERADIATE_NO_PALLAS"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and p.dtype == jnp.float32
+        and leaves.centers.dtype == jnp.float32
+    )
+
+
+def leaf_spheres(p, leaves: LeafCloudArrays):
+    """Acceleration data for the leaf sweeps: ``(block_spheres, aabb_lo,
+    aabb_hi)`` where ``block_spheres`` is None on the XLA path. Compute
+    ONCE per render, outside the path loop, and pass to every
+    :func:`leaf_nearest`/:func:`leaf_occluded` call — XLA does not reliably
+    hoist the reductions out of ``while_loop`` bodies.
+    """
+    lo = jnp.min(leaves.centers - leaves.radii[:, None], axis=0)
+    hi = jnp.max(leaves.centers + leaves.radii[:, None], axis=0)
+    if not _pallas_eligible(p, leaves):
+        return None, lo, hi
+    from .pallas.leaf_intersect import leaf_block_spheres
+
+    sph = leaf_block_spheres(leaves.centers, leaves.normals, leaves.radii)
+    return sph, lo, hi
+
+
+def _advance_to_aabb(p, d, t_max, lo, hi):
+    """Clip rays to their overlap with the cloud's AABB: returns
+    ``(p_adv, t0, t_cap)`` with ``p_adv = p + t0 d`` and the remaining
+    in-box flight cap ``t_cap`` (0 where the segment misses the box).
+
+    Two purposes: (1) **precision** — sweeping from a TOA-distant origin
+    (|p| ~ 1e2 km) against 1e-4 km leaf disks loses ~7 mm to f32 rounding
+    in ``p + t d``, a double-digit percentage of the disk radius; starting
+    at the box keeps the round-off ~1e4x below the disk size. (2) **speed**
+    — lanes whose segment misses the box sweep nothing (t_cap = 0 kills
+    every per-leaf test and tile-cull early).
+    """
+    safe_d = jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+    ta = (lo[None, :] - p) / safe_d
+    tb = (hi[None, :] - p) / safe_d
+    t_enter = jnp.max(jnp.minimum(ta, tb), axis=1)
+    t_exit = jnp.min(jnp.maximum(ta, tb), axis=1)
+    t0 = jnp.clip(t_enter, 0.0, t_max)
+    t_cap = jnp.maximum(jnp.minimum(t_exit, t_max) - t0, 0.0)
+    return p + t0[:, None] * d, t0, t_cap
+
+
+def leaf_nearest(p, d, t_max, leaves: LeafCloudArrays, accel=None):
+    """Nearest leaf hit: AABB-advanced origins (precision + whole-lane
+    culling), then the Pallas tiled kernel on TPU/f32 (block-sphere tile
+    culling) or the XLA dense sweep. Same (t, normal, hit) contract as
+    :func:`ray_leaves_nearest`."""
+    spheres, lo, hi = accel if accel is not None else leaf_spheres(p, leaves)
+    p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if _pallas_eligible(p, leaves):
+        from .pallas.leaf_intersect import ray_leaves_nearest_pallas
+
+        t_loc, n, hit = ray_leaves_nearest_pallas(
+            p_adv, d, t_cap, leaves.centers, leaves.normals, leaves.radii,
+            spheres=spheres,
+        )
+    else:
+        t_loc, n, hit = ray_leaves_nearest(p_adv, d, t_cap, leaves)
+    return jnp.where(hit, t0 + t_loc, t_max), n, hit
+
+
+def leaf_occluded(p, d, t_max, leaves: LeafCloudArrays, accel=None):
+    """Shadow-ray any-hit with AABB advance; Pallas on TPU/f32."""
+    spheres, lo, hi = accel if accel is not None else leaf_spheres(p, leaves)
+    p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if _pallas_eligible(p, leaves):
+        from .pallas.leaf_intersect import ray_leaves_occluded_pallas
+
+        return ray_leaves_occluded_pallas(
+            p_adv, d, t_cap, leaves.centers, leaves.normals, leaves.radii,
+            spheres=spheres,
+        )
+    return ray_leaves_occluded(p_adv, d, t_cap, leaves)

@@ -27,6 +27,9 @@ __all__ = [
     "mesh_from_vertices",
     "ray_tris_nearest",
     "ray_tris_occluded",
+    "tri_accel",
+    "tri_nearest",
+    "tri_occluded",
     "cylinder_mesh",
     "cone_mesh",
 ]
@@ -152,6 +155,70 @@ def ray_tris_occluded(p, d, t_max, tris: TriangleMeshArrays, chunk: int = 512):
     return _scan_chunks(
         p, d, tris, t_max, chunk, reduce_fn, jnp.zeros(p.shape[0], dtype=bool)
     )
+
+
+def _pallas_eligible(p, tris: TriangleMeshArrays) -> bool:
+    """Mosaic sweep kernels are f32/TPU-only (see ops/canopy);
+    ``ERADIATE_NO_PALLAS=1`` forces the XLA path."""
+    import os
+
+    if os.environ.get("ERADIATE_NO_PALLAS"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and p.dtype == jnp.float32
+        and tris.v0.dtype == jnp.float32
+    )
+
+
+def tri_accel(p, tris: TriangleMeshArrays):
+    """Acceleration data for the triangle sweeps: ``(block_spheres,
+    aabb_lo, aabb_hi)``. Compute ONCE per render (outside the path loop)
+    and pass to :func:`tri_nearest`/:func:`tri_occluded`."""
+    verts = jnp.concatenate(
+        [tris.v0, tris.v0 + tris.e1, tris.v0 + tris.e2], axis=0
+    )
+    lo = jnp.min(verts, axis=0)
+    hi = jnp.max(verts, axis=0)
+    if not _pallas_eligible(p, tris):
+        return None, lo, hi
+    from .pallas.tri_intersect import tri_block_spheres
+
+    return tri_block_spheres(tris.v0, tris.e1, tris.e2), lo, hi
+
+
+def tri_nearest(p, d, t_max, tris: TriangleMeshArrays, accel=None):
+    """Nearest triangle hit with AABB-advanced origins (precision at
+    TOA-distant ray starts + whole-lane culling; see
+    ops/canopy._advance_to_aabb) and Pallas tiled sweeps on TPU/f32."""
+    from .canopy import _advance_to_aabb
+
+    spheres, lo, hi = accel if accel is not None else tri_accel(p, tris)
+    p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if _pallas_eligible(p, tris):
+        from .pallas.tri_intersect import ray_tris_nearest_pallas
+
+        t_loc, n, hit = ray_tris_nearest_pallas(
+            p_adv, d, t_cap, tris.v0, tris.e1, tris.e2, spheres=spheres
+        )
+    else:
+        t_loc, n, hit = ray_tris_nearest(p_adv, d, t_cap, tris)
+    return jnp.where(hit, t0 + t_loc, t_max), n, hit
+
+
+def tri_occluded(p, d, t_max, tris: TriangleMeshArrays, accel=None):
+    """Shadow-ray any-hit with AABB advance; Pallas on TPU/f32."""
+    from .canopy import _advance_to_aabb
+
+    spheres, lo, hi = accel if accel is not None else tri_accel(p, tris)
+    p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if _pallas_eligible(p, tris):
+        from .pallas.tri_intersect import ray_tris_occluded_pallas
+
+        return ray_tris_occluded_pallas(
+            p_adv, d, t_cap, tris.v0, tris.e1, tris.e2, spheres=spheres
+        )
+    return ray_tris_occluded(p_adv, d, t_cap, tris)
 
 
 # ---------------------------------------------------------------------------

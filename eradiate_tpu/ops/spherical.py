@@ -147,7 +147,30 @@ def sun_tau_table(sigma_t, radii, mu_grid, r_ground=None, chunk=128):
     return taus[:, :I, :]
 
 
+def _use_pallas(dtype) -> bool:
+    """Fused Mosaic kernels (ops/pallas/shell_flight.py) take over on
+    TPU/f32; CPU tests and f64 double modes keep the XLA formulation.
+    ``ERADIATE_NO_PALLAS=1`` forces XLA (A/B tooling)."""
+    import os
+
+    if os.environ.get("ERADIATE_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" and dtype == jnp.float32
+
+
 def slant_tau_exact(p, w, radii, sigma, r_ground=None):
+    """Dispatch: fused Pallas kernel on TPU/f32 (``r_ground`` default
+    only), XLA closed form otherwise. See :func:`_slant_tau_exact_xla`."""
+    if r_ground is None and _use_pallas(jnp.result_type(p)):
+        from .pallas.shell_flight import slant_tau_pallas
+
+        x0 = jnp.sum(p * w, axis=-1)
+        r2 = jnp.sum(p * p, axis=-1)
+        return slant_tau_pallas(x0, r2, jnp.asarray(radii), sigma)
+    return _slant_tau_exact_xla(p, w, radii, sigma, r_ground)
+
+
+def _slant_tau_exact_xla(p, w, radii, sigma, r_ground=None):
     """Exact slant optical depth from points ``p`` toward unit direction
     ``w`` through concentric shells (no table, no interpolation).
 
@@ -200,6 +223,19 @@ def slant_tau_exact(p, w, radii, sigma, r_ground=None):
 
 
 def shell_flight(p, d, t_max, radii, sigma, tau_s):
+    """Dispatch: fused Pallas kernel on TPU/f32, XLA formulation (MXU
+    triangular-matmul prefix) otherwise. See :func:`_shell_flight_xla`."""
+    if _use_pallas(jnp.result_type(p)):
+        from .pallas.shell_flight import shell_flight_pallas
+
+        x0 = jnp.sum(p * d, axis=-1)
+        b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+        radii = jnp.asarray(radii)
+        return shell_flight_pallas(x0, b2, t_max, tau_s, radii * radii, sigma)
+    return _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
+
+
+def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s):
     """Exact free-flight sampling through concentric shells.
 
     The spherical analog of the plane-parallel closed-form sampler

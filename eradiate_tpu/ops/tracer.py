@@ -423,14 +423,23 @@ def _per_path_targets(target, target_extent, pix, key, dtype):
 REGEN_LANES_TARGET = 2**14
 
 
-def _lane_plan(n_pix: int, spp: int) -> tuple[int, int]:
+#: Minimum samples per lane before extra lanes stop paying: regeneration
+#: amortizes the straggler tail over a lane's quota, so quota ~ 1 degrades
+#: to the one-shot loop no matter how many lanes run.
+_QUOTA_FLOOR = 8
+
+
+def _lane_plan(
+    n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET
+) -> tuple[int, int]:
     """(lanes_per_pixel, max quota) for the regenerative tracer."""
-    lp = max(1, min(spp, REGEN_LANES_TARGET // max(n_pix, 1)))
+    lp = max(1, min(spp, lanes_target // max(n_pix, 1)))
+    lp = min(lp, max(1, spp // _QUOTA_FLOOR))
     quota = -(-spp // lp)
     return lp, quota
 
 
-def lane_partition(n_pix: int, spp: int):
+def lane_partition(n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET):
     """Exact-spp lane partition shared by the regenerative tracers.
 
     Returns ``(lp, pix, slot, lane_first, quota)``: ``n_pix * lp`` lanes;
@@ -439,8 +448,14 @@ def lane_partition(n_pix: int, spp: int):
     exactly (the first ``spp % lp`` slots of each pixel take one extra
     sample). Keys derived from these ids depend only on (pixel, sample),
     so estimates are invariant to the decomposition.
+
+    ``lanes_target`` is geometry-dependent: 2^14 peaks for the
+    plane-parallel tracer (VMEM residency of the [B, L] fetch passes) while
+    the spherical tracers amortize their per-bounce [B, L] shell passes
+    better at 2^16 (per-lane bounce cost halves from 16k to 64k lanes,
+    measured on v5e).
     """
-    lp, _ = _lane_plan(n_pix, spp)
+    lp, _ = _lane_plan(n_pix, spp, lanes_target)
     pix = jnp.repeat(jnp.arange(n_pix), lp)
     slot = jnp.tile(jnp.arange(lp), n_pix)
     q_lo, rem = divmod(spp, lp)

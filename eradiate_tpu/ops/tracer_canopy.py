@@ -22,7 +22,7 @@ from .bsdf_ops import (
     bsdf_eval,
     bsdf_sample_from_uniforms,
 )
-from .canopy import LeafCloudArrays, ray_leaves_nearest, ray_leaves_occluded
+from .canopy import LeafCloudArrays, leaf_nearest, leaf_occluded, leaf_spheres
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .phase_ops import ortho_frame, phase_eval, phase_sample_from_uniforms
 from .scene_state import (
@@ -67,19 +67,30 @@ def _canopy_helpers(
     def tau_z(z):
         return tau_at_z(z, z_levels, tau_levels)
 
+    # sweep acceleration data (block spheres + AABB): computed ONCE per
+    # render here (trace time, outside the path while_loop) and passed to
+    # every sweep call
+    spheres = leaf_spheres(leaves.centers, leaves)
+    if tris is not None:
+        from .mesh import tri_accel
+
+        tris_accel = tri_accel(tris.v0, tris)
+    else:
+        tris_accel = None
+
     def sun_T(pos):
         z = pos[:, 2]
         T_atm = jnp.exp(-(tau_top - tau_z(z)) / mu_sun)
-        occluded = ray_leaves_occluded(
+        occluded = leaf_occluded(
             pos, jnp.broadcast_to(w_sun, pos.shape), jnp.full(pos.shape[0], 1e6),
-            leaves,
+            leaves, spheres,
         )
         if tris is not None:
-            from .mesh import ray_tris_occluded
+            from .mesh import tri_occluded
 
-            occluded = occluded | ray_tris_occluded(
+            occluded = occluded | tri_occluded(
                 pos, jnp.broadcast_to(w_sun, pos.shape),
-                jnp.full(pos.shape[0], 1e6), tris,
+                jnp.full(pos.shape[0], 1e6), tris, tris_accel,
             )
         return T_atm * jnp.where(occluded, 0.0, 1.0)
 
@@ -113,17 +124,24 @@ def _canopy_helpers(
         z_spot = jnp.clip(illum_row.position[2], z_bottom, z_top)
         dtau = jnp.abs(tau_z(z_spot) - tau_z(pos[:, 2]))
         T_atm = jnp.exp(-dtau / jnp.maximum(jnp.abs(w_nee[:, 2]), 1e-6))
-        occ = ray_leaves_occluded(pos, w_nee, r, leaves)
+        occ = leaf_occluded(pos, w_nee, r, leaves, spheres)
         if tris is not None:
-            from .mesh import ray_tris_occluded
+            from .mesh import tri_occluded
 
-            occ = occ | ray_tris_occluded(pos, w_nee, r, tris)
+            occ = occ | tri_occluded(pos, w_nee, r, tris, tris_accel)
         # intensity [W/sr/nm] / r^2 [km^2] -> irradiance [W/m^2/nm]
         E = illum_row.irradiance * 1e-6 / jnp.maximum(r * r, 1e-12)
         E = jnp.where(in_beam & ~occ, E * T_atm, 0.0)
         return w_nee, E
 
-    return {"tau_z": tau_z, "sun_T": sun_T, "nee_dir": nee_dir, "nee_at": nee_at}
+    return {
+        "tau_z": tau_z,
+        "sun_T": sun_T,
+        "nee_dir": nee_dir,
+        "nee_at": nee_at,
+        "spheres": spheres,
+        "tris_accel": tris_accel,
+    }
 
 
 def trace_paths_canopy(
@@ -150,7 +168,8 @@ def trace_paths_canopy(
     bounce = _make_bounce_canopy(
         config, medium_row, surface_row, leaf_row, leaves, illum_row,
         tris, tri_row, helpers["tau_z"], helpers["nee_dir"],
-        helpers["nee_at"], eps,
+        helpers["nee_at"], eps, spheres=helpers["spheres"],
+        tris_accel=helpers["tris_accel"],
     )
 
     def body(carry):
@@ -180,7 +199,8 @@ def trace_paths_canopy(
 
 def _make_bounce_canopy(
     config, medium_row, surface_row, leaf_row, leaves, illum_row,
-    tris, tri_row, tau_z, nee_dir, nee_at, eps,
+    tris, tri_row, tau_z, nee_dir, nee_at, eps, spheres=None,
+    tris_accel=None,
 ):
     """Per-bounce transition closure shared by the one-shot and
     regenerative canopy loops (see ops/tracer._make_bounce)."""
@@ -213,11 +233,11 @@ def _make_bounce_canopy(
         t_med = jnp.where(collide_med, (z_med - z) / mu, (z_edge - z) / mu)
 
         # nearest scatterer (leaf disk or mesh triangle) within the segment
-        t_leaf, n_leaf, hit_leaf = ray_leaves_nearest(pos, d, t_med, leaves)
+        t_leaf, n_leaf, hit_leaf = leaf_nearest(pos, d, t_med, leaves, spheres)
         if tris is not None:
-            from .mesh import ray_tris_nearest
+            from .mesh import tri_nearest
 
-            t_tri, n_tri, hit_tri = ray_tris_nearest(pos, d, t_med, tris)
+            t_tri, n_tri, hit_tri = tri_nearest(pos, d, t_med, tris, tris_accel)
             tri_first = hit_tri & (~hit_leaf | (t_tri < t_leaf))
             hit_scat = hit_leaf | hit_tri
             t_leaf = jnp.where(tri_first, t_tri, t_leaf)
@@ -389,7 +409,8 @@ def trace_paths_canopy_regen(
     bounce = _make_bounce_canopy(
         config, medium_row, surface_row, leaf_row, leaves, illum_row,
         tris, tri_row, helpers["tau_z"], helpers["nee_dir"],
-        helpers["nee_at"], 1e-6,
+        helpers["nee_at"], 1e-6, spheres=helpers["spheres"],
+        tris_accel=helpers["tris_accel"],
     )
     B = init_pos.shape[0]
     dtype = init_pos.dtype

@@ -39,6 +39,14 @@ from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
 __all__ = ["SphericalMediumArrays", "render_spherical"]
 
 
+#: Lane-count target for the spherical regenerative tracers. Swept on
+#: v5e (spp 32768, 15 angles): 2^14 lanes x quota ~30 beats 2^16 x quota 8
+#: (1.78 vs 1.48 M samples/s) — per-lane bounce cost halves at 64k lanes,
+#: but regeneration's tail amortization over a deep quota matters more;
+#: see docs/developer_guide/performance.md.
+SPHERICAL_LANES_TARGET = 2**14
+
+
 @_pytree_dataclass
 class SphericalMediumArrays:
     """Radially-stratified medium, spectrally batched."""
@@ -352,7 +360,9 @@ def _render_row_spherical(
 ):
     from .tracer import lane_partition
 
-    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    lp, pix, slot, lane_first, quota = lane_partition(
+        n_pix, spp, lanes_target=SPHERICAL_LANES_TARGET
+    )
     B = n_pix * lp
     r_top = medium_row.radii[-1]
 

@@ -5,8 +5,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from eradiate_tpu.ops.canopy import LeafCloudArrays, ray_leaves_nearest
-from eradiate_tpu.ops.pallas.leaf_intersect import ray_leaves_nearest_pallas
+from eradiate_tpu.ops.canopy import (
+    LeafCloudArrays,
+    ray_leaves_nearest,
+    ray_leaves_occluded,
+)
+from eradiate_tpu.ops.pallas.leaf_intersect import (
+    ray_leaves_nearest_pallas,
+    ray_leaves_occluded_pallas,
+)
 
 
 def make_problem(B=100, N=300, seed=0):
@@ -35,7 +42,7 @@ class TestLeafIntersectPallas:
         t_ref, n_ref, hit_ref = ray_leaves_nearest(
             jnp.asarray(p), jnp.asarray(d), jnp.asarray(t_max), leaves
         )
-        t_pl, idx_pl, hit_pl = ray_leaves_nearest_pallas(
+        t_pl, n_pl, hit_pl = ray_leaves_nearest_pallas(
             jnp.asarray(p), jnp.asarray(d), jnp.asarray(t_max),
             jnp.asarray(centers), jnp.asarray(normals), jnp.asarray(radii),
             block_b=32, block_n=64, interpret=True,
@@ -44,16 +51,28 @@ class TestLeafIntersectPallas:
         np.testing.assert_allclose(
             np.asarray(t_pl), np.asarray(t_ref), rtol=1e-5
         )
-        # normals recovered via the index gather match
-        n_pl = np.asarray(jnp.asarray(normals)[idx_pl])
-        got = np.where(np.asarray(hit_pl)[:, None], n_pl, np.asarray(n_ref))
+        got = np.where(
+            np.asarray(hit_pl)[:, None], np.asarray(n_pl), np.asarray(n_ref)
+        )
         np.testing.assert_allclose(got, np.asarray(n_ref), rtol=1e-5)
+
+        occ_ref = ray_leaves_occluded(
+            jnp.asarray(p), jnp.asarray(d), jnp.asarray(t_max), leaves
+        )
+        occ_pl = ray_leaves_occluded_pallas(
+            jnp.asarray(p), jnp.asarray(d), jnp.asarray(t_max),
+            jnp.asarray(centers), jnp.asarray(normals), jnp.asarray(radii),
+            block_b=32, block_n=64, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ_pl), np.asarray(occ_ref)
+        )
 
     def test_all_miss(self):
         p, d, t_max, centers, normals, radii = make_problem(B=16, N=32)
         d = np.zeros_like(d)
         d[:, 2] = 1.0  # upward: nothing above
-        t_pl, idx_pl, hit_pl = ray_leaves_nearest_pallas(
+        t_pl, _, hit_pl = ray_leaves_nearest_pallas(
             jnp.asarray(p), jnp.asarray(d), jnp.asarray(t_max),
             jnp.asarray(centers), jnp.asarray(normals), jnp.asarray(radii),
             block_b=8, block_n=16, interpret=True,
