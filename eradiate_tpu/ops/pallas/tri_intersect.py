@@ -251,6 +251,9 @@ def ray_tris_nearest_pallas(
             out_specs=(out_spec,) * 4,
         ),
         out_shape=(jax.ShapeDtypeStruct((Bp,), p.dtype),) * 4,
+        # tile temporaries exceed the default 16 MB scoped-VMEM budget at
+        # 1024x1024 blocks; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
 
@@ -287,6 +290,7 @@ def ray_tris_occluded_pallas(
             out_specs=out_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((Bp,), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
     return occ[:B] > 0.5

@@ -382,6 +382,36 @@ def _make_bounce_canopy(
     return bounce
 
 
+#: Bounces between spatial lane sorts in the canopy regen loop (0 = off).
+#: Sorting lanes by the Morton code of their current position makes ray
+#: blocks spatially coherent, which is what lets the Pallas sweep kernels'
+#: per-block bounding-sphere culling actually skip tiles (incoherent lanes
+#: defeat it: one stray ray per 1024-lane block touches every block).
+#: Override with ERADIATE_CANOPY_SORT=<n>.
+CANOPY_SORT_EVERY = 1
+
+
+def _sort_interval() -> int:
+    import os
+
+    v = os.environ.get("ERADIATE_CANOPY_SORT")
+    return int(v) if v is not None else CANOPY_SORT_EVERY
+
+
+def _morton_u32(pos, lo, hi):
+    """7-bit/axis Morton code of positions [B, 3] within [lo, hi]."""
+    span = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((pos - lo) / span * 127.0, 0.0, 127.0).astype(jnp.uint32)
+    code = jnp.zeros(pos.shape[0], jnp.uint32)
+    for b in range(7):
+        for ax in range(3):
+            code = code | (
+                ((q[:, ax] >> jnp.uint32(b)) & jnp.uint32(1))
+                << jnp.uint32(3 * b + ax)
+            )
+    return code
+
+
 def trace_paths_canopy_regen(
     config: SceneConfig,
     medium_row,
@@ -401,7 +431,15 @@ def trace_paths_canopy_regen(
     """Regenerative canopy trace (see ops/tracer.trace_paths_regen):
     lanes re-seed a fresh (pixel, sample) path on death; ``ext`` [B, 2]
     jitters the xy origin per sample (footprint rectangle targets).
-    Returns (L_sum, m2_sum) per lane."""
+    Returns (L_sum, m2_sum) per lane.
+
+    When ``CANOPY_SORT_EVERY`` > 0 the loop periodically permutes ALL lane
+    state by the Morton code of the current position (done lanes parked at
+    TOA pointing up — their blocks then cull every sweep tile). Keys travel
+    with their lane, so per-sample paths are identical to the unsorted
+    loop; only the f32 summation grouping changes. The final sums are
+    scattered back to original lane order.
+    """
     # reuse the closure setup of the one-shot entrypoint
     helpers = _canopy_helpers(
         config, medium_row, leaf_row, leaves, illum_row, tris, tri_row
@@ -414,25 +452,35 @@ def trace_paths_canopy_regen(
     )
     B = init_pos.shape[0]
     dtype = init_pos.dtype
-    row_keys_b = jnp.broadcast_to(row_key, (B,))
+    z_top = medium_row.z_levels[-1]
+    sort_every = _sort_interval()
+    # scene bounds for the sort key: the leaf AABB plus the column above it
+    _, box_lo, box_hi = (
+        helpers["spheres"]
+        if isinstance(helpers["spheres"], tuple) and len(helpers["spheres"]) == 3
+        else (None, jnp.min(leaves.centers, 0), jnp.max(leaves.centers, 0))
+    )
 
-    def sample_key(s_local):
-        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+    def sample_key(lane_first, s_local):
+        return jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(row_key, (B,)), lane_first + s_local
+        )
 
-    def origin(keys):
+    def origin(keys, init_pos, ext_l):
         if ext is None:
             return init_pos
         u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
             jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
         )
-        jit = (u - 0.5) * ext
+        jit = (u - 0.5) * ext_l
         return init_pos + jnp.concatenate(
             [jit, jnp.zeros((B, 1), dtype)], axis=-1
         )
 
     def body(carry):
-        (s_local, depth, pos, d, beta, L_cur, keys, done,
-         L_sum, m2_sum) = carry
+        (it, s_local, depth, pos, d, beta, L_cur, keys, done,
+         L_sum, m2_sum, lane_first_l, quota_l, init_pos_l, init_d_l,
+         ext_l, orig) = carry
 
         L_add, pos2, d2, beta2, alive2 = bounce(depth, pos, d, beta, keys)
         active = ~done
@@ -443,28 +491,63 @@ def trace_paths_canopy_regen(
         L_sum = L_sum + jnp.where(path_end, L_cur, 0.0)
         m2_sum = m2_sum + jnp.where(path_end, L_cur * L_cur, 0.0)
         s_local = s_local + path_end.astype(s_local.dtype)
-        done = done | (s_local >= quota)
+        done = done | (s_local >= quota_l)
 
         regen = path_end & ~done
-        keys_new = sample_key(s_local)
+        keys_new = sample_key(lane_first_l, s_local)
         keys = jnp.where(regen, keys_new, keys)
-        pos = jnp.where(regen[:, None], origin(keys_new), pos2)
-        d = jnp.where(regen[:, None], init_d, d2)
+        pos = jnp.where(
+            regen[:, None], origin(keys_new, init_pos_l, ext_l), pos2
+        )
+        d = jnp.where(regen[:, None], init_d_l, d2)
         beta = jnp.where(regen, jnp.ones((), dtype), beta2)
         L_cur = jnp.where(path_end, 0.0, L_cur)
         depth = jnp.where(regen, 0, depth)
 
-        return (s_local, depth, pos, d, beta, L_cur, keys, done,
-                L_sum, m2_sum)
+        # park done lanes at TOA pointing up: valid geometry, zero AABB
+        # overlap, so sorted-together done blocks cull every sweep tile
+        park = jnp.stack(
+            [jnp.zeros(B, dtype), jnp.zeros(B, dtype),
+             jnp.full(B, z_top, dtype)], axis=-1
+        )
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), (B, 3))
+        pos = jnp.where(done[:, None], park, pos)
+        d = jnp.where(done[:, None], up, d)
+
+        state = (s_local, depth, pos, d, beta, L_cur, keys, done,
+                 L_sum, m2_sum, lane_first_l, quota_l, init_pos_l,
+                 init_d_l, ext_l, orig)
+        if sort_every > 0:
+            def do_sort(st):
+                code = _morton_u32(st[2], box_lo, box_hi)
+                # done lanes to the very end
+                code = jnp.where(st[7], jnp.uint32(0xFFFFFFFF), code)
+                order = jnp.argsort(code)
+                return jax.tree.map(lambda x: x[order], st)
+
+            state = jax.lax.cond(
+                it % sort_every == sort_every - 1,
+                do_sort,
+                lambda st: st,
+                state,
+            )
+
+        return (it + 1,) + state
 
     def cond(carry):
-        return jnp.any(~carry[7])
+        return jnp.any(~carry[8])
 
-    keys0 = sample_key(jnp.zeros(B, jnp.int32))
+    lane_ext = (
+        jnp.zeros((B, 2), dtype) if ext is None else jnp.asarray(ext)
+    )
+    keys0 = sample_key(lane_first, jnp.zeros(B, jnp.int32))
     init = (
+        jnp.asarray(0),
         jnp.zeros(B, jnp.int32),
         jnp.zeros(B, jnp.int32),
-        origin(keys0),
+        origin(keys0, init_pos, lane_ext if ext is not None else None)
+        if ext is not None
+        else init_pos,
         init_d,
         jnp.ones(B, dtype),
         jnp.zeros(B, dtype),
@@ -472,9 +555,19 @@ def trace_paths_canopy_regen(
         jnp.zeros(B, dtype=bool),
         jnp.zeros(B, dtype),
         jnp.zeros(B, dtype),
+        jnp.asarray(lane_first),
+        jnp.broadcast_to(jnp.asarray(quota), (B,)),
+        init_pos,
+        init_d,
+        lane_ext,
+        jnp.arange(B, dtype=jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final[8], final[9]
+    L_sum, m2_sum, orig = final[9], final[10], final[16]
+    # undo the in-loop permutations: scatter sums back to original lanes
+    L_out = jnp.zeros(B, dtype).at[orig].set(L_sum)
+    m2_out = jnp.zeros(B, dtype).at[orig].set(m2_sum)
+    return L_out, m2_out
 
 
 def _render_row_canopy(

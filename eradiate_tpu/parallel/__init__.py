@@ -1,1 +1,5 @@
-from .mesh import make_render_mesh, render_sharded  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_render_mesh,
+    render_sharded,
+    render_spherical_sharded,
+)

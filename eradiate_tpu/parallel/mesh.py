@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.scene_state import IlluminationArrays, MediumArrays, SurfaceArrays
 from ..ops.tracer import render_batch_impl
 
-__all__ = ["make_render_mesh", "render_sharded"]
+__all__ = ["make_render_mesh", "render_sharded", "render_spherical_sharded"]
 
 
 def make_render_mesh(n_spectral: int = 1, n_sample: int | None = None, devices=None):
@@ -147,5 +147,96 @@ def render_sharded(
     rad, m2 = fn(
         scene.medium, scene.surface, scene.illumination, directions, row_keys,
         (target, ray_offset, target_extent),
+    )
+    return {"radiance": rad, "m2": m2, "spp": spp}
+
+
+def render_spherical_sharded(
+    medium,
+    surface,
+    illum,
+    sensor,
+    config,
+    spp: int,
+    seed: int = 0,
+    max_iterations: int = 512,
+    mesh: Mesh | None = None,
+):
+    """Spherical-shell analog of :func:`render_sharded`: the {spectral x
+    sample} workload of :func:`eradiate_tpu.ops.tracer_spherical.render_spherical`
+    laid out on the same 2D device mesh (shell tables shard over
+    'spectral'; the sample axis splits the budget with ``axis_index``-folded
+    key streams and ``pmean``-reduced accumulators)."""
+    from ..ops.tracer_spherical import (
+        SphericalMediumArrays,
+        render_batch_spherical_impl,
+    )
+
+    if mesh is None:
+        mesh = make_render_mesh(1, len(jax.devices()))
+    n_sample = mesh.shape["sample"]
+    n_spectral = mesh.shape["spectral"]
+    S = medium.sigma_t.shape[0]
+    if S % n_spectral != 0:
+        raise ValueError(
+            f"spectral batch {S} not divisible by mesh axis {n_spectral}"
+        )
+    if spp % n_sample != 0:
+        raise ValueError(f"spp {spp} not divisible by sample axis {n_sample}")
+    spp_local = spp // n_sample
+
+    directions = jnp.asarray(sensor.directions)
+    n_pix = directions.shape[0]
+    target = jnp.asarray(sensor.target)
+
+    base_key = jax.random.key(seed)
+    row_keys = jax.vmap(jax.random.fold_in)(
+        jnp.broadcast_to(base_key, (S,)), jnp.arange(S)
+    )
+
+    med_specs = SphericalMediumArrays(
+        radii=P(),
+        sigma_t=P("spectral"),
+        sigma_majorant=P("spectral"),
+        albedo=P("spectral"),
+        phase_weights=P("spectral"),
+        phase_params=jax.tree_util.tree_map(
+            lambda _: P("spectral"), medium.phase_params
+        ),
+    )
+    surf_specs = SurfaceArrays(
+        params=jax.tree_util.tree_map(lambda _: P("spectral"), surface.params)
+    )
+    illum_specs = IlluminationArrays(
+        direction=P(),
+        irradiance=P("spectral"),
+        cos_cutoff=P(),
+        sky_radiance=P("spectral")
+        if getattr(illum.sky_radiance, "ndim", 0)
+        else P(),
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(med_specs, surf_specs, illum_specs, P(), P("spectral"), P()),
+        out_specs=(P("spectral"), P("spectral")),
+        check_vma=False,
+    )
+    def shard_fn(med, surf, ill, dirs, keys, tgt):
+        sample_idx = jax.lax.axis_index("sample")
+        local_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, sample_idx)
+        )(keys)
+        rad, m2 = render_batch_spherical_impl(
+            config, n_pix, spp_local, max_iterations, med, surf, ill, dirs,
+            tgt, local_keys,
+        )
+        rad = jax.lax.pmean(rad, "sample")
+        m2 = jax.lax.pmean(m2, "sample")
+        return rad, m2
+
+    rad, m2 = jax.jit(shard_fn)(
+        medium, surface, illum, directions, row_keys, target
     )
     return {"radiance": rad, "m2": m2, "spp": spp}

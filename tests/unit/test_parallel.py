@@ -53,3 +53,74 @@ class TestShardedRender:
     def test_mesh_validation(self, eight_devices):
         with pytest.raises(ValueError):
             make_render_mesh(3, 3)
+
+
+class TestSphericalSharded:
+    def _spherical_scene(self, S=4):
+        import jax.numpy as jnp
+
+        from eradiate_tpu.ops.scene_state import (
+            IlluminationArrays,
+            SensorArrays,
+            SurfaceArrays,
+        )
+        from eradiate_tpu.ops.tracer_spherical import SphericalMediumArrays
+
+        R = 6378.1
+        L = 16
+        radii = jnp.asarray(R + np.linspace(0.0, 100.0, L + 1))
+        sigma = jnp.broadcast_to(
+            jnp.asarray(0.002 * np.exp(-np.linspace(0, 100, L) / 8.5)), (S, L)
+        )
+        med = SphericalMediumArrays(
+            radii=radii,
+            sigma_t=sigma,
+            sigma_majorant=jnp.max(sigma, axis=1),
+            albedo=jnp.full((S, L), 0.95),
+            phase_weights=jnp.ones((S, 1, L)),
+            phase_params=({"depol": jnp.zeros((S, L))},),
+        )
+        surf = SurfaceArrays(params={"reflectance": jnp.full(S, 0.4)})
+        sza = np.deg2rad(30.0)
+        illum = IlluminationArrays(
+            direction=jnp.asarray([-np.sin(sza), 0.0, -np.cos(sza)]),
+            irradiance=jnp.ones(S),
+            cos_cutoff=1.0,
+            sky_radiance=jnp.zeros(S),
+        )
+        dirs = np.stack(
+            [
+                np.sin(np.deg2rad([0.0, 30.0])),
+                np.zeros(2),
+                np.cos(np.deg2rad([0.0, 30.0])),
+            ],
+            axis=-1,
+        )
+        sensor = SensorArrays(
+            directions=jnp.asarray(dirs),
+            target=jnp.asarray([0.0, 0.0, R]),
+            ray_offset=jnp.nan,
+        )
+        from eradiate_tpu.ops import SceneConfig
+
+        cfg = SceneConfig(geometry="spherical_shell")
+        return med, surf, illum, sensor, cfg
+
+    def test_matches_single_device(self, eight_devices):
+        from eradiate_tpu.ops.tracer_spherical import render_spherical
+        from eradiate_tpu.parallel import render_spherical_sharded
+
+        med, surf, illum, sensor, cfg = self._spherical_scene(S=4)
+        mesh = make_render_mesh(2, 4)
+        r_sh = render_spherical_sharded(
+            med, surf, illum, sensor, cfg, spp=32, seed=3, mesh=mesh
+        )
+        assert np.asarray(r_sh["radiance"]).shape == (4, 2)
+        assert np.all(np.isfinite(np.asarray(r_sh["radiance"])))
+        assert np.all(np.asarray(r_sh["radiance"]) > 0)
+        # statistical agreement with the single-device renderer
+        r_1 = render_spherical(med, surf, illum, sensor, cfg, spp=32, seed=3)
+        a = np.asarray(r_sh["radiance"])
+        b = np.asarray(r_1["radiance"])
+        sigma = np.sqrt(np.asarray(r_1["m2"]) / 32) + 1e-6
+        assert np.all(np.abs(a - b) < 8 * sigma)
