@@ -134,17 +134,34 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
                     "transmittance": jnp.asarray(wood_trans.eval(w), dtype=dtype),
                 }
             n = int(spp) if spp is not None else int(measure.spp)
-            raw = render_canopy(
-                scene,
-                leaf_params,
-                leaves,
-                sensor,
-                config,
-                spp=n,
-                seed=int(seed_state.next()),
-                tris=tris,
-                tri_params=tri_params,
-            )
+            if config.polarized:
+                from ..ops.tracer_canopy_polarized import (
+                    render_canopy_polarized,
+                )
+
+                raw = render_canopy_polarized(
+                    scene,
+                    leaf_params,
+                    leaves,
+                    sensor,
+                    config,
+                    spp=n,
+                    seed=int(seed_state.next()),
+                    tris=tris,
+                    tri_params=tri_params,
+                )
+            else:
+                raw = render_canopy(
+                    scene,
+                    leaf_params,
+                    leaves,
+                    sensor,
+                    config,
+                    spp=n,
+                    seed=int(seed_state.next()),
+                    tris=tris,
+                    tri_params=tri_params,
+                )
             measure.results = {"raw": raw, "spectral_ctx": ctx}
 
 

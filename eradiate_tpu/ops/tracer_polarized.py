@@ -281,9 +281,11 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         do_rr = depth_b >= config.rr_depth
         q = jnp.clip(beta2, 0.0, 0.95)
         survive = u_rr < q
+        # RR reweighting applies ONCE, to beta: every contribution is
+        # P @ ... @ S_in(beta ...), so scaling P as well would square the
+        # 1/q factor (bias on RR-surviving deep paths)
         scale = jnp.where(do_rr & alive2 & survive, 1.0 / q, 1.0)
         beta2 = beta2 * scale
-        P2 = P2 * scale[:, None, None]
         alive2 = alive2 & jnp.where(do_rr, survive, True)
 
         return S_add, z2, xy2, d2, P2, b2, beta2, alive2
