@@ -23,15 +23,19 @@ __version__ = "0.1.0"
 _apply_settings()
 
 
-def run(exp, spp=None, seed_state=None, checkpoint_dir=None):
+def run(exp, spp=None, seed_state=None, checkpoint_dir=None, mesh="auto"):
     """Run an experiment end-to-end and return its results.
 
-    Mirror of ``eradiate.run()`` (``src/eradiate/experiments/_core.py:808``).
+    Mirror of ``eradiate.run()`` (``src/eradiate/experiments/_core.py:808``),
+    plus the distribution the reference lacks: ``mesh="auto"`` shards the
+    render over every visible device (see
+    :func:`eradiate_tpu.experiments.run`).
     """
     from .experiments import run as _run
 
     return _run(
-        exp, spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir
+        exp, spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir,
+        mesh=mesh,
     )
 
 

@@ -99,25 +99,29 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
             )
         return flat, leaves, tris, mesh
 
-    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None,
+                mesh="auto"):
         if self.canopy is None:
             return super().process(
-                spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir
+                spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir,
+                mesh=mesh,
             )
         # canopy renders are single-chunk; chunk-granular checkpointing
         # degenerates to nothing to resume
 
         from ..core.rng import root_seed_state
         from ..scenes.spectra import converter as spectrum_converter
+        from ._core import resolve_mesh
 
+        mesh = resolve_mesh(mesh)
         seed_state = seed_state or root_seed_state
-        flat, leaves, tris, mesh = self._leaf_arrays()
+        flat, leaves, tris, tri_mesh = self._leaf_arrays()
         dtype = mode().device_dtype
         refl = spectrum_converter("reflectance")(flat.leaf_reflectance)
         trans = spectrum_converter("transmittance")(flat.leaf_transmittance)
-        if mesh is not None:
-            wood_refl = spectrum_converter("reflectance")(mesh["reflectance"])
-            wood_trans = spectrum_converter("transmittance")(mesh["transmittance"])
+        if tri_mesh is not None:
+            wood_refl = spectrum_converter("reflectance")(tri_mesh["reflectance"])
+            wood_trans = spectrum_converter("transmittance")(tri_mesh["transmittance"])
 
         for measure in self.measures:
             ctx = self.spectral_context(measure)
@@ -128,13 +132,26 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
                 "transmittance": jnp.asarray(trans.eval(w), dtype=dtype),
             }
             tri_params = None
-            if mesh is not None:
+            if tri_mesh is not None:
                 tri_params = {
                     "reflectance": jnp.asarray(wood_refl.eval(w), dtype=dtype),
                     "transmittance": jnp.asarray(wood_trans.eval(w), dtype=dtype),
                 }
             n = int(spp) if spp is not None else int(measure.spp)
-            if config.polarized:
+            if mesh is not None:
+                from .. import parallel as par
+
+                fn = (
+                    par.render_canopy_polarized_sharded
+                    if config.polarized
+                    else par.render_canopy_sharded
+                )
+                raw = fn(
+                    scene, leaf_params, leaves, sensor, config, spp=n,
+                    seed=int(seed_state.next()), mesh=mesh, tris=tris,
+                    tri_params=tri_params,
+                )
+            elif config.polarized:
                 from ..ops.tracer_canopy_polarized import (
                     render_canopy_polarized,
                 )

@@ -49,6 +49,36 @@ def _integrator_converter(value):
     return integrator_factory.convert(value, Integrator)
 
 
+def resolve_mesh(mesh):
+    """Resolve the ``mesh`` argument of ``process()``/``run()``.
+
+    - ``"auto"`` (default): a ("spectral", "sample") mesh over every
+      visible device when more than one exists — distribution is the
+      product path, not an opt-in (the reference has nothing to auto-mesh:
+      its loops are serial Python, ``kernel/_render.py:433-468``). The
+      ``ERADIATE_TPU_MESH=none`` setting forces single-device (used by the
+      CPU test suite, which pins single-device reference outputs).
+    - ``None``: single-device renderers.
+    - a ``jax.sharding.Mesh`` with ("spectral", "sample") axes: used as-is.
+    """
+    if isinstance(mesh, str):
+        if mesh != "auto":
+            raise ValueError(f"mesh must be 'auto', None or a Mesh, got {mesh!r}")
+        from ..config import settings
+
+        if str(settings.get("MESH", "auto")).lower() in ("none", "off", "0"):
+            return None
+        import jax
+
+        n = len(jax.devices())
+        if n <= 1:
+            return None
+        from ..parallel import make_render_mesh
+
+        return make_render_mesh(1, n)
+    return mesh
+
+
 @attrs.define(eq=False, slots=False)
 class Experiment(SceneElement):
     """Base experiment (``experiments/_core.py:129``)."""
@@ -78,7 +108,8 @@ class Experiment(SceneElement):
     def init(self):
         raise NotImplementedError
 
-    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None,
+                mesh="auto"):
         raise NotImplementedError
 
     def postprocess(self):
@@ -113,16 +144,15 @@ class EarthObservationExperiment(Experiment):
     def init(self):
         pass
 
-    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
-        from ..ops.tracer import render
-        from ..ops.tracer_spherical import render_spherical
-
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None,
+                mesh="auto"):
         import time
 
         from ..profiling import annotate, stats
 
         import numpy as _np
 
+        mesh = resolve_mesh(mesh)
         checkpoint = None
         if checkpoint_dir is not None:
             from ..checkpoint import RenderCheckpoint
@@ -147,7 +177,9 @@ class EarthObservationExperiment(Experiment):
                     continue
                 scene, sensor, config = self.compile_scene(measure, sub_ctx)
                 with annotate(f"render:{measure.id}"):
-                    raw = self._render_one(scene, sensor, config, n, seed)
+                    raw = self._render_one(
+                        scene, sensor, config, n, seed, mesh=mesh
+                    )
                 # block so the recorded wall time covers device work
                 raw = {
                     k: _np.asarray(v) if hasattr(v, "shape") else v
@@ -200,7 +232,27 @@ class EarthObservationExperiment(Experiment):
             out[key] = np.concatenate([np.asarray(r[key]) for r in raws], axis=0)
         return out
 
-    def _render_one(self, scene, sensor, config, n, seed):
+    def _render_one(self, scene, sensor, config, n, seed, mesh=None):
+        if mesh is not None:
+            from .. import parallel as par
+
+            if config.geometry == "spherical_shell":
+                fn = (
+                    par.render_spherical_polarized_sharded
+                    if config.polarized
+                    else par.render_spherical_sharded
+                )
+                return fn(
+                    scene.medium, scene.surface, scene.illumination, sensor,
+                    config, spp=n, seed=seed, mesh=mesh,
+                )
+            fn = (
+                par.render_polarized_sharded
+                if config.polarized
+                else par.render_sharded
+            )
+            return fn(scene, sensor, config, spp=n, seed=seed, mesh=mesh)
+
         from ..ops.tracer import render
         from ..ops.tracer_spherical import render_spherical
 
@@ -249,7 +301,8 @@ class EarthObservationExperiment(Experiment):
         return self.results
 
 
-def run(exp: Experiment, spp=None, seed_state=None, checkpoint_dir=None):
+def run(exp: Experiment, spp=None, seed_state=None, checkpoint_dir=None,
+        mesh="auto"):
     """Run an experiment end-to-end (mirror of ``eradiate.run()``,
     ``experiments/_core.py:808-865``). Returns the result dataset of the
     first measure (the reference's convenience behavior) while filling
@@ -258,9 +311,16 @@ def run(exp: Experiment, spp=None, seed_state=None, checkpoint_dir=None):
     ``checkpoint_dir``: optional directory for spectral-chunk-granular
     accumulator checkpoints — an interrupted run re-invoked with the same
     configuration resumes after the last completed chunk (SURVEY §5).
+
+    ``mesh``: ``"auto"`` (default) distributes over every visible device
+    via a ("spectral", "sample") mesh; ``None`` forces single-device; an
+    explicit ``jax.sharding.Mesh`` is used as-is. Sharded estimates equal
+    single-device ones up to float summation order when ``spp`` divides by
+    the sample-axis size (see :mod:`eradiate_tpu.parallel.render`).
     """
     exp.init()
-    exp.process(spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir)
+    exp.process(spp=spp, seed_state=seed_state, checkpoint_dir=checkpoint_dir,
+                mesh=mesh)
     exp.postprocess()
     if len(exp.results) == 1:
         return next(iter(exp.results.values()))

@@ -23,21 +23,33 @@ class DEMExperiment(AtmosphereExperiment):
         if self.geometry.kind != "plane_parallel":
             raise ValueError("DEMExperiment requires plane-parallel geometry")
 
-    def process(self, spp=None, seed_state=None, checkpoint_dir=None):
+    def process(self, spp=None, seed_state=None, checkpoint_dir=None,
+                mesh="auto"):
         if not isinstance(self.surface, DEMSurface):
-            return super().process(spp=spp, seed_state=seed_state)
+            return super().process(spp=spp, seed_state=seed_state, mesh=mesh)
 
         from ..core.modes import mode
         from ..core.rng import root_seed_state
         from ..ops.tracer_dem import render_dem
+        from ._core import resolve_mesh
 
+        mesh = resolve_mesh(mesh)
         seed_state = seed_state or root_seed_state
         dem = self.surface.dem_arrays(dtype=mode().device_dtype)
         for measure in self.measures:
             ctx = self.spectral_context(measure)
             scene, sensor, config = self.compile_scene(measure, ctx)
             n = int(spp) if spp is not None else int(measure.spp)
-            raw = render_dem(
-                scene, dem, sensor, config, spp=n, seed=int(seed_state.next())
-            )
+            if mesh is not None:
+                from ..parallel import render_dem_sharded
+
+                raw = render_dem_sharded(
+                    scene, dem, sensor, config, spp=n,
+                    seed=int(seed_state.next()), mesh=mesh,
+                )
+            else:
+                raw = render_dem(
+                    scene, dem, sensor, config, spp=n,
+                    seed=int(seed_state.next()),
+                )
             measure.results = {"raw": raw, "spectral_ctx": ctx}

@@ -439,7 +439,13 @@ def _lane_plan(
     return lp, quota
 
 
-def lane_partition(n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET):
+def lane_partition(
+    n_pix: int,
+    spp: int,
+    lanes_target: int = REGEN_LANES_TARGET,
+    spp_stride: int | None = None,
+    sample_offset=None,
+):
     """Exact-spp lane partition shared by the regenerative tracers.
 
     Returns ``(lp, pix, slot, lane_first, quota)``: ``n_pix * lp`` lanes;
@@ -454,8 +460,18 @@ def lane_partition(n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET)
     the spherical tracers amortize their per-bounce [B, L] shell passes
     better at 2^16 (per-lane bounce cost halves from 16k to 64k lanes,
     measured on v5e).
+
+    Distribution hooks (:mod:`eradiate_tpu.parallel.render`): ``spp_stride``
+    (static, default ``spp``) is the per-pixel width of the *global*
+    sample-id range and ``sample_offset`` (may be a traced scalar —
+    ``axis_index('sample') * spp_local`` inside ``shard_map``) shifts this
+    shard's ids within it, so the union over sample-axis devices is exactly
+    the single-device id set ``[pixel * spp_stride, pixel * spp_stride +
+    spp_stride)`` — sharded estimates equal unsharded ones up to float
+    summation order.
     """
     lp, _ = _lane_plan(n_pix, spp, lanes_target)
+    stride = spp if spp_stride is None else spp_stride
     pix = jnp.repeat(jnp.arange(n_pix), lp)
     slot = jnp.tile(jnp.arange(lp), n_pix)
     q_lo, rem = divmod(spp, lp)
@@ -463,7 +479,9 @@ def lane_partition(n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET)
     start = jnp.where(
         slot < rem, slot * (q_lo + 1), rem * (q_lo + 1) + (slot - rem) * q_lo
     )
-    lane_first = pix * spp + start
+    lane_first = pix * stride + start
+    if sample_offset is not None:
+        lane_first = lane_first + sample_offset
     return lp, pix, slot, lane_first, quota
 
 
@@ -505,12 +523,15 @@ def _ray_anchors(
 
 def _render_row_regen(
     config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
-    target=None, ray_offset=None, target_extent=None,
+    target=None, ray_offset=None, target_extent=None, sample_offset=None,
+    spp_stride=None,
 ):
     """Render one spectral slice with the regenerative tracer
     (``independent`` sampler): [n_pix * lanes_per_pixel] lanes x quota
     samples each."""
-    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    lp, pix, slot, lane_first, quota = lane_partition(
+        n_pix, spp, spp_stride=spp_stride, sample_offset=sample_offset
+    )
     B = n_pix * lp
 
     init_z, init_xy, init_d, ext = _ray_anchors(
@@ -528,7 +549,8 @@ def _render_row_regen(
 
 def _render_row(
     config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
-    target=None, ray_offset=None, target_extent=None,
+    target=None, ray_offset=None, target_extent=None, sample_offset=None,
+    spp_stride=None,
 ):
     """Render one spectral slice: [N] pixels x spp samples.
 
@@ -536,16 +558,25 @@ def _render_row(
     is finite, in which case they start at ``target + ray_offset * w_v``
     (in-atmosphere sensor placement, mirror of mdistant's ``ray_offset``,
     ``scenes/measure/_distant.py:334-361``).
+
+    ``sample_offset``/``spp_stride``: global sample-id slicing for the
+    distributed path (see :func:`lane_partition`); the structured point
+    sets of non-independent samplers stratify within each shard's local
+    ``spp`` (decorrelated across shards), so sample sharding preserves the
+    estimator in distribution but not the exact point set.
     """
     B = n_pix * spp
 
+    stride = spp if spp_stride is None else spp_stride
     pix = jnp.repeat(jnp.arange(n_pix), spp)
+    path_ids = pix * stride + jnp.tile(jnp.arange(spp), n_pix)
+    if sample_offset is not None:
+        path_ids = path_ids + sample_offset
     init_z, init_xy, init_d, _ = _ray_anchors(
         config, medium_row, pix, directions, key, target, ray_offset,
         target_extent, with_jitter=True,
     )
 
-    path_ids = jnp.arange(B)
     keys = jax.vmap(jax.random.fold_in)(
         jnp.broadcast_to(key, (B,)), path_ids
     )
@@ -556,6 +587,8 @@ def _render_row(
         # per-pixel point sets, decorrelated by folding the pixel index
         # into a sampler-domain subkey (distinct from the path-key domain)
         k_sampler = jax.random.fold_in(key, 0x5A17)
+        if sample_offset is not None:
+            k_sampler = jax.random.fold_in(k_sampler, sample_offset)
         pix_keys = jax.vmap(jax.random.fold_in)(
             jnp.broadcast_to(k_sampler, (n_pix,)), jnp.arange(n_pix)
         )
@@ -578,7 +611,8 @@ def _render_row(
 
 def render_batch_impl(
     config, n_pix, spp, medium, surface, illum, directions, keys,
-    target=None, ray_offset=None, target_extent=None,
+    target=None, ray_offset=None, target_extent=None, sample_offset=None,
+    spp_stride=None,
 ):
     """Spectral-batched render (traceable; see ``_render_batch`` for the
     jitted entry). ``keys`` has leading spectral axis [S].
@@ -590,6 +624,10 @@ def render_batch_impl(
     the rank-2 form even at S=1. Sequential rows keep every row's loop a
     fused rank-2 program; each row still traces n_pix x spp paths, plenty
     to saturate the chip.
+
+    ``sample_offset`` (traced scalar) / ``spp_stride`` (static) slice the
+    global per-pixel sample-id range for the sharded product path
+    (:mod:`eradiate_tpu.parallel.render`).
     """
     z_levels = medium.z_levels
 
@@ -608,7 +646,7 @@ def render_batch_impl(
         )
         return row_fn(
             config, n_pix, spp, mr, sr, ir, directions, k, target, ray_offset,
-            target_extent,
+            target_extent, sample_offset=sample_offset, spp_stride=spp_stride,
         )
 
     med_part = (

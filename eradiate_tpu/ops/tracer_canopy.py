@@ -573,11 +573,13 @@ def trace_paths_canopy_regen(
 def _render_row_canopy(
     config, n_pix, spp, medium_row, surface_row, leaf_row, leaves, illum_row,
     directions, target, ray_offset, key, tris=None, tri_row=None,
-    target_extent=None,
+    target_extent=None, sample_offset=None, spp_stride=None,
 ):
     from .tracer import _per_path_targets, lane_partition
 
-    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    lp, pix, slot, lane_first, quota = lane_partition(
+        n_pix, spp, spp_stride=spp_stride, sample_offset=sample_offset
+    )
     B = n_pix * lp
     z_top = medium_row.z_levels[-1]
     w_v = directions[pix]
@@ -612,7 +614,7 @@ def _render_row_canopy(
 def render_batch_canopy_impl(
     config, n_pix, spp, medium, surface, leaf_params, leaves, illum,
     directions, target, ray_offset, keys, tris=None, tri_params=None,
-    target_extent=None,
+    target_extent=None, sample_offset=None, spp_stride=None,
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
@@ -636,7 +638,8 @@ def render_batch_canopy_impl(
         )
         return _render_row_canopy(
             config, n_pix, spp, mr, sr, lr, leaves, ir, directions, target,
-            ray_offset, k, tris, tr, target_extent=target_extent
+            ray_offset, k, tris, tr, target_extent=target_extent,
+            sample_offset=sample_offset, spp_stride=spp_stride,
         )
 
     med_part = (

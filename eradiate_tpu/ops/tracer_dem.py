@@ -275,11 +275,14 @@ def trace_paths_dem_regen(
 
 def _render_row_dem(
     config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
-    target, ray_offset, key, target_extent=None
+    target, ray_offset, key, target_extent=None, sample_offset=None,
+    spp_stride=None,
 ):
     from .tracer import _per_path_targets, lane_partition
 
-    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    lp, pix, slot, lane_first, quota = lane_partition(
+        n_pix, spp, spp_stride=spp_stride, sample_offset=sample_offset
+    )
     B = n_pix * lp
     z_top = medium_row.z_levels[-1]
     w_v = directions[pix]
@@ -311,7 +314,7 @@ def _render_row_dem(
 
 def render_batch_dem_impl(
     config, n_pix, spp, medium, surface, dem, illum, directions, target,
-    ray_offset, keys, target_extent=None
+    ray_offset, keys, target_extent=None, sample_offset=None, spp_stride=None,
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
@@ -334,7 +337,8 @@ def render_batch_dem_impl(
         )
         return _render_row_dem(
             config, n_pix, spp, mr, sr, dem, ir, directions, target,
-            ray_offset, k, target_extent
+            ray_offset, k, target_extent, sample_offset=sample_offset,
+            spp_stride=spp_stride,
         )
 
     med_part = (

@@ -422,11 +422,14 @@ def trace_paths_polarized_regen(
 
 
 def _render_row_polarized(
-    config, n_pix, spp, medium_row, surface_row, illum_row, directions, key
+    config, n_pix, spp, medium_row, surface_row, illum_row, directions, key,
+    sample_offset=None, spp_stride=None,
 ):
     from .tracer import lane_partition
 
-    lp, pix, slot, lane_first, quota = lane_partition(n_pix, spp)
+    lp, pix, slot, lane_first, quota = lane_partition(
+        n_pix, spp, spp_stride=spp_stride, sample_offset=sample_offset
+    )
     B = n_pix * lp
     z_top = medium_row.z_levels[-1]
     init_d = -directions[pix]
@@ -448,7 +451,8 @@ def _render_row_polarized(
 
 
 def render_batch_polarized_impl(
-    config, n_pix, spp, medium, surface, illum, directions, keys
+    config, n_pix, spp, medium, surface, illum, directions, keys,
+    sample_offset=None, spp_stride=None,
 ):
     from .scene_state import IlluminationArrays, MediumArrays, SurfaceArrays
 
@@ -472,7 +476,8 @@ def render_batch_polarized_impl(
             sky_radiance=sky,
         )
         return _render_row_polarized(
-            config, n_pix, spp, mr, sr, ir, directions, k
+            config, n_pix, spp, mr, sr, ir, directions, k,
+            sample_offset=sample_offset, spp_stride=spp_stride,
         )
 
     med_part = (

@@ -365,12 +365,13 @@ def trace_paths_spherical_polarized_regen(
 
 def _render_row(
     config, n_pix, spp, max_iterations, medium_row, surface_row, illum_row,
-    directions, target, key
+    directions, target, key, sample_offset=None, spp_stride=None,
 ):
     from .tracer import lane_partition
 
     lp, pix, slot, lane_first, quota = lane_partition(
-        n_pix, spp, lanes_target=SPHERICAL_LANES_TARGET
+        n_pix, spp, lanes_target=SPHERICAL_LANES_TARGET,
+        spp_stride=spp_stride, sample_offset=sample_offset,
     )
     B = n_pix * lp
     r_top = medium_row.radii[-1]
@@ -391,7 +392,7 @@ def _render_row(
 
 def render_batch_impl(
     config, n_pix, spp, max_iterations, medium, surface, illum, directions,
-    target, keys
+    target, keys, sample_offset=None, spp_stride=None,
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
@@ -415,7 +416,7 @@ def render_batch_impl(
         )
         return _render_row(
             config, n_pix, spp, max_iterations, mr, sr, ir, directions,
-            target, k
+            target, k, sample_offset=sample_offset, spp_stride=spp_stride,
         )
 
     med_part = (

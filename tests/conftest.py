@@ -7,6 +7,12 @@ path); see SURVEY.md §4 (test strategy) for the tier layout.
 
 import os
 
+# Default run()/process() to single-device so pinned regression outputs and
+# timing stay deterministic; the product mesh path is exercised explicitly
+# by tests/unit/test_parallel*.py and tests/system/test_run_distributed.py
+# (which pass mesh=... or clear this env var).
+os.environ.setdefault("ERADIATE_TPU_MESH", "none")
+
 # Force CPU with 8 virtual devices. The ambient environment pins JAX to a
 # tunneled TPU platform via sitecustomize (env vars are overridden there),
 # so the config API — which wins over both — is used instead.
