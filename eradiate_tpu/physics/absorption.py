@@ -246,23 +246,36 @@ class CKDAbsorptionDatabase(AbsorptionDatabase):
 
 
 def open_database(path_or_id, error_handling=None) -> AbsorptionDatabase:
-    """Open an absorption DB from an .npz path or a known database id."""
+    """Open an absorption DB from a known id, a native ``.npz``, a
+    reference-format NetCDF file, or a database directory of NetCDF chunks
+    (the reference/AxsDB on-disk layout —
+    ``docs/data/absorption_databases.rst:17-24``; see
+    :mod:`eradiate_tpu.data.absorption_io`)."""
     import os
 
     path = str(path_or_id)
     if path in KNOWN_DATABASES:
         from ..data import resolve_data
 
-        resolved = resolve_data(f"absorption/{path}.npz")
+        # native import first, then a raw reference-layout directory
+        resolved = resolve_data(f"absorption/{path}.npz") or resolve_data(
+            f"absorption_{KNOWN_DATABASES[path]}/{path}"
+        )
         if resolved is None:
             raise FileNotFoundError(
                 f"absorption database '{path}' is not installed in the data "
-                f"store; install it or use make_synthetic_{KNOWN_DATABASES[path]}_db() "
-                f"for testing"
+                f"store; install it (native absorption/{path}.npz or the "
+                f"reference-layout absorption_{KNOWN_DATABASES[path]}/{path}/ "
+                f"NetCDF directory) or use "
+                f"make_synthetic_{KNOWN_DATABASES[path]}_db() for testing"
             )
-        path = resolved
+        path = str(resolved)
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if os.path.isdir(path) or path.endswith(".nc"):
+        from ..data.absorption_io import load_absorption_netcdf
+
+        return load_absorption_netcdf(path, error_handling)
     npz = np.load(path)
     data = {k: npz[k] for k in npz.files}
     if "g" in data:

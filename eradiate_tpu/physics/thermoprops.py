@@ -159,42 +159,100 @@ def ussa1976(z_km=None) -> ThermoProfile:
     return ThermoProfile(z, p, T, n, x, id="ussa_1976")
 
 
-# AFGL 1986 variants: (surface T offset [K], H2O surface mole fraction)
-_AFGL_VARIANTS = {
-    "us_standard": (0.0, 7.75e-3),
-    "tropical": (11.85, 2.59e-2),
-    "midlatitude_summer": (6.05, 1.88e-2),
-    "midlatitude_winter": (-16.0, 4.3e-3),
-    "subarctic_summer": (-1.0, 1.19e-2),
-    "subarctic_winter": (-29.0, 1.4e-3),
-}
+def _hydrostatic_pressure(z_km, t_k, p0_pa):
+    """Integrate dp/dz = -g(z) p M / (R T) over the level grid.
+
+    Trapezoidal integration of 1/T in log-pressure with altitude-dependent
+    gravity g(z) = g0 (R_E / (R_E + z))^2 — the construction rule of the
+    published AFGL tables, so the reconstruction matches them closely
+    (module docstring: Provenance & fidelity).
+    """
+    z_m = np.asarray(z_km, dtype=np.float64) * 1e3
+    t = np.asarray(t_k, dtype=np.float64)
+    g = G0 * (R_EARTH_KM / (R_EARTH_KM + np.asarray(z_km))) ** 2
+    integrand = g * M_AIR / (R_STAR * t)  # d(ln p)/dz [1/m]
+    dlnp = -0.5 * (integrand[1:] + integrand[:-1]) * np.diff(z_m)
+    return p0_pa * np.exp(np.concatenate([[0.0], np.cumsum(dlnp)]))
+
+
+_M_H2O = 0.018015  # kg/mol
+_N_AVOGADRO = 6.02214076e23
+_RHO_WATER = 1000.0  # kg/m^3
+_DU = 2.6867e20  # molecules/m^2 per Dobson unit
+
+
+def _column_pwv_cm(z_km, n_m3, x_h2o):
+    """Precipitable water [cm] of a mole-fraction profile."""
+    rho_v = x_h2o * n_m3 * _M_H2O / _N_AVOGADRO  # kg/m^3
+    col = np.trapezoid(rho_v, z_km * 1e3)  # kg/m^2
+    return col / _RHO_WATER * 100.0
 
 
 def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
-    """AFGL 1986 profile family (approximate; see module docstring).
+    """AFGL 1986 model atmospheres (Anderson et al. 1986).
 
+    Temperatures come from the tabulated profiles
+    (:mod:`eradiate_tpu.physics.afgl1986_data`); pressures are
+    hydrostatically integrated from the tabulated T(z) and surface
+    pressure; H2O / O3 mole fractions are calibrated to the published
+    surface values and column amounts (precipitable water, ozone DU).
     ``identifier`` may be the bare variant name or the reference-style
-    ``afgl_1986-<variant>`` id.
+    ``afgl_1986-<variant>`` id
+    (``src/eradiate/scenes/atmosphere/_molecular.py:80-84``).
     """
+    from .afgl1986_data import (
+        AFGL_GAS,
+        AFGL_SURFACE,
+        AFGL_TEMPERATURE,
+        AFGL_Z_KM,
+    )
+
     ident = identifier.replace("afgl_1986-", "")
-    if ident not in _AFGL_VARIANTS:
+    if ident not in AFGL_TEMPERATURE:
         raise ValueError(
             f"unknown AFGL 1986 variant '{identifier}'; "
-            f"available: {sorted(_AFGL_VARIANTS)}"
+            f"available: {sorted(AFGL_TEMPERATURE)}"
         )
-    dT, x_h2o_s = _AFGL_VARIANTS[ident]
-    base = ussa1976(z_km)
-    if ident == "us_standard":
-        prof = base
-    else:
-        # Shift the temperature profile near the surface (decaying with
-        # altitude over ~10 km) and rescale pressure hydrostatically by the
-        # perturbed temperature via the ideal-gas relation at fixed p(0).
-        T = base.t + dT * np.exp(-base.z / 10.0)
-        prof = ThermoProfile.from_arrays(base.z, base.p, T, base.x, id=identifier)
-    x = dict(prof.x)
-    x["H2O"] = _x_h2o(prof.z, surface_x=x_h2o_s)
-    return ThermoProfile(prof.z, prof.p, prof.t, prof.n, x, id=f"afgl_1986-{ident}")
+
+    z_tab = AFGL_Z_KM
+    t_tab = AFGL_TEMPERATURE[ident]
+    p0, x_h2o_s, x_o3_s = AFGL_SURFACE[ident]
+    gas = AFGL_GAS[ident]
+
+    p_tab = _hydrostatic_pressure(z_tab, t_tab, p0)
+    n_tab = p_tab / (K_BOLTZMANN * t_tab)  # m^-3
+
+    # H2O: exponential decay to a 4 ppmv stratospheric floor; scale height
+    # solved so the precipitable-water column matches the published value.
+    def pwv_of_h(h):
+        x = np.maximum(x_h2o_s * np.exp(-z_tab / h), 4.0e-6)
+        return _column_pwv_cm(z_tab, n_tab, x)
+
+    h_lo, h_hi = 0.5, 6.0
+    for _ in range(60):
+        h_mid = 0.5 * (h_lo + h_hi)
+        if pwv_of_h(h_mid) < gas["pwv_cm"]:
+            h_lo = h_mid
+        else:
+            h_hi = h_mid
+    x_h2o_tab = np.maximum(x_h2o_s * np.exp(-z_tab / h_mid), 4.0e-6)
+
+    # O3: Gaussian stratospheric layer over the surface value, amplitude
+    # solved so the column matches the published Dobson amount.
+    shape = np.exp(-0.5 * ((z_tab - gas["o3_peak_km"]) / gas["o3_width_km"]) ** 2)
+    base_col = np.trapezoid(x_o3_s * n_tab, z_tab * 1e3) / _DU
+    layer_col = np.trapezoid(shape * n_tab, z_tab * 1e3) / _DU
+    amp = max(0.0, (gas["o3_du"] - base_col) / layer_col)
+    x_o3_tab = x_o3_s + amp * shape
+
+    x = {k: np.full_like(z_tab, v) for k, v in _DRY_AIR.items()}
+    x["H2O"] = x_h2o_tab
+    x["O3"] = x_o3_tab
+
+    prof = ThermoProfile(
+        z_tab, p_tab, t_tab, n_tab * 1e9, x, id=f"afgl_1986-{ident}"
+    )
+    return prof if z_km is None else prof.interp(z_km)
 
 
 def make_profile(identifier, z_km=None) -> ThermoProfile:

@@ -74,13 +74,40 @@ class TestThermoprops:
         assert p.n[0] == pytest.approx(2.547e34, rel=1e-3)
 
     def test_afgl_variants(self):
-        for v in ("us_standard", "tropical", "midlatitude_summer"):
+        from eradiate_tpu.physics.afgl1986_data import AFGL_GAS, AFGL_SURFACE
+        from eradiate_tpu.physics.thermoprops import _DU, _column_pwv_cm
+
+        for v in (
+            "us_standard", "tropical", "midlatitude_summer",
+            "midlatitude_winter", "subarctic_summer", "subarctic_winter",
+        ):
             prof = thermoprops.afgl_1986(v)
-            assert prof.z.size == 121
+            assert prof.z.size == 50  # native AFGL grid
             assert "H2O" in prof.x and "CO2" in prof.x
+            assert np.all(np.diff(prof.p) < 0)
+            # calibrated columns reproduce the published amounts
+            pwv = _column_pwv_cm(prof.z, prof.n / 1e9, prof.x["H2O"])
+            assert pwv == pytest.approx(AFGL_GAS[v]["pwv_cm"], rel=0.02)
+            o3 = np.trapezoid(prof.x["O3"] * prof.n / 1e9, prof.z * 1e3) / _DU
+            assert o3 == pytest.approx(AFGL_GAS[v]["o3_du"], rel=0.01)
+            assert prof.p[0] == pytest.approx(AFGL_SURFACE[v][0], rel=1e-6)
         t = thermoprops.afgl_1986("tropical")
         u = thermoprops.afgl_1986("us_standard")
         assert t.t[0] > u.t[0]
+        # tropical tropopause: cold point ~195 K near 17 km
+        i = np.searchsorted(t.z, 17.0)
+        assert t.t[i] == pytest.approx(194.8, abs=0.5)
+
+    def test_afgl_us_standard_matches_ussa76(self):
+        """The AFGL US-standard table IS USSA76: hydrostatic reconstruction
+        must agree with the analytic solver below 80 km (above, the table's
+        real thermospheric warming deliberately replaces the old isothermal
+        extension)."""
+        a = thermoprops.afgl_1986("us_standard")
+        u = thermoprops.ussa1976(a.z)
+        sel = a.z <= 80.0
+        assert np.max(np.abs(a.p[sel] / u.p[sel] - 1)) < 0.005
+        assert np.max(np.abs(a.t[sel] - u.t[sel])) < 2.0
 
     def test_interp(self):
         prof = thermoprops.ussa1976()
