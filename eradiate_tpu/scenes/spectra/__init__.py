@@ -132,15 +132,18 @@ class SolarIrradianceSpectrum(Spectrum):
     """Solar irradiance spectrum (``scenes/spectra/_solar_irradiance.py:73``).
 
     ``dataset``: id resolved through the data store (``solar/<id>.npz`` with
-    ``w`` [nm], ``ssi`` [W/m^2/nm]); the packaged default falls back to a
-    Planck 5772 K blackbody normalized to a 1361 W/m^2 solar constant —
-    BRF/BRF-like outputs are irradiance-normalized, so this fallback does
-    not affect reflectance products.
+    ``w`` [nm], ``ssi`` [W/m^2/nm]; import reference NetCDF datasets with
+    :func:`eradiate_tpu.data.netcdf.load_solar_netcdf`). Packaged defaults:
+    ``coarse_am0`` (default) — a real AM0-shaped anchor table normalized to
+    TSI 1361 W/m^2 (:mod:`eradiate_tpu.physics.solar_data`); and
+    ``blackbody_sun`` — the Planck 5772 K analytic fallback. BRF-like
+    outputs are irradiance-normalized, so the choice only affects absolute
+    radiance products.
     ``scale``: multiplicative factor; ``datetime`` adjusts the Earth-Sun
     distance seasonally.
     """
 
-    dataset: str = "blackbody_sun"
+    dataset: str = "coarse_am0"
     scale: float = 1.0
     datetime: str | None = None
 
@@ -154,11 +157,16 @@ class SolarIrradianceSpectrum(Spectrum):
         if path is not None:
             d = np.load(path)
             self._table = (d["w"], d["ssi"])
+        elif self.dataset == "coarse_am0":
+            from ...physics.solar_data import COARSE_AM0_SSI, COARSE_AM0_W_NM
+
+            self._table = (COARSE_AM0_W_NM, COARSE_AM0_SSI)
         elif self.dataset != "blackbody_sun":
             raise FileNotFoundError(
                 f"solar irradiance dataset '{self.dataset}' not found on the "
-                f"data path; install solar/{self.dataset}.npz or use "
-                f"'blackbody_sun'"
+                f"data path; install solar/{self.dataset}.npz (e.g. import a "
+                f"reference NetCDF with data.netcdf.load_solar_netcdf) or "
+                f"use 'coarse_am0' / 'blackbody_sun'"
             )
 
     def _distance_factor(self) -> float:

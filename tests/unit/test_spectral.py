@@ -134,3 +134,47 @@ def test_packaged_srf_store():
     srf2 = srf_converter("sentinel_2a-msi-8a")
     assert isinstance(srf2, BandSRF)
     assert srf2.integrate() > 0.0
+
+
+class TestSolarIrradiance:
+    """Packaged coarse AM0 table (physics/solar_data.py) vs the old Planck
+    fallback (VERDICT r1, Missing #3c)."""
+
+    def test_default_is_real_shape(self):
+        import numpy as np
+
+        from eradiate_tpu.scenes.spectra import SolarIrradianceSpectrum
+
+        s = SolarIrradianceSpectrum()
+        assert s.dataset == "coarse_am0"
+        # absolute calibration: in-band integral = 98% of TSI
+        w = np.linspace(250.0, 3125.0, 5000)
+        total = np.trapezoid(s.eval(w), w)
+        assert total == pytest.approx(0.98 * 1361.0, rel=1e-3)
+        # visible peak region magnitude (E490-family values)
+        assert 1.7 < float(s.eval([550.0])[0]) < 2.05
+        assert 1.8 < float(s.eval([450.0])[0]) < 2.25
+
+    def test_uv_below_planck(self):
+        """Planck 5772K famously overestimates the solar UV; the table
+        must not."""
+        import numpy as np
+
+        from eradiate_tpu.scenes.spectra import SolarIrradianceSpectrum
+
+        tab = SolarIrradianceSpectrum()
+        bb = SolarIrradianceSpectrum(dataset="blackbody_sun")
+        w = np.array([260.0, 280.0, 300.0])
+        assert np.all(tab.eval(w) < 0.75 * bb.eval(w))
+
+    def test_scale_and_datetime(self):
+        from eradiate_tpu.scenes.spectra import SolarIrradianceSpectrum
+
+        s1 = SolarIrradianceSpectrum(scale=2.0)
+        s0 = SolarIrradianceSpectrum()
+        assert float(s1.eval([550.0])[0]) == pytest.approx(
+            2.0 * float(s0.eval([550.0])[0])
+        )
+        jan = SolarIrradianceSpectrum(datetime="2023-01-03")
+        jul = SolarIrradianceSpectrum(datetime="2023-07-04")
+        assert float(jan.eval([550.0])[0]) > float(jul.eval([550.0])[0])
