@@ -1,16 +1,18 @@
-"""Benchmark: path samples/s/chip on BASELINE config 1.
+"""Benchmark: path samples/s/chip on the five BASELINE configs.
 
-Scene (BASELINE.md config 1): monochromatic 550 nm Rayleigh-only AFGL
-atmosphere, Lambertian surface, TOA BRF with an hplane mdistant measure.
+Configs (BASELINE.md):
+  1. mono 550 nm Rayleigh-only AFGL atmosphere, Lambertian surface, TOA BRF
+  2. RPV surface + AFGL US-standard + continental aerosol layer, BRF pp
+  3. CKD band simulation (10 nm bins, Sentinel-2A band-4 SRF), TOA radiance
+  4. spherical-shell geometry at SZA 75 with Hapke surface
+  5. coupled canopy + atmosphere (HET01-like disks) with polarized transport
 
-Prints ONE JSON line:
-    {"metric": "path_samples_per_s_per_chip", "value": N, "unit": "samples/s",
-     "vs_baseline": R}
-
-``vs_baseline`` is measured against the BASELINE target of >= 20x a
-CPU-reference samples/s/chip: a CPU-backend run of the same engine in a
-subprocess provides the CPU reference; vs_baseline = device_rate /
-(20 * cpu_rate), so 1.0 == meets the target.
+Each config is timed through the product path (``Experiment.process`` on
+the current backend, single device) after a warmup/compile pass. Prints
+ONE JSON line; ``value``/``vs_baseline`` keep the config-1 headline
+semantics (vs_baseline = rate / (20 x CPU-reference rate) measured by
+re-running config 1 on the CPU backend in a subprocess), and ``configs``
+carries all five rates in samples/s.
 """
 
 import json
@@ -22,70 +24,138 @@ import time
 import numpy as np
 
 N_VZA = 76
-# large enough that device execution dominates the per-render fixed costs
-# (~45 ms measured under the remote tunnel: dispatch + host fetch); the
-# regenerative engine multiplexes the whole budget over a fixed lane pool
-SPP = 262144
-N_LAYERS = 1200  # 100 m grid over 120 km (reference default)
+SPP_C1 = 262144
 
 
-def build_inputs():
-    import jax
-    import jax.numpy as jnp
-
+def _experiment_rate(make_exp, spp, reps=3, mode="mono_single"):
+    """samples/s of exp.process() on the default backend (single device)."""
     import eradiate_tpu as ert
+    from eradiate_tpu.core.rng import SeedState
+
+    ert.set_mode(mode)
+    exp = make_exp()
+    exp.init()
+    exp.process(spp=spp, seed_state=SeedState(0), mesh=None)  # warmup/compile
+    samples = 0
+    for m in exp.measures:
+        raw = m.results["raw"]
+        samples += (
+            raw["radiance"].shape[0] * raw["radiance"].shape[1] * raw["spp"]
+        )
+    t0 = time.perf_counter()
+    for i in range(reps):
+        exp.process(spp=spp, seed_state=SeedState(i + 1), mesh=None)
+    dt = (time.perf_counter() - t0) / reps
+    return samples / dt
+
+
+def _c1():
     from eradiate_tpu.experiments import AtmosphereExperiment
 
-    ert.set_mode("mono_single")
-    exp = AtmosphereExperiment(
+    return AtmosphereExperiment(
         illumination={"type": "directional", "zenith": 30.0, "azimuth": 0.0},
         measures={
             "type": "mdistant",
             "construct": "hplane",
             "zeniths": np.linspace(-75, 75, N_VZA),
             "azimuth": 0.0,
-            "spp": SPP,
+            "id": "m",
         },
         surface={"type": "lambertian", "reflectance": 0.5},
         atmosphere={"type": "molecular"},  # Rayleigh-only AFGL
     )
-    measure = exp.measures[0]
-    ctx = exp.spectral_context(measure)
-    scene, sensor, config = exp.compile_scene(measure, ctx)
-    return scene, sensor, config
 
 
-def measure_rate(reps=3):
-    from eradiate_tpu.ops.tracer import render
+def _c2():
+    from eradiate_tpu.test_tools.test_cases import (
+        create_rpv_afgl1986_continental_brfpp,
+    )
 
-    scene, sensor, config = build_inputs()
-    n_pix = sensor.directions.shape[0]
-    S = scene.medium.tau_levels.shape[0]
+    return create_rpv_afgl1986_continental_brfpp(n_vza=N_VZA)
 
-    # warmup/compile at the benchmarked shape; sync via a full host fetch —
-    # under the remote-device tunnel, block_until_ready returns at enqueue
-    # time and would measure dispatch latency instead of execution
-    out = render(scene, sensor, config, spp=SPP, seed=0)
-    np.asarray(out["radiance"])
 
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = render(scene, sensor, config, spp=SPP, seed=i)
-        np.asarray(out["radiance"])
-    dt = (time.perf_counter() - t0) / reps
-    samples = S * n_pix * SPP
-    return samples / dt
+def _c3():
+    from eradiate_tpu.experiments import AtmosphereExperiment
+    from eradiate_tpu.physics.absorption import make_synthetic_ckd_db
+
+    db = make_synthetic_ckd_db(base_sigma=2e-3, ng=8)
+    return AtmosphereExperiment(
+        illumination={"type": "directional", "zenith": 30.0, "azimuth": 0.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": np.linspace(-75, 75, N_VZA),
+            "azimuth": 0.0,
+            # Sentinel-2A band 4 (red, ~650-680 nm)
+            "srf": "sentinel_2a-msi-4",
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.2},
+        atmosphere={"type": "molecular", "absorption_data": db},
+        ckd_quad_config={"ng_max": 8},
+    )
+
+
+def _c4():
+    from eradiate_tpu.experiments import AtmosphereExperiment
+    from eradiate_tpu.scenes.geometry import EARTH_RADIUS_KM
+
+    return AtmosphereExperiment(
+        geometry="spherical_shell",
+        illumination={"type": "directional", "zenith": 75.0, "azimuth": 0.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": np.arange(-85.0, 65.0, 10.0),
+            "azimuth": 0.0,
+            "target": [0.0, 0.0, EARTH_RADIUS_KM],
+            "id": "m",
+        },
+        surface={"type": "hapke"},
+        atmosphere={"type": "molecular"},
+    )
+
+
+def _c5():
+    from eradiate_tpu.test_tools.test_cases import create_het01_brfpp
+
+    exp = create_het01_brfpp(n_vza=19)
+    from eradiate_tpu.experiments import CanopyAtmosphereExperiment
+
+    return CanopyAtmosphereExperiment(
+        canopy=exp.canopy,
+        atmosphere={"type": "molecular", "has_absorption": False},
+        illumination={"type": "directional", "zenith": 20.0, "azimuth": 0.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": np.linspace(-75, 75, 19),
+            "azimuth": 0.0,
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.159},
+        integrator={"type": "volpath", "stokes": True},
+    )
+
+
+CONFIGS = [
+    # (key, builder, spp, mode)
+    ("c1_rayleigh_lambert", _c1, SPP_C1, "mono_single"),
+    ("c2_rpv_continental", _c2, 131072, "mono_single"),
+    ("c3_ckd_sentinel2", _c3, 16384, "ckd"),
+    ("c4_spherical_hapke_sza75", _c4, 131072, "mono_single"),
+    ("c5_canopy_atm_polarized", _c5, 8192, "mono_polarized"),
+]
 
 
 def cpu_reference_rate():
-    """CPU-backend samples/s of the same engine (reference proxy), in a
+    """CPU-backend samples/s of config 1 (reference proxy), in a
     subprocess so the platform choice is clean."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');\n"
         "import sys; sys.path.insert(0, %r)\n"
         "import bench\n"
-        "bench.SPP = 256\n"
-        "print('CPURATE', bench.measure_rate(reps=1))\n"
+        "print('CPURATE', bench._experiment_rate(bench._c1, 256, reps=1))\n"
     ) % os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
@@ -104,19 +174,34 @@ def cpu_reference_rate():
 
 
 def main():
-    rate = measure_rate()
-    cpu_rate = cpu_reference_rate()
+    only = set(sys.argv[1:])  # optional config keys to run
+    rates = {}
+    for key, builder, spp, mode in CONFIGS:
+        if only and key not in only:
+            continue
+        try:
+            rates[key] = round(_experiment_rate(builder, spp, mode=mode), 1)
+        except Exception as e:
+            print(f"{key} failed: {e}", file=sys.stderr)
+            rates[key] = None
+
+    headline = rates.get("c1_rayleigh_lambert") or next(
+        (v for v in rates.values() if v), 0.0
+    )
+    cpu_rate = cpu_reference_rate() if "c1_rayleigh_lambert" in rates else None
     if cpu_rate:
-        vs = rate / (20.0 * cpu_rate)
+        vs = headline / (20.0 * cpu_rate)
     else:
-        vs = rate / 1e8  # fallback normalization: 1.0 == 100 M samples/s
+        vs = headline / 1e8  # fallback normalization: 1.0 == 100 M samples/s
     print(
         json.dumps(
             {
                 "metric": "path_samples_per_s_per_chip",
-                "value": round(rate, 1),
+                "value": headline,
                 "unit": "samples/s",
                 "vs_baseline": round(vs, 4),
+                "configs": rates,
+                "cpu_reference_c1": cpu_rate,
             }
         )
     )

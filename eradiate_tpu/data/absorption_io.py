@@ -152,6 +152,13 @@ def _read_one(path):
     out = {"w": w_nm, "p": p, "t": t, "sigma_a": sigma, **x}
     if g_payload is not None:
         out["g"] = np.asarray(g_payload[0], dtype=np.float64)
+        # adaptive-quadrature metadata (transmittance error per candidate
+        # ng; consumed by CKDQuadConfig's MINIMIZE_ERROR/ERROR_THRESHOLD)
+        err = _leaf(ds, "error", "transmittance_error")
+        err_ng = _leaf(ds, "error_ng", "ng")
+        if err is not None and err_ng is not None:
+            out["error"] = np.asarray(err[0], dtype=np.float64)
+            out["error_ng"] = np.asarray(err_ng[0], dtype=np.int64)
         wb = _leaf(ds, "wbounds")
         if wb is not None:
             b = np.asarray(wb[0], dtype=np.float64)
@@ -235,6 +242,11 @@ def load_absorption_netcdf(src, error_handling=None):
         else:
             wmin, wmax = _bounds_from_centers(w)
         data["wmin"], data["wmax"] = wmin, wmax
+        if all("error" in c for c in chunks):
+            data["error"] = np.concatenate(
+                [c["error"] for c in chunks], axis=0
+            )[order]
+            data["error_ng"] = ref["error_ng"]
         return CKDAbsorptionDatabase(data, error_handling)
 
     data["w"] = w

@@ -45,12 +45,16 @@ def _write_mono_chunk(path, wn_cm, p_pa, t_k, sigma_m):
         d.attrs["units"] = "m^-1"
 
 
-def _write_ckd_chunk(path, wc_nm, wmin, wmax, g, p_pa, t_k, x_h2o, sigma_m):
+def _write_ckd_chunk(path, wc_nm, wmin, wmax, g, p_pa, t_k, x_h2o, sigma_m,
+                     error=None, error_ng=None):
     with h5py.File(path, "w") as f:
         d = f.create_dataset("w", data=wc_nm)
         d.attrs["units"] = "nm"
         f.create_dataset("wbounds", data=np.stack([wmin, wmax], axis=-1))
         f.create_dataset("g", data=g)
+        if error is not None:
+            f.create_dataset("error", data=error)
+            f.create_dataset("error_ng", data=error_ng)
         d = f.create_dataset("p", data=p_pa)
         d.attrs["units"] = "hPa"
         d = f.create_dataset("t", data=t_k)
@@ -220,3 +224,25 @@ def test_molecular_atmosphere_runs_with_netcdf_db(tmp_path, mode_mono):
     assert np.all(np.isfinite(brf))
     assert np.all(brf > 0)
     assert np.all(brf < 0.6)  # absorption + Rayleigh keep it below rho
+
+
+def test_ckd_error_metadata_roundtrip(tmp_path):
+    """Adaptive-quadrature error arrays survive the NetCDF import."""
+    p, t = _state_axes()
+    edges = np.array([500.0, 510.0, 520.0])
+    wmin, wmax = edges[:-1], edges[1:]
+    wc = 0.5 * (wmin + wmax)
+    g = np.linspace(0.0, 1.0, 4)
+    x_h2o = np.array([0.0, 0.02])
+    sig = 1e-6 * np.ones((wc.size, g.size, p.size, t.size, x_h2o.size))
+    error_ng = np.array([1, 2, 4])
+    error = np.array([[0.3, 0.05, 1e-4], [0.5, 0.2, 5e-3]])
+    _write_ckd_chunk(
+        tmp_path / "bins.nc", wc, wmin, wmax, g, p / 100.0, t, x_h2o, sig,
+        error=error, error_ng=error_ng,
+    )
+    db = load_absorption_netcdf(tmp_path)
+    ed = db.error_data(505.0)
+    assert ed == {1: 0.3, 2: 0.05, 4: 1e-4}
+    ed2 = db.error_data(515.0)
+    assert ed2[4] == 5e-3
