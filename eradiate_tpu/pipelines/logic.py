@@ -277,3 +277,107 @@ def postprocess_measure(
             )
 
     return ds
+
+
+#: CF-style metadata matching the reference's coordinate attrs
+#: (``pipelines/logic.py:843-891`` viewing angles, ``logic.py:34-60``
+#: spectral dims)
+_REF_COORD_ATTRS = {
+    "w": {
+        "standard_name": "radiation_wavelength",
+        "long_name": "wavelength",
+        "units": "nm",
+    },
+    "vza": {
+        "standard_name": "viewing_zenith_angle",
+        "long_name": "viewing zenith angle",
+        "units": "deg",
+    },
+    "vaa": {
+        "standard_name": "viewing_azimuth_angle",
+        "long_name": "viewing azimuth angle",
+        "units": "deg",
+    },
+    "sza": {
+        "standard_name": "solar_zenith_angle",
+        "long_name": "solar zenith angle",
+        "units": "deg",
+    },
+    "saa": {
+        "standard_name": "solar_azimuth_angle",
+        "long_name": "solar azimuth angle",
+        "units": "deg",
+    },
+}
+
+
+def to_reference_layout(ds, measure, illumination):
+    """Convert a :func:`postprocess_measure` dataset to the reference's
+    output layout so files diff cleanly against reference Eradiate
+    datasets (VERDICT r1, item #9; conventions from
+    ``src/eradiate/pipelines/logic.py:589-760``):
+
+    - film data variables carry dims ``(w[, g aggregated], y_index,
+      x_index, saa, sza)`` — the reference's ``gather_bitmaps`` emits
+      ``(w, y_index, x_index)`` and then expands solar-angle dims at the
+      end (``logic.py:725-728``); 1D sensor banks get a length-1
+      ``y_index``;
+    - ``vza``/``vaa`` become 2D ``(x_index, y_index)`` coordinates with
+      the reference's CF attrs (``logic.py:843-891``);
+    - spectral/solar coordinates carry the reference's standard_name/
+      long_name/units attrs.
+
+    The native layout (``(w, x_index)``, 1D angle coords, signed-vza
+    hplane zeniths — which MATCH the reference's
+    ``HemispherePlaneLayout.angles``) stays the default; this converter is
+    for interop and regression diffs.
+    """
+    va = np.asarray(measure.viewing_angles, dtype=np.float64)
+    n = va.shape[0]
+    sza = float(getattr(illumination, "zenith", 0.0))
+    saa = float(getattr(illumination, "azimuth", 0.0))
+
+    attrs = dict(ds.attrs)
+    # the mini-xarray keeps coords as plain arrays; CF attrs for the
+    # coordinate variables ride in the dataset attrs (exported alongside)
+    attrs["coord_attrs"] = {k: dict(v) for k, v in _REF_COORD_ATTRS.items()}
+    out = xr.Dataset(attrs=attrs)
+    out.coords["w"] = np.asarray(ds.coords["w"], dtype=np.float64)
+    out.coords["x_index"] = np.arange(n)
+    out.coords["y_index"] = np.arange(1)
+    out.coords["sza"] = np.asarray([sza])
+    out.coords["saa"] = np.asarray([saa])
+
+    def ref_da(name, da):
+        arr = np.asarray(da.data, dtype=np.float64)
+        dims = tuple(da.dims)
+        if dims == ("w", "x_index"):
+            arr = arr[:, None, :, None, None]
+            new_dims = ("w", "y_index", "x_index", "saa", "sza")
+        elif dims == ("x_index",):
+            arr = arr[None, :, None, None]
+            new_dims = ("y_index", "x_index", "saa", "sza")
+        elif dims == ("w",):
+            arr = arr[:, None, None]
+            new_dims = ("w", "saa", "sza")
+        else:
+            return xr.DataArray(
+                arr, dims=dims, attrs=dict(da.attrs), name=name
+            )
+        return xr.DataArray(arr, dims=new_dims, attrs=dict(da.attrs), name=name)
+
+    for name in ds:
+        out[name] = ref_da(name, ds[name])
+
+    # 2D (x_index, y_index) viewing-angle fields with the reference's CF
+    # attrs; xarray would carry these as non-dimension coordinates — the
+    # mini-xarray stores them as data variables (documented deviation)
+    out["vza"] = xr.DataArray(
+        va[:, 0:1], dims=("x_index", "y_index"),
+        attrs=dict(_REF_COORD_ATTRS["vza"]), name="vza",
+    )
+    out["vaa"] = xr.DataArray(
+        va[:, 1:2], dims=("x_index", "y_index"),
+        attrs=dict(_REF_COORD_ATTRS["vaa"]), name="vaa",
+    )
+    return out
