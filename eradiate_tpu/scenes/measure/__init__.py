@@ -98,8 +98,31 @@ class Measure(SceneElement):
     srf: SpectralResponseFunction = attrs.field(
         factory=lambda: DeltaSRF(np.array([550.0])), converter=srf_converter
     )
-    spp: int = 1000
+    spp: int = attrs.field(default=1000, converter=int)
     target: Target | None = attrs.field(default=None, converter=Target.convert)
+
+    @spp.validator
+    def _spp_validator(self, attribute, value):
+        # mirror of the reference's single-precision warning
+        # (scenes/measure/_core.py:177-184); the TPU engine's f32 noise
+        # floor is quantified in tests/system/test_cross_gates.py
+        # (TestF32NoiseFloor: <1e-5 at spp 131072 on deterministic scenes)
+        import warnings
+
+        from ...core.modes import get_mode_or_none
+
+        mode = get_mode_or_none()
+        if (
+            value > 100000
+            and mode is not None
+            and mode.is_single_precision
+        ):
+            warnings.warn(
+                f"Measure {getattr(self, 'id', '?')} is defined with a "
+                "sample count greater than 1e5, but the selected mode is "
+                "single-precision: accumulation error may become visible "
+                "(measured floor <1e-5 relative at spp 1.3e5)."
+            )
     sampler: str = attrs.field(
         default="independent",
         validator=attrs.validators.in_(

@@ -140,3 +140,109 @@ class TestCLI:
         assert out.returncode == 0, out.stderr
         d = np.load(dst)
         assert d["w"].size < 101
+
+
+class TestSrfToolsParity:
+    """Reference-parity srf_tools functions (srf_tools.py:79-1045)."""
+
+    def _gauss(self, n=101):
+        w = np.linspace(500.0, 600.0, n)
+        v = np.exp(-0.5 * ((w - 550.0) / 10.0) ** 2)
+        return w, v
+
+    def test_trim_zeros(self):
+        from eradiate_tpu.srf_tools import trim
+
+        w = np.arange(10.0)
+        v = np.array([0, 0, 0, 0.5, 1.0, 0.5, 0, 0, 0, 0])
+        w2, v2 = trim(w, v)
+        # keeps one zero on each side
+        np.testing.assert_allclose(v2, [0, 0.5, 1.0, 0.5, 0])
+        np.testing.assert_allclose(w2, [2, 3, 4, 5, 6])
+
+    def test_threshold_filter(self):
+        from eradiate_tpu.srf_tools import threshold_filter
+
+        w, v = self._gauss()
+        w2, v2 = threshold_filter(w, v, value=0.5)
+        assert np.all(v2 > 0.5)
+        assert w2.min() >= 550.0 - 12.0 and w2.max() <= 550.0 + 12.0
+        with pytest.raises(ValueError):
+            threshold_filter(w, v, value=1.5)
+
+    def test_threshold_filter_disconnection_warns(self):
+        import warnings as _w
+
+        from eradiate_tpu.srf_tools import threshold_filter
+
+        w = np.arange(7.0)
+        v = np.array([0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            threshold_filter(w, v, value=0.5)
+        assert any("disconnect" in str(r.message) for r in rec)
+
+    @pytest.mark.parametrize("method", ["walk", "symmetry"])
+    def test_integral_filter(self, method):
+        from eradiate_tpu.srf_tools import integral_filter
+
+        w, v = self._gauss()
+        w2, v2 = integral_filter(w, v, percentage=95.0, method=method)
+        # kept window integral ~95% of total
+        total = np.trapezoid(v, w)
+        kept = np.trapezoid(v2, w2)
+        assert kept / total > 0.9
+        assert w2.size < w.size
+        with pytest.raises(ValueError):
+            integral_filter(w, v, percentage=0.0)
+
+    def test_symmetry_bounds_symmetric(self):
+        from eradiate_tpu.srf_tools import integral_filter, mean_wavelength
+
+        w, v = self._gauss()
+        w2, v2 = integral_filter(w, v, percentage=90.0, method="symmetry")
+        m = mean_wavelength(w, v)
+        assert abs((m - w2.min()) - (w2.max() - m)) < 2.5  # grid-step tol
+
+    def test_stats(self):
+        from eradiate_tpu.srf_tools import (
+            filtering_summary,
+            mean_wavelength,
+            summarize,
+            wavelength_bandwidth,
+            wavelength_range_width,
+        )
+
+        w, v = self._gauss()
+        assert wavelength_range_width(w) == pytest.approx(100.0)
+        assert mean_wavelength(w, v) == pytest.approx(550.0, abs=0.1)
+        assert wavelength_bandwidth(w, v) == pytest.approx(
+            10.0 * np.sqrt(2 * np.pi), rel=1e-3
+        )
+        fs = filtering_summary(w, v, w[10:-10], v[10:-10])
+        assert fs["n_wavelength"]["difference"] == -20
+        txt = summarize(w, v, w[10:-10], v[10:-10])
+        assert "mean_wavelength" in txt
+
+    def test_filter_srf_pipeline_and_save(self, tmp_path):
+        from eradiate_tpu.srf_tools import filter_srf, save
+
+        w = np.concatenate([[480.0, 490.0], self._gauss()[0], [610.0, 620.0]])
+        v = np.concatenate([[0.0, 0.0], self._gauss()[1], [0.0, 0.0]])
+        w2, v2 = filter_srf(
+            w, v, trim_prior=True, percentage=99.0, threshold=1e-3, pad=True
+        )
+        # padded edges are zero, interior survives
+        assert v2[0] == 0.0 and v2[-1] == 0.0
+        assert v2.max() == pytest.approx(1.0)
+        path = tmp_path / "test_srf.npz"
+        save(w2, v2, path, attrs={"id": "test"})
+        d = np.load(path, allow_pickle=True)
+        np.testing.assert_allclose(d["w"], w2)
+        assert "attr__history" in d.files
+
+    def test_make_gaussian_alias(self):
+        from eradiate_tpu.srf_tools import make_gaussian
+
+        srf = make_gaussian(550.0, 10.0)
+        assert srf is not None
