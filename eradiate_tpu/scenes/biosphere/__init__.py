@@ -194,6 +194,43 @@ class LeafCloud(SceneElement):
     def n_leaves(self) -> int:
         return 0 if self.positions is None else self.positions.shape[0]
 
+    @classmethod
+    def from_file(
+        cls,
+        filename,
+        leaf_reflectance=0.5,
+        leaf_transmittance=0.5,
+        **kwargs,
+    ) -> "LeafCloud":
+        """Load a leaf cloud from the reference's text format
+        (``_leaf_cloud.py:1049``): one leaf per line, 7 whitespace-
+        separated numbers ``radius x y z nx ny nz``, all in METRES
+        (converted to the kernel's km here); normals are renormalized.
+        """
+        import os
+
+        if not os.path.isfile(filename):
+            raise FileNotFoundError(f"no file at {filename} found.")
+        data = np.loadtxt(filename, dtype=np.float64, ndmin=2)
+        if data.shape[1] < 7:
+            raise ValueError(
+                f"leaf cloud file {filename} needs 7 columns "
+                f"(radius x y z nx ny nz), got {data.shape[1]}"
+            )
+        radii = data[:, 0] * 1e-3  # m -> km
+        positions = data[:, 1:4] * 1e-3
+        normals = data[:, 4:7]
+        norm = np.linalg.norm(normals, axis=1, keepdims=True)
+        normals = normals / np.where(norm > 0, norm, 1.0)
+        return cls(
+            positions=positions,
+            orientations=normals,
+            radii=radii,
+            leaf_reflectance=leaf_reflectance,
+            leaf_transmittance=leaf_transmittance,
+            **kwargs,
+        )
+
     def translated(self, offset_km) -> "LeafCloud":
         out = LeafCloud(
             positions=self.positions + np.asarray(offset_km)[None, :],
@@ -348,11 +385,44 @@ class DiscreteCanopy(SceneElement):
         )
 
     @classmethod
-    def leaf_cloud_from_files(cls, *args, **kwargs):
-        raise NotImplementedError(
-            "file-based canopy loading requires the data store; construct "
-            "LeafCloud from arrays instead"
-        )
+    def leaf_cloud_from_files(
+        cls, size, leaf_cloud_dicts, padding: int = 0, id: str = "discrete_canopy"
+    ) -> "DiscreteCanopy":
+        """Create a canopy from text-file specifications (mirror of
+        ``_discrete.py:290-360``). Each dict in ``leaf_cloud_dicts``:
+
+        - ``leaf_cloud_filename``: leaf file, 7 cols
+          ``radius x y z nx ny nz`` [m] (:meth:`LeafCloud.from_file`);
+        - ``instance_filename``: instance positions, one ``x y z`` [m]
+          triple per line;
+        - optional ``leaf_reflectance`` / ``leaf_transmittance`` /
+          ``sub_id``.
+
+        ``size`` is the canopy extent in metres (3-vector).
+        """
+        elements = []
+        for d in leaf_cloud_dicts:
+            cloud = LeafCloud.from_file(
+                d["leaf_cloud_filename"],
+                leaf_reflectance=d.get("leaf_reflectance", 0.5),
+                leaf_transmittance=d.get("leaf_transmittance", 0.5),
+            )
+            positions = np.loadtxt(
+                d["instance_filename"], dtype=np.float64, ndmin=2
+            )
+            if positions.shape[1] != 3:
+                raise ValueError(
+                    f"instance file {d['instance_filename']} needs 3 "
+                    f"columns (x y z), got {positions.shape[1]}"
+                )
+            elements.append(
+                InstancedCanopyElement(
+                    canopy_element=cloud,
+                    instance_positions=positions * 1e-3,  # m -> km
+                )
+            )
+        canopy = cls(size=size, instanced_canopy_elements=elements)
+        return canopy.padded_copy(padding)
 
     def padded_copy(self, padding: int) -> "DiscreteCanopy":
         """Replicate the canopy on a (2 padding + 1)^2 grid."""

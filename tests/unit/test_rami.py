@@ -117,3 +117,101 @@ def test_load_rami_scenario_from_folder(tmp_path):
         RAMIActualCanopies.JARVSELJA_PINE_STAND, unpack_folder=tmp_path
     )
     assert out["canopy"]["type"] == "discrete_canopy"
+
+
+class TestLeafCloudFromFiles:
+    """File-based canopy loading (reference ``_leaf_cloud.py:1049`` /
+    ``_discrete.py:290``) — VERDICT r1, Missing #4 stub removal."""
+
+    def _write_files(self, tmp_path, n=50, n_inst=4, seed=3):
+        rng = np.random.default_rng(seed)
+        leaves = np.column_stack([
+            np.full(n, 0.1),                      # radius [m]
+            rng.uniform(-5, 5, n),                # x [m]
+            rng.uniform(-5, 5, n),                # y
+            rng.uniform(0.2, 2.0, n),             # z
+            rng.normal(size=(n, 3)),              # normal (unnormalized)
+        ])
+        leaf_file = tmp_path / "leaves.def"
+        np.savetxt(leaf_file, leaves)
+        inst = np.column_stack([
+            rng.uniform(-20, 20, n_inst),
+            rng.uniform(-20, 20, n_inst),
+            np.zeros(n_inst),
+        ])
+        inst_file = tmp_path / "instances.def"
+        np.savetxt(inst_file, inst)
+        return leaf_file, inst_file, leaves, inst
+
+    def test_leaf_cloud_from_file(self, tmp_path):
+        from eradiate_tpu.scenes.biosphere import LeafCloud
+
+        leaf_file, _, leaves, _ = self._write_files(tmp_path)
+        cloud = LeafCloud.from_file(leaf_file, leaf_reflectance=0.45)
+        assert cloud.n_leaves == 50
+        # metres -> km
+        np.testing.assert_allclose(cloud.radii, 1e-4)
+        np.testing.assert_allclose(cloud.positions, leaves[:, 1:4] * 1e-3)
+        # unit normals
+        np.testing.assert_allclose(
+            np.linalg.norm(cloud.orientations, axis=1), 1.0, rtol=1e-12
+        )
+        assert cloud.leaf_reflectance == 0.45
+
+    def test_missing_file_raises(self, tmp_path):
+        from eradiate_tpu.scenes.biosphere import LeafCloud
+
+        with pytest.raises(FileNotFoundError):
+            LeafCloud.from_file(tmp_path / "nope.def")
+
+    def test_canopy_from_files_and_render(self, tmp_path, mode_mono):
+        import eradiate_tpu
+        from eradiate_tpu.experiments import CanopyExperiment
+        from eradiate_tpu.scenes.biosphere import DiscreteCanopy
+
+        leaf_file, inst_file, _, inst = self._write_files(tmp_path)
+        canopy = DiscreteCanopy.leaf_cloud_from_files(
+            size=(50.0, 50.0, 2.5),
+            leaf_cloud_dicts=[
+                {
+                    "leaf_cloud_filename": str(leaf_file),
+                    "instance_filename": str(inst_file),
+                    "leaf_reflectance": 0.5,
+                    "leaf_transmittance": 0.3,
+                }
+            ],
+        )
+        flat = canopy.flatten()
+        assert flat.n_leaves == 50 * 4
+        exp = CanopyExperiment(
+            canopy=canopy,
+            illumination={"type": "directional", "zenith": 30.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0],
+                "azimuth": 0.0,
+                "spp": 64,
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.25},
+        )
+        res = eradiate_tpu.run(exp)
+        brf = float(np.asarray(res["brf"].values).ravel()[0])
+        assert np.isfinite(brf) and 0.0 < brf < 1.0
+
+    def test_padding(self, tmp_path):
+        from eradiate_tpu.scenes.biosphere import DiscreteCanopy
+
+        leaf_file, inst_file, _, _ = self._write_files(tmp_path)
+        canopy = DiscreteCanopy.leaf_cloud_from_files(
+            size=(50.0, 50.0, 2.5),
+            leaf_cloud_dicts=[
+                {
+                    "leaf_cloud_filename": str(leaf_file),
+                    "instance_filename": str(inst_file),
+                }
+            ],
+            padding=1,
+        )
+        assert canopy.flatten().n_leaves == 50 * 4 * 9
