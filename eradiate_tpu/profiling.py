@@ -111,3 +111,50 @@ def timed_render(label, fn, *, spectral_size, n_pixels, spp):
     wall = time.perf_counter() - t0
     stats.record(label, wall, spectral_size, n_pixels, spp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Roofline accounting (BASELINE: kernels "profiled to speed-of-light")
+
+#: TPU v5e per-chip peaks (public spec: 197 TFLOP/s bf16 MXU, 819 GB/s
+#: HBM). The VPU f32 peak is an estimate (8 x 128 x 8 lanes x ~0.94 GHz
+#: x 2 FLOP/FMA ~ 3.9 TFLOP/s) — elementwise f32 work can never ride the
+#: MXU, so it rooflines against this much lower ceiling.
+V5E_PEAKS = {
+    "hbm_bytes_per_s": 819e9,
+    "mxu_bf16_flop_per_s": 197e12,
+    "vpu_f32_flop_per_s": 3.9e12,
+}
+
+
+def kernel_roofline(label, wall_s, flops, bytes_moved, unit="vpu_f32"):
+    """Achieved-vs-peak accounting for one kernel invocation.
+
+    ``flops``: analytic FLOP count of the invocation; ``bytes_moved``:
+    analytic HBM traffic (reads + writes of non-VMEM-resident operands);
+    ``unit``: which compute ceiling applies ("mxu_bf16" for matmul-lowered
+    work, "vpu_f32" for elementwise). Returns a dict with achieved rates,
+    fractions of peak, arithmetic intensity, and the bound resource
+    (whichever fraction is higher — that resource sets the kernel's
+    speed-of-light).
+    """
+    peak_flops = V5E_PEAKS[f"{unit}_flop_per_s"]
+    peak_bw = V5E_PEAKS["hbm_bytes_per_s"]
+    achieved_flops = flops / wall_s if wall_s > 0 else 0.0
+    achieved_bw = bytes_moved / wall_s if wall_s > 0 else 0.0
+    frac_compute = achieved_flops / peak_flops
+    frac_bw = achieved_bw / peak_bw
+    return {
+        "label": label,
+        "wall_s": wall_s,
+        "gflop_per_s": achieved_flops / 1e9,
+        "gbytes_per_s": achieved_bw / 1e9,
+        "frac_compute_peak": frac_compute,
+        "frac_hbm_peak": frac_bw,
+        "intensity_flop_per_byte": (
+            flops / bytes_moved if bytes_moved else float("inf")
+        ),
+        "ridge_flop_per_byte": peak_flops / peak_bw,
+        "bound": "compute" if frac_compute >= frac_bw else "hbm",
+        "speed_of_light_frac": max(frac_compute, frac_bw),
+    }
