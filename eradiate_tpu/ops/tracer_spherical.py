@@ -46,6 +46,20 @@ __all__ = ["SphericalMediumArrays", "render_spherical"]
 #: see docs/developer_guide/performance.md.
 SPHERICAL_LANES_TARGET = 2**14
 
+#: At 64k lanes the per-lane bounce cost halves (the Pallas shell flight
+#: wins 1.35x there; see docs/developer_guide/performance.md), but only
+#: when regeneration quotas stay deep — 64k lanes x quota 8 measured
+#: SLOWER than 16k x quota 30. The adaptive target takes the big pool
+#: only when the sample budget sustains quota >= ~24 at 64k lanes.
+_LANES_HI = 2**16
+_QUOTA_DEEP = 24
+
+
+def spherical_lanes_target(n_pix: int, spp: int) -> int:
+    if n_pix * spp >= _LANES_HI * _QUOTA_DEEP:
+        return _LANES_HI
+    return SPHERICAL_LANES_TARGET
+
 
 @_pytree_dataclass
 class SphericalMediumArrays:
@@ -361,7 +375,7 @@ def _render_row_spherical(
     from .tracer import lane_partition
 
     lp, pix, slot, lane_first, quota = lane_partition(
-        n_pix, spp, lanes_target=SPHERICAL_LANES_TARGET,
+        n_pix, spp, lanes_target=spherical_lanes_target(n_pix, spp),
         spp_stride=spp_stride, sample_offset=sample_offset,
     )
     B = n_pix * lp

@@ -30,7 +30,12 @@ from .scene_state import (
 )
 from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
 from .tracer_polarized import _phase_mueller, _scatter_frames
-from .tracer_spherical import SphericalMediumArrays, _to_local, _to_world
+from .tracer_spherical import (
+    SphericalMediumArrays,
+    _to_local,
+    _to_world,
+    spherical_lanes_target,
+)
 
 __all__ = ["render_spherical_polarized"]
 
@@ -370,7 +375,7 @@ def _render_row(
     from .tracer import lane_partition
 
     lp, pix, slot, lane_first, quota = lane_partition(
-        n_pix, spp, lanes_target=SPHERICAL_LANES_TARGET,
+        n_pix, spp, lanes_target=spherical_lanes_target(n_pix, spp),
         spp_stride=spp_stride, sample_offset=sample_offset,
     )
     B = n_pix * lp
