@@ -340,7 +340,16 @@ def trace_paths_canopy_polarized_regen(
     tri_row=None,
 ):
     """Regenerative polarized canopy trace. Returns ``(S_sum [B, 4],
-    m2_sum [B])`` (m2 over the I component)."""
+    m2_sum [B])`` (m2 over the I component).
+
+    Like the scalar loop (``tracer_canopy.trace_paths_canopy_regen``),
+    lanes are periodically permuted by the Morton code of the current
+    position (``CANOPY_SORT_EVERY``) so ray blocks stay spatially coherent
+    for the sweep kernels' tile culling (+25% measured on the scalar
+    canopy; the Stokes state P/b travels with its lane, results are
+    bit-identical to the unsorted loop up to f32 summation grouping)."""
+    from .tracer_canopy import _morton_u32, _sort_interval
+
     helpers = _canopy_helpers(
         config, medium_row, leaf_row, leaves, illum_row, tris, tri_row
     )
@@ -350,27 +359,34 @@ def trace_paths_canopy_polarized_regen(
     )
     B = init_pos.shape[0]
     dtype = init_pos.dtype
+    z_top = medium_row.z_levels[-1]
     row_keys_b = jnp.broadcast_to(row_key, (B,))
     b_init = default_basis(-init_d)
     eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
+    sort_every = _sort_interval()
+    box_lo = jnp.min(leaves.centers, 0)
+    box_hi = jnp.max(leaves.centers, 0)
 
-    def sample_key(s_local):
-        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+    def sample_key(lane_first_l, s_local):
+        return jax.vmap(jax.random.fold_in)(
+            row_keys_b, lane_first_l + s_local
+        )
 
-    def origin(keys):
+    def origin(keys, init_pos_l, ext_l):
         if ext is None:
-            return init_pos
+            return init_pos_l
         u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
             jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
         )
-        jit = (u - 0.5) * ext
-        return init_pos + jnp.concatenate(
+        jit = (u - 0.5) * ext_l
+        return init_pos_l + jnp.concatenate(
             [jit, jnp.zeros((B, 1), dtype)], axis=-1
         )
 
     def body(carry):
-        (s_local, depth, pos, d, P, b, beta, S_cur, keys, done,
-         S_sum, m2_sum) = carry
+        (it, s_local, depth, pos, d, P, b, beta, S_cur, keys, done,
+         S_sum, m2_sum, lane_first_l, quota_l, init_pos_l, init_d_l,
+         b_init_l, ext_l, orig) = carry
 
         S_add, pos2, d2, P2, b2, beta2, alive2 = bounce(
             depth, pos, d, P, b, beta, keys
@@ -383,30 +399,62 @@ def trace_paths_canopy_polarized_regen(
         S_sum = S_sum + jnp.where(path_end[:, None], S_cur, 0.0)
         m2_sum = m2_sum + jnp.where(path_end, S_cur[:, 0] ** 2, 0.0)
         s_local = s_local + path_end.astype(s_local.dtype)
-        done = done | (s_local >= quota)
+        done = done | (s_local >= quota_l)
 
         regen = path_end & ~done
-        keys_new = sample_key(s_local)
+        keys_new = sample_key(lane_first_l, s_local)
         keys = jnp.where(regen, keys_new, keys)
-        pos = jnp.where(regen[:, None], origin(keys_new), pos2)
-        d = jnp.where(regen[:, None], init_d, d2)
+        pos = jnp.where(
+            regen[:, None], origin(keys_new, init_pos_l, ext_l), pos2
+        )
+        d = jnp.where(regen[:, None], init_d_l, d2)
         P = jnp.where(regen[:, None, None], eye4, P2)
-        b = jnp.where(regen[:, None], b_init, b2)
+        b = jnp.where(regen[:, None], b_init_l, b2)
         beta = jnp.where(regen, jnp.ones((), dtype), beta2)
         S_cur = jnp.where(path_end[:, None], 0.0, S_cur)
         depth = jnp.where(regen, 0, depth)
 
-        return (s_local, depth, pos, d, P, b, beta, S_cur, keys, done,
-                S_sum, m2_sum)
+        # park done lanes at TOA pointing up (zero sweep-tile overlap)
+        park = jnp.stack(
+            [jnp.zeros(B, dtype), jnp.zeros(B, dtype),
+             jnp.full(B, z_top, dtype)], axis=-1
+        )
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype), (B, 3))
+        pos = jnp.where(done[:, None], park, pos)
+        d = jnp.where(done[:, None], up, d)
+
+        state = (s_local, depth, pos, d, P, b, beta, S_cur, keys, done,
+                 S_sum, m2_sum, lane_first_l, quota_l, init_pos_l,
+                 init_d_l, b_init_l, ext_l, orig)
+        if sort_every > 0:
+            def do_sort(st):
+                code = _morton_u32(st[2], box_lo, box_hi)
+                code = jnp.where(st[9], jnp.uint32(0xFFFFFFFF), code)
+                order = jnp.argsort(code)
+                return jax.tree.map(lambda x: x[order], st)
+
+            state = jax.lax.cond(
+                it % sort_every == sort_every - 1,
+                do_sort,
+                lambda st: st,
+                state,
+            )
+
+        return (it + 1,) + state
 
     def cond(carry):
-        return jnp.any(~carry[9])
+        return jnp.any(~carry[10])
 
-    keys0 = sample_key(jnp.zeros(B, jnp.int32))
+    lane_ext = (
+        jnp.zeros((B, 2), dtype) if ext is None else jnp.asarray(ext)
+    )
+    lane_first_arr = jnp.asarray(lane_first)
+    keys0 = sample_key(lane_first_arr, jnp.zeros(B, jnp.int32))
     init = (
+        jnp.asarray(0),
         jnp.zeros(B, jnp.int32),
         jnp.zeros(B, jnp.int32),
-        origin(keys0),
+        origin(keys0, init_pos, lane_ext if ext is not None else None),
         init_d,
         eye4,
         b_init,
@@ -416,9 +464,20 @@ def trace_paths_canopy_polarized_regen(
         jnp.zeros(B, dtype=bool),
         jnp.zeros((B, 4), dtype),
         jnp.zeros(B, dtype),
+        lane_first_arr,
+        jnp.broadcast_to(jnp.asarray(quota), (B,)),
+        init_pos,
+        init_d,
+        b_init,
+        lane_ext,
+        jnp.arange(B, dtype=jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
-    return final[10], final[11]
+    S_sum, m2_sum, orig = final[11], final[12], final[19]
+    # undo the in-loop permutations
+    S_out = jnp.zeros((B, 4), dtype).at[orig].set(S_sum)
+    m2_out = jnp.zeros(B, dtype).at[orig].set(m2_sum)
+    return S_out, m2_out
 
 
 def _render_row_canopy_polarized(
