@@ -52,12 +52,31 @@ def cmd_data_list(args):
 
 
 def cmd_data_install(args):
-    print(
-        "This environment has no network egress: install datasets by "
-        "copying .npz files into a directory on ERADIATE_TPU_DATA_PATH.",
-        file=sys.stderr,
-    )
+    """Install a dataset archive/directory into the user data dir (offline
+    analog of ``eradiate data install``, ``cli/data.py:29-124``)."""
+    from .data.asset_manager import install
+
+    dest = install(args.source, name=args.name, sha256=args.sha256)
+    print(f"installed -> {dest}")
+    return 0
+
+
+def cmd_data_remove(args):
+    from .data.asset_manager import remove
+
+    if remove(args.name):
+        print(f"removed {args.name}")
+        return 0
+    print(f"no installed asset named {args.name!r}", file=sys.stderr)
     return 1
+
+
+def cmd_data_installed(args):
+    from .data.asset_manager import list_installed
+
+    for name, entry in sorted(list_installed().items()):
+        print(f"{name}\t{entry['path']}")
+    return 0
 
 
 def cmd_data_validate(args):
@@ -145,9 +164,20 @@ def main(argv=None):
         help="schema name (srf_v1, particle_dataset_v1)",
     )
     validate.set_defaults(fn=cmd_data_validate)
-    data_sub.add_parser("install", help="(unavailable offline)").set_defaults(
-        fn=cmd_data_install
+    inst = data_sub.add_parser(
+        "install", help="install a local dataset archive or directory"
     )
+    inst.add_argument("source", help="path to .zip/.tar[.gz] archive, "
+                      "directory, or single data file")
+    inst.add_argument("--name", default=None, help="install name")
+    inst.add_argument("--sha256", default=None, help="expected checksum")
+    inst.set_defaults(fn=cmd_data_install)
+    rm = data_sub.add_parser("remove", help="remove an installed asset")
+    rm.add_argument("name")
+    rm.set_defaults(fn=cmd_data_remove)
+    data_sub.add_parser(
+        "installed", help="list assets installed via 'data install'"
+    ).set_defaults(fn=cmd_data_installed)
 
     srf = sub.add_parser("srf", help="SRF tools")
     srf_sub = srf.add_subparsers(dest="srf_command", required=True)

@@ -246,3 +246,63 @@ class TestSrfToolsParity:
 
         srf = make_gaussian(550.0, 10.0)
         assert srf is not None
+
+
+class TestAssetManager:
+    """Offline asset manager (reference _asset_manager.py:61 lifecycle
+    minus the network fetch)."""
+
+    def _patch_dir(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("ERADIATE_TPU_DATA_PATH", str(tmp_path / "store"))
+
+    def test_install_directory_and_resolve(self, tmp_path, monkeypatch):
+        self._patch_dir(tmp_path, monkeypatch)
+        from eradiate_tpu.data import resolve_data
+        from eradiate_tpu.data.asset_manager import (
+            install,
+            list_installed,
+            remove,
+        )
+
+        src = tmp_path / "absorption_mono" 
+        (src / "mydb").mkdir(parents=True)
+        np.save(src / "mydb" / "dummy.npy", np.arange(3))
+        dest = install(src, name="absorption_mono")
+        assert (dest / "mydb" / "dummy.npy").exists()
+        assert resolve_data("absorption_mono/mydb") is not None
+        assert "absorption_mono" in list_installed()
+        assert remove("absorption_mono")
+        assert resolve_data("absorption_mono/mydb") is None
+
+    def test_install_zip_with_checksum(self, tmp_path, monkeypatch):
+        import hashlib
+        import zipfile
+
+        self._patch_dir(tmp_path, monkeypatch)
+        from eradiate_tpu.data.asset_manager import install
+
+        payload = tmp_path / "payload"
+        payload.mkdir()
+        (payload / "a.txt").write_text("hello")
+        archive = tmp_path / "asset.zip"
+        with zipfile.ZipFile(archive, "w") as zf:
+            zf.write(payload / "a.txt", "a.txt")
+        digest = hashlib.sha256(archive.read_bytes()).hexdigest()
+        dest = install(archive, sha256=digest)
+        assert (dest / "a.txt").read_text() == "hello"
+        with pytest.raises(ValueError):
+            install(archive, name="again", sha256="0" * 64)
+
+    def test_cli_roundtrip(self, tmp_path, monkeypatch, capsys):
+        self._patch_dir(tmp_path, monkeypatch)
+        from eradiate_tpu.cli import main
+
+        src = tmp_path / "solar"
+        src.mkdir()
+        np.savez(src / "mysun.npz", w=np.array([550.0]), ssi=np.array([1.9]))
+        assert main(["data", "install", str(src), "--name", "solar"]) == 0
+        assert main(["data", "installed"]) == 0
+        out = capsys.readouterr().out
+        assert "solar" in out
+        assert main(["data", "remove", "solar"]) == 0
+        assert main(["data", "remove", "solar"]) == 1
