@@ -158,14 +158,25 @@ def _chunk_plan(spp, n_sample, spp_chunk):
 def _put_global(mesh, args, specs):
     """Multi-host input placement: every process passes the same host-side
     arrays; device_put with the mesh sharding places each process's
-    addressable shards, yielding global jax.Arrays."""
+    addressable shards, yielding global jax.Arrays. Typed PRNG-key arrays
+    round-trip through key_data (they reject np.asarray)."""
     if jax.process_count() <= 1:
         return args
+
+    def _global(arr, s):
+        sharding = NamedSharding(mesh, s)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
 
     def put(x, s):
         if x is None or s is None:
             return x
-        return jax.device_put(np.asarray(x), NamedSharding(mesh, s))
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            g = _global(np.asarray(jax.random.key_data(x)), s)
+            return jax.random.wrap_key_data(g, impl=impl)
+        return _global(np.asarray(x), s)
 
     return jax.tree_util.tree_map(
         put, args, specs, is_leaf=lambda x: x is None
