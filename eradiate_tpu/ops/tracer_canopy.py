@@ -22,7 +22,14 @@ from .bsdf_ops import (
     bsdf_eval,
     bsdf_sample_from_uniforms,
 )
-from .canopy import LeafCloudArrays, leaf_nearest, leaf_occluded, leaf_spheres
+from .canopy import (
+    InstancedLeafArrays,
+    LeafCloudArrays,
+    leaf_bounds,
+    leaf_nearest,
+    leaf_occluded,
+    leaf_spheres,
+)
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
 from .phase_ops import ortho_frame, phase_eval, phase_sample_from_uniforms
 from .scene_state import (
@@ -70,7 +77,11 @@ def _canopy_helpers(
     # sweep acceleration data (block spheres + AABB): computed ONCE per
     # render here (trace time, outside the path while_loop) and passed to
     # every sweep call
-    spheres = leaf_spheres(leaves.centers, leaves)
+    _base = (
+        leaves.canonical if isinstance(leaves, InstancedLeafArrays)
+        else leaves
+    )
+    spheres = leaf_spheres(_base.centers, leaves)
     if tris is not None:
         from .mesh import tri_accel
 
@@ -458,7 +469,7 @@ def trace_paths_canopy_regen(
     _, box_lo, box_hi = (
         helpers["spheres"]
         if isinstance(helpers["spheres"], tuple) and len(helpers["spheres"]) == 3
-        else (None, jnp.min(leaves.centers, 0), jnp.max(leaves.centers, 0))
+        else (None,) + leaf_bounds(leaves)
     )
 
     def sample_key(lane_first, s_local):

@@ -364,8 +364,9 @@ def trace_paths_canopy_polarized_regen(
     b_init = default_basis(-init_d)
     eye4 = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (B, 4, 4))
     sort_every = _sort_interval()
-    box_lo = jnp.min(leaves.centers, 0)
-    box_hi = jnp.max(leaves.centers, 0)
+    from .canopy import leaf_bounds
+
+    box_lo, box_hi = leaf_bounds(leaves)
 
     def sample_key(lane_first_l, s_local):
         return jax.vmap(jax.random.fold_in)(
