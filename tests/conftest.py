@@ -78,3 +78,25 @@ def _default_mode():
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def mode_ckd_double():
+    """Genuine x64 CKD mode (distinct double-precision axis on CPU)."""
+    import eradiate_tpu
+
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    eradiate_tpu.set_mode("ckd_double")
+    yield
+    jax.config.update("jax_enable_x64", old)
+    eradiate_tpu.set_mode("mono")
+
+
+@pytest.fixture
+def mode_ckd_polarized():
+    import eradiate_tpu
+
+    eradiate_tpu.set_mode("ckd_polarized_single")
+    yield
+    eradiate_tpu.set_mode("mono")

@@ -254,3 +254,54 @@ class TestAdaptiveCKDQuad:
         sizes = np.asarray([q.nodes.size for q in grid.quads])
         assert sizes.min() < sizes.max()  # genuinely per-bin
         assert sizes.max() <= 16
+
+
+class TestOtherModeAxes:
+    """Exercise the remaining mode-matrix corners distinctly: CKD double
+    precision (x64) and CKD polarized (Stokes outputs per bin)."""
+
+    def test_ckd_double_runs_f64(self, mode_ckd_double):
+        from eradiate_tpu.core.modes import mode
+
+        assert mode().device_dtype == np.float64
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 30.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [0.0],
+                "azimuth": 0.0,
+                "spp": 64,
+                "srf": {"type": "uniform", "wmin": 540.0, "wmax": 560.0},
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.7},
+            atmosphere=None,
+            ckd_quad_config={"ng_max": 2},
+        )
+        result = eradiate_tpu.run(exp)
+        np.testing.assert_allclose(result["brf"].values, 0.7, atol=1e-9)
+
+    def test_ckd_polarized_stokes_per_bin(self, mode_ckd_polarized):
+        db = make_synthetic_ckd_db(base_sigma=1e-3, ng=4)
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 50.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [-40.0, 40.0],
+                "azimuth": 0.0,
+                "spp": 512,
+                "srf": {"type": "uniform", "wmin": 540.0, "wmax": 560.0},
+                "id": "m",
+            },
+            surface={"type": "lambertian", "reflectance": 0.1},
+            atmosphere={"type": "molecular", "absorption_data": db},
+            ckd_quad_config={"ng_max": 4},
+        )
+        result = eradiate_tpu.run(exp)
+        for name in ("I", "Q", "dolp", "brf"):
+            assert name in result
+        assert result["I"].values.shape[0] >= 2  # spectral bins
+        assert np.all(result["dolp"].values >= 0)
+        assert np.all(np.isfinite(result["I"].values))
