@@ -191,7 +191,13 @@ def main():
     headline = rates.get("c1_rayleigh_lambert") or next(
         (v for v in rates.values() if v), 0.0
     )
-    cpu_rate = cpu_reference_rate() if "c1_rayleigh_lambert" in rates else None
+    # only meaningful when c1 itself succeeded: vs_baseline is defined as
+    # the c1 chip rate over the c1 CPU rate
+    cpu_rate = (
+        cpu_reference_rate()
+        if rates.get("c1_rayleigh_lambert") is not None
+        else None
+    )
     if cpu_rate:
         vs = headline / (20.0 * cpu_rate)
     else:

@@ -82,7 +82,9 @@ def list_results() -> None:
         r = entry["result"]
         configs = r.get("configs") or {}
         extra = " ".join(
-            f"{k.split('_')[0]}={v and round(v / 1e6, 2)}M" for k, v in configs.items()
+            f"{k.split('_')[0]}="
+            + (f"{v / 1e6:.2f}M" if v is not None else "FAILED")
+            for k, v in configs.items()
         )
         print(
             f"{name}  rev={entry['revision']}  "
@@ -98,7 +100,6 @@ def compare(a: str | None, b: str | None, threshold: float) -> int:
     if len(allr) < 2 and (a is None or b is None):
         print("need at least two recorded results")
         return 0
-    by_name = dict(allr)
 
     def pick(key, default_idx):
         if key is None:

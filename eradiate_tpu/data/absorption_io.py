@@ -135,11 +135,17 @@ def _read_one(path):
         raise ValueError(f"unsupported sigma_a units '{sig_units}'")
     sigma = sigma * factor
 
-    p, p_attrs = _leaf(ds, "p", "pressure")
+    p_payload = _leaf(ds, "p", "pressure")
+    if p_payload is None:
+        raise KeyError(f"no pressure coordinate (p/pressure) in {path}")
+    p, p_attrs = p_payload
     p = np.asarray(p, dtype=np.float64) * _PRESSURE_UNITS.get(
         _norm_units(p_attrs, "pa"), 1.0
     )
-    t, _ = _leaf(ds, "t", "temperature")
+    t_payload = _leaf(ds, "t", "temperature")
+    if t_payload is None:
+        raise KeyError(f"no temperature coordinate (t/temperature) in {path}")
+    t, _ = t_payload
     t = np.asarray(t, dtype=np.float64)
 
     x = {}

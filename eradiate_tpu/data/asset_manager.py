@@ -100,6 +100,15 @@ def install(source, name: str | None = None, sha256: str | None = None) -> Path:
                 break
     dest = base / name
 
+    def _check_member(name):
+        # prefix check with a trailing separator: plain startswith lets
+        # '../<dest-name>-sibling/...' escape when the sibling shares the
+        # install dir's name as a prefix
+        target = (dest / name).resolve()
+        root = dest.resolve()
+        if target != root and not str(target).startswith(str(root) + os.sep):
+            raise ValueError(f"unsafe archive member path: {name}")
+
     if src.is_dir():
         if dest.exists():
             shutil.rmtree(dest)
@@ -107,16 +116,19 @@ def install(source, name: str | None = None, sha256: str | None = None) -> Path:
     elif zipfile.is_zipfile(src):
         with zipfile.ZipFile(src) as zf:
             for m in zf.namelist():
-                target = (dest / m).resolve()
-                if not str(target).startswith(str(dest.resolve())):
-                    raise ValueError(f"unsafe archive member path: {m}")
+                _check_member(m)
             zf.extractall(dest)
     elif tarfile.is_tarfile(src):
         with tarfile.open(src) as tf:
             for m in tf.getmembers():
-                target = (dest / m.name).resolve()
-                if not str(target).startswith(str(dest.resolve())):
-                    raise ValueError(f"unsafe archive member path: {m.name}")
+                _check_member(m.name)
+                if m.issym() or m.islnk():
+                    # a link target outside the install dir would let a
+                    # later member write through it
+                    raise ValueError(
+                        f"archive contains link member {m.name!r}; links "
+                        "are not allowed in data archives"
+                    )
             tf.extractall(dest)
     else:
         # single data file: copy into the root of the data dir

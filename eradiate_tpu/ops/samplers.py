@@ -151,7 +151,12 @@ def owen_scrambled_vdc(idx, seed):
     s_scramble = _hash32(seed ^ jnp.uint32(0x33CC33CC))
     i2 = _reverse_bits32(_laine_karras(_reverse_bits32(idx), s_shuffle))
     x = _reverse_bits32(_laine_karras(i2, s_scramble))
-    return x.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    # top-24-bit conversion: a plain astype(float32) * 2^-32 rounds the
+    # 128 largest bit patterns UP to exactly 1.0, violating the [0, 1)
+    # contract (u_dist = 1.0 -> tau_s = -log1p(-1) = inf in the tracer)
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        5.960464477539063e-08  # 2^-24
+    )
 
 
 def padded_bounce_uniforms(slot, pix_seed, depth_b, n_dims=10):

@@ -47,8 +47,11 @@ def initialize(
     running single-process.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    # IMPORTANT: do NOT touch backend-initializing jax APIs
+    # (jax.process_count(), jax.devices(), ...) before
+    # jax.distributed.initialize — on jax 0.9 they initialize the XLA
+    # backend, after which distributed init always fails.
+    if _initialized:
         return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -69,14 +72,26 @@ def initialize(
         _initialized = True
         return False
 
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError) as exc:  # already initialized / no env
-        logger.info("jax.distributed.initialize skipped: %s", exc)
+    except (RuntimeError, ValueError) as exc:
+        # tolerable when the caller (or the TPU runtime) already
+        # initialized; fatal when an explicit coordinator was requested
+        # and we end up single-process anyway
+        logger.warning("jax.distributed.initialize failed: %s", exc)
+        if explicit and jax.process_count() <= 1:
+            raise RuntimeError(
+                "multi-host initialization was requested (coordinator "
+                f"{coordinator_address!r}) but failed — call "
+                "eradiate_tpu.parallel.initialize() before ANY other jax "
+                "API use (jax.devices()/process_count() initialize the "
+                "backend and block distributed setup)"
+            ) from exc
     _initialized = True
     n = jax.process_count()
     if n > 1:

@@ -155,6 +155,35 @@ def _chunk_plan(spp, n_sample, spp_chunk):
     return [(-(-n // n_sample), n) for n in chunks]  # (local, global) sizes
 
 
+def _accumulate_chunks(chunk_fn, spp, n_sample, spp_chunk, stokes=False):
+    """Shared weighted-average accumulation over the chunk plan.
+
+    ``chunk_fn(chunk_id, n_local, spp_stride) -> (acc, m2)`` runs one
+    sharded chunk; chunks are weighted by their effective global sample
+    count. ``stokes=True`` shapes the result dict for polarized outputs.
+    """
+    acc = None
+    m2_sum = None
+    traced = 0
+    for chunk_id, (n_local, _n_global) in enumerate(
+        _chunk_plan(spp, n_sample, spp_chunk)
+    ):
+        a, m2 = chunk_fn(chunk_id, n_local, n_local * n_sample)
+        n_eff = n_local * n_sample
+        acc = a * n_eff if acc is None else acc + a * n_eff
+        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
+        traced += n_eff
+    if stokes:
+        st = acc / traced
+        return {
+            "stokes": st,
+            "radiance": st[..., 0],
+            "m2": m2_sum / traced,
+            "spp": traced,
+        }
+    return {"radiance": acc / traced, "m2": m2_sum / traced, "spp": traced}
+
+
 def _put_global(mesh, args, specs):
     """Multi-host input placement: every process passes the same host-side
     arrays; device_put with the mesh sharding places each process's
@@ -184,12 +213,20 @@ def _put_global(mesh, args, specs):
 
 
 def _fetch(out):
-    """Bring a (possibly multi-host) output to host numpy on every process."""
+    """Bring a (possibly multi-host) output to host numpy on every process.
+
+    Only device arrays gather; host scalars (e.g. the int ``spp``) pass
+    through — ``process_allgather`` STACKS scalars into a per-process
+    array, which would corrupt sample counts downstream."""
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         return jax.tree_util.tree_map(
-            lambda x: np.asarray(multihost_utils.process_allgather(x, tiled=True)),
+            lambda x: (
+                np.asarray(multihost_utils.process_allgather(x, tiled=True))
+                if isinstance(x, jax.Array)
+                else x
+            ),
             out,
         )
     return out
@@ -360,27 +397,12 @@ def render_polarized_sharded(
     )
     args = _put_global(mesh, args, specs)
 
-    st_sum = None
-    m2_sum = None
-    traced = 0
-    for chunk_id, (n_local, n_global) in enumerate(
-        _chunk_plan(spp, n_sample, spp_chunk)
-    ):
-        st, m2 = _pp_polarized_chunk(
-            mesh, config, n_pix, n_local, chunk_id, n_local * n_sample, *args
-        )
-        n_eff = n_local * n_sample
-        st_sum = st * n_eff if st_sum is None else st_sum + st * n_eff
-        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
-        traced += n_eff
-
-    stokes = st_sum / traced
-    return _fetch({
-        "stokes": stokes,
-        "radiance": stokes[..., 0],
-        "m2": m2_sum / traced,
-        "spp": traced,
-    })
+    return _fetch(_accumulate_chunks(
+        lambda cid, n_local, stride: _pp_polarized_chunk(
+            mesh, config, n_pix, n_local, cid, stride, *args
+        ),
+        spp, n_sample, spp_chunk, stokes=True,
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -442,24 +464,12 @@ def render_spherical_sharded(
     )
     args = _put_global(mesh, args, specs)
 
-    rad_sum = None
-    m2_sum = None
-    traced = 0
-    for chunk_id, (n_local, n_global) in enumerate(
-        _chunk_plan(spp, n_sample, spp_chunk)
-    ):
-        rad, m2 = _spherical_chunk(
-            mesh, config, n_pix, n_local, chunk_id, n_local * n_sample,
-            max_iterations, *args,
-        )
-        n_eff = n_local * n_sample
-        rad_sum = rad * n_eff if rad_sum is None else rad_sum + rad * n_eff
-        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
-        traced += n_eff
-
-    return _fetch({
-        "radiance": rad_sum / traced, "m2": m2_sum / traced, "spp": traced
-    })
+    return _fetch(_accumulate_chunks(
+        lambda cid, n_local, stride: _spherical_chunk(
+            mesh, config, n_pix, n_local, cid, stride, max_iterations, *args
+        ),
+        spp, n_sample, spp_chunk,
+    ))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 6))
@@ -516,28 +526,12 @@ def render_spherical_polarized_sharded(
     )
     args = _put_global(mesh, args, specs)
 
-    st_sum = None
-    m2_sum = None
-    traced = 0
-    for chunk_id, (n_local, n_global) in enumerate(
-        _chunk_plan(spp, n_sample, spp_chunk)
-    ):
-        st, m2 = _spherical_polarized_chunk(
-            mesh, config, n_pix, n_local, chunk_id, n_local * n_sample,
-            max_iterations, *args,
-        )
-        n_eff = n_local * n_sample
-        st_sum = st * n_eff if st_sum is None else st_sum + st * n_eff
-        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
-        traced += n_eff
-
-    stokes = st_sum / traced
-    return _fetch({
-        "stokes": stokes,
-        "radiance": stokes[..., 0],
-        "m2": m2_sum / traced,
-        "spp": traced,
-    })
+    return _fetch(_accumulate_chunks(
+        lambda cid, n_local, stride: _spherical_polarized_chunk(
+            mesh, config, n_pix, n_local, cid, stride, max_iterations, *args
+        ),
+        spp, n_sample, spp_chunk, stokes=True,
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -631,32 +625,12 @@ def _render_canopy_sharded_common(
     )
     args = _put_global(mesh, args, specs)
 
-    acc = None
-    m2_sum = None
-    traced = 0
-    for chunk_id, (n_local, n_global) in enumerate(
-        _chunk_plan(spp, n_sample, spp_chunk)
-    ):
-        a, m2 = _canopy_chunk(
-            mesh, config, n_pix, n_local, polarized, chunk_id,
-            n_local * n_sample, *args,
-        )
-        n_eff = n_local * n_sample
-        acc = a * n_eff if acc is None else acc + a * n_eff
-        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
-        traced += n_eff
-
-    if polarized:
-        stokes = acc / traced
-        out = {
-            "stokes": stokes,
-            "radiance": stokes[..., 0],
-            "m2": m2_sum / traced,
-            "spp": traced,
-        }
-    else:
-        out = {"radiance": acc / traced, "m2": m2_sum / traced, "spp": traced}
-    return _fetch(out)
+    return _fetch(_accumulate_chunks(
+        lambda cid, n_local, stride: _canopy_chunk(
+            mesh, config, n_pix, n_local, polarized, cid, stride, *args
+        ),
+        spp, n_sample, spp_chunk, stokes=polarized,
+    ))
 
 
 def render_canopy_sharded(
@@ -759,20 +733,9 @@ def render_dem_sharded(
     )
     args = _put_global(mesh, args, specs)
 
-    rad_sum = None
-    m2_sum = None
-    traced = 0
-    for chunk_id, (n_local, n_global) in enumerate(
-        _chunk_plan(spp, n_sample, spp_chunk)
-    ):
-        rad, m2 = _dem_chunk(
-            mesh, config, n_pix, n_local, chunk_id, n_local * n_sample, *args
-        )
-        n_eff = n_local * n_sample
-        rad_sum = rad * n_eff if rad_sum is None else rad_sum + rad * n_eff
-        m2_sum = m2 * n_eff if m2_sum is None else m2_sum + m2 * n_eff
-        traced += n_eff
-
-    return _fetch({
-        "radiance": rad_sum / traced, "m2": m2_sum / traced, "spp": traced
-    })
+    return _fetch(_accumulate_chunks(
+        lambda cid, n_local, stride: _dem_chunk(
+            mesh, config, n_pix, n_local, cid, stride, *args
+        ),
+        spp, n_sample, spp_chunk,
+    ))

@@ -190,6 +190,11 @@ def integral_filter(w, srf, percentage: float = 99.0, method: str = "symmetry"):
     if not 0.0 < percentage <= 100.0:
         raise ValueError(f"value must be within ]0, 100.0] (got {percentage})")
     fraction = 1.0 - percentage / 100.0
+    if fraction <= 0.0:
+        # keep 100%: both bound searches degenerate (walk's argwhere sets
+        # are empty, symmetry's half-range loop cannot reach the tails) —
+        # the answer is simply the full set
+        return w, v
     if method == "symmetry":
         (i_left, i_right), _ = _integral_filter_bounds_symmetry(w, v, fraction)
         # indices refer to the mean-extended grid; map back via bounds
