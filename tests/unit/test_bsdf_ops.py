@@ -261,3 +261,44 @@ class TestMQDiffuse:
         f60 = float(bsdf_ops.bsdf_eval("mqdiffuse", params, direction(60.0), direction(30.0))[0])
         np.testing.assert_allclose(f0, 1.0, rtol=0.02)
         np.testing.assert_allclose(f60, 0.5, rtol=0.05)
+
+
+class TestBsdfProbe:
+    """Angular probe helper (mirror of kernel/_bsdf.py:25-52)."""
+
+    def test_lambertian_constant(self):
+        from eradiate_tpu.test_tools.bsdf_probe import eval_bsdf
+
+        import jax.numpy as jnp
+
+        ds = eval_bsdf(
+            "lambertian",
+            {"reflectance": jnp.asarray(0.6)},
+            np.linspace(0.05, 1.4, 5),
+            np.linspace(0.0, 2 * np.pi, 4, endpoint=False),
+            [np.deg2rad(30.0)],
+            [0.0],
+        )
+        assert ds["bsdf"].dims == ("theta_o", "phi_o", "theta_i", "phi_i")
+        np.testing.assert_allclose(ds["bsdf"].values, 0.6 / np.pi, rtol=1e-6)
+
+    def test_rpv_hotspot_structure(self):
+        from eradiate_tpu.test_tools.bsdf_probe import eval_bsdf
+
+        import jax.numpy as jnp
+
+        params = {
+            "rho_0": jnp.asarray(0.1),
+            "k": jnp.asarray(0.7),
+            "g": jnp.asarray(-0.2),
+            "rho_c": jnp.asarray(0.1),
+        }
+        ti = np.deg2rad(30.0)
+        ds = eval_bsdf(
+            "rpv", params,
+            np.asarray([ti]),                      # theta_o grid
+            np.asarray([0.0, np.pi]),              # backscatter vs forward
+            [ti], [0.0],
+        )
+        v = ds["bsdf"].values[0, :, 0, 0]
+        assert v[0] > v[1]  # hot spot: backscatter exceeds forward
