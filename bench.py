@@ -176,17 +176,56 @@ def cpu_reference_rate():
     return None
 
 
+#: wall-clock budget per config subprocess [s]; a wedged device tunnel
+#: must not eat the whole bench run (observed: minutes-long enqueue
+#: latency under the remote tunnel)
+CONFIG_TIMEOUT_S = 1200
+
+
+def _run_config_subprocess(key):
+    """Run one config in a child process under a timeout; returns its
+    rate or None (crash/hang)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), key, "--inline"],
+            capture_output=True,
+            text=True,
+            timeout=CONFIG_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(out.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line).get("configs", {}).get(key)
+        print(f"{key}: no JSON from child:\n{out.stderr[-800:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"{key}: timed out after {CONFIG_TIMEOUT_S}s", file=sys.stderr)
+    except Exception as e:
+        print(f"{key}: {e}", file=sys.stderr)
+    return None
+
+
 def main():
-    only = set(sys.argv[1:])  # optional config keys to run
+    args = [a for a in sys.argv[1:] if a != "--inline"]
+    inline = "--inline" in sys.argv[1:]
+    only = set(args)  # optional config keys to run
     rates = {}
     for key, builder, spp, mode in CONFIGS:
         if only and key not in only:
             continue
-        try:
-            rates[key] = round(_experiment_rate(builder, spp, mode=mode), 1)
-        except Exception as e:
-            print(f"{key} failed: {e}", file=sys.stderr)
-            rates[key] = None
+        if inline or only:
+            # direct execution (child mode / explicit selection)
+            try:
+                rates[key] = round(
+                    _experiment_rate(builder, spp, mode=mode), 1
+                )
+            except Exception as e:
+                print(f"{key} failed: {e}", file=sys.stderr)
+                rates[key] = None
+        else:
+            # full sweep: isolate each config in a child process so one
+            # hang cannot consume the whole bench budget
+            rates[key] = _run_config_subprocess(key)
 
     headline = rates.get("c1_rayleigh_lambert") or next(
         (v for v in rates.values() if v), 0.0
