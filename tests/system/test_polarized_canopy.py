@@ -101,3 +101,58 @@ def test_polarized_canopy_atmosphere_dolp(mode_mono_polarized):
     assert np.all((dolp >= 0) & (dolp <= 1.0 + 1e-6))
     # Rayleigh scattering above the canopy must polarize some directions
     assert dolp.max() > 0.02
+
+
+def test_lane_sort_bit_invariance(mode_mono_polarized, monkeypatch):
+    """The polarized canopy loop's Morton lane sorting must not change
+    results beyond f32 summation grouping (keys travel with lanes; sums
+    scatter back to original order)."""
+    import numpy as np
+
+    from eradiate_tpu.ops import SceneConfig
+    from eradiate_tpu.ops.canopy import LeafCloudArrays
+    from eradiate_tpu.ops.tracer_canopy_polarized import (
+        render_canopy_polarized,
+    )
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "unit"))
+    from test_tracer import make_scene, make_sensor
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 96
+    centers = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    centers[:, 2] = rng.uniform(0.2, 1.0, n)
+    normals = rng.normal(size=(n, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    leaves = LeafCloudArrays(
+        centers=jnp.asarray(centers),
+        normals=jnp.asarray(normals),
+        radii=jnp.full(n, 0.3),
+    )
+    leaf_params = {
+        "reflectance": jnp.full(1, 0.45),
+        "transmittance": jnp.full(1, 0.3),
+    }
+    scene = make_scene(sigma_t=0.0, reflectance=0.25, S=1)
+    sensor = make_sensor(np.array([0.0, 30.0]))
+    sensor = dataclasses.replace(sensor, ray_offset=jnp.asarray(50.0))
+    cfg = SceneConfig(polarized=True)
+
+    monkeypatch.setenv("ERADIATE_CANOPY_SORT", "0")
+    r_unsorted = render_canopy_polarized(
+        scene, leaf_params, leaves, sensor, cfg, spp=64, seed=4
+    )
+    monkeypatch.setenv("ERADIATE_CANOPY_SORT", "1")
+    r_sorted = render_canopy_polarized(
+        scene, leaf_params, leaves, sensor, cfg, spp=64, seed=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sorted["stokes"]),
+        np.asarray(r_unsorted["stokes"]),
+        rtol=2e-5, atol=1e-8,
+    )

@@ -124,3 +124,32 @@ class TestSphericalSharded:
         b = np.asarray(r_1["radiance"])
         sigma = np.sqrt(np.asarray(r_1["m2"]) / 32) + 1e-6
         assert np.all(np.abs(a - b) < 8 * sigma)
+
+
+class TestResolveMesh:
+    def test_auto_env_off(self, monkeypatch):
+        from eradiate_tpu.experiments._core import resolve_mesh
+
+        monkeypatch.setenv("ERADIATE_TPU_MESH", "none")
+        assert resolve_mesh("auto") is None
+
+    def test_auto_builds_mesh(self, monkeypatch, eight_devices):
+        from eradiate_tpu.experiments._core import resolve_mesh
+
+        monkeypatch.setenv("ERADIATE_TPU_MESH", "auto")
+        mesh = resolve_mesh("auto")
+        assert mesh is not None
+        assert mesh.shape["sample"] == 8
+
+    def test_none_and_passthrough(self, eight_devices):
+        from eradiate_tpu.experiments._core import resolve_mesh
+
+        assert resolve_mesh(None) is None
+        mesh = make_render_mesh(1, 8)
+        assert resolve_mesh(mesh) is mesh
+
+    def test_bad_string_raises(self):
+        from eradiate_tpu.experiments._core import resolve_mesh
+
+        with pytest.raises(ValueError):
+            resolve_mesh("bogus")
