@@ -23,6 +23,7 @@ import numpy as np
 from .scene_state import _pytree_dataclass
 
 __all__ = [
+    "InstancedTriArrays",
     "TriangleMeshArrays",
     "mesh_from_vertices",
     "ray_tris_nearest",
@@ -40,6 +41,16 @@ class TriangleMeshArrays:
     v0: Any  # [N, 3]
     e1: Any  # [N, 3]
     e2: Any  # [N, 3]
+
+
+@_pytree_dataclass
+class InstancedTriArrays:
+    """Instanced triangle geometry: one canonical soup + per-instance
+    translations (sweeps run virtual-block kernels; see
+    ops/canopy.InstancedLeafArrays for the design)."""
+
+    canonical: TriangleMeshArrays
+    offsets: Any  # [I, 3]
 
 
 def mesh_from_vertices(vertices, faces) -> TriangleMeshArrays:
@@ -171,30 +182,73 @@ def _pallas_eligible(p, tris: TriangleMeshArrays) -> bool:
     )
 
 
-def tri_accel(p, tris: TriangleMeshArrays):
+def tri_accel(p, tris):
     """Acceleration data for the triangle sweeps: ``(block_spheres,
-    aabb_lo, aabb_hi)``. Compute ONCE per render (outside the path loop)
-    and pass to :func:`tri_nearest`/:func:`tri_occluded`."""
+    aabb_lo, aabb_hi)`` (canonical-soup spheres for instanced sets).
+    Compute ONCE per render (outside the path loop) and pass to
+    :func:`tri_nearest`/:func:`tri_occluded`."""
+    base = tris.canonical if isinstance(tris, InstancedTriArrays) else tris
     verts = jnp.concatenate(
-        [tris.v0, tris.v0 + tris.e1, tris.v0 + tris.e2], axis=0
+        [base.v0, base.v0 + base.e1, base.v0 + base.e2], axis=0
     )
     lo = jnp.min(verts, axis=0)
     hi = jnp.max(verts, axis=0)
-    if not _pallas_eligible(p, tris):
+    if isinstance(tris, InstancedTriArrays):
+        lo = lo + jnp.min(tris.offsets, axis=0)
+        hi = hi + jnp.max(tris.offsets, axis=0)
+    if not _pallas_eligible(p, base):
         return None, lo, hi
     from .pallas.tri_intersect import tri_block_spheres
 
-    return tri_block_spheres(tris.v0, tris.e1, tris.e2), lo, hi
+    return tri_block_spheres(base.v0, base.e1, base.e2), lo, hi
 
 
-def tri_nearest(p, d, t_max, tris: TriangleMeshArrays, accel=None):
+def _instanced_tris_nearest_xla(p, d, t_max, inst):
+    c = inst.canonical
+    B = p.shape[0]
+
+    def body(carry, offset):
+        best_t, best_n, any_hit = carry
+        t, n, h = ray_tris_nearest(p - offset[None, :], d, best_t, c)
+        better = h & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_n = jnp.where(better[:, None], n, best_n)
+        return (best_t, best_n, any_hit | better), None
+
+    init = (
+        t_max,
+        jnp.zeros((B, 3), p.dtype).at[:, 2].set(1.0),
+        jnp.zeros(B, dtype=bool),
+    )
+    (best_t, best_n, hit), _ = jax.lax.scan(body, init, inst.offsets)
+    return jnp.where(hit, best_t, t_max), best_n, hit
+
+
+def tri_nearest(p, d, t_max, tris, accel=None):
     """Nearest triangle hit with AABB-advanced origins (precision at
     TOA-distant ray starts + whole-lane culling; see
-    ops/canopy._advance_to_aabb) and Pallas tiled sweeps on TPU/f32."""
+    ops/canopy._advance_to_aabb) and Pallas tiled sweeps on TPU/f32
+    (virtual-block grid for instanced sets)."""
     from .canopy import _advance_to_aabb
 
     spheres, lo, hi = accel if accel is not None else tri_accel(p, tris)
     p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if isinstance(tris, InstancedTriArrays):
+        c = tris.canonical
+        if _pallas_eligible(p, c):
+            from .pallas.tri_intersect import (
+                ray_tris_nearest_instanced_pallas,
+            )
+
+            t_loc, n, hit = ray_tris_nearest_instanced_pallas(
+                p_adv, d, t_cap, c.v0, c.e1, c.e2, tris.offsets,
+                spheres=spheres,
+            )
+        else:
+            t_loc, n, hit = _instanced_tris_nearest_xla(
+                p_adv, d, t_cap, tris
+            )
+        return jnp.where(hit, t0 + t_loc, t_max), n, hit
     if _pallas_eligible(p, tris):
         from .pallas.tri_intersect import ray_tris_nearest_pallas
 
@@ -206,12 +260,34 @@ def tri_nearest(p, d, t_max, tris: TriangleMeshArrays, accel=None):
     return jnp.where(hit, t0 + t_loc, t_max), n, hit
 
 
-def tri_occluded(p, d, t_max, tris: TriangleMeshArrays, accel=None):
-    """Shadow-ray any-hit with AABB advance; Pallas on TPU/f32."""
+def tri_occluded(p, d, t_max, tris, accel=None):
+    """Shadow-ray any-hit with AABB advance; Pallas on TPU/f32
+    (virtual-block grid for instanced sets)."""
     from .canopy import _advance_to_aabb
 
     spheres, lo, hi = accel if accel is not None else tri_accel(p, tris)
     p_adv, t0, t_cap = _advance_to_aabb(p, d, t_max, lo, hi)
+    if isinstance(tris, InstancedTriArrays):
+        c = tris.canonical
+        if _pallas_eligible(p, c):
+            from .pallas.tri_intersect import (
+                ray_tris_occluded_instanced_pallas,
+            )
+
+            return ray_tris_occluded_instanced_pallas(
+                p_adv, d, t_cap, c.v0, c.e1, c.e2, tris.offsets,
+                spheres=spheres,
+            )
+
+        def body(carry, offset):
+            return carry | ray_tris_occluded(
+                p_adv - offset[None, :], d, t_cap, c
+            ), None
+
+        occ, _ = jax.lax.scan(
+            body, jnp.zeros(p.shape[0], dtype=bool), tris.offsets
+        )
+        return occ
     if _pallas_eligible(p, tris):
         from .pallas.tri_intersect import ray_tris_occluded_pallas
 

@@ -125,9 +125,12 @@ def _kernel_nearest(
 
     @pl.when(jnp.any(reach))
     def _tile():
+        # rows 4-6 of sph: per-virtual-block instance translation
+        # (applied to v0 only — edges are translation-invariant)
         t = _mt_hits(
             px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            ax[:], ay[:], az[:], bx[:], by[:], bz[:], vx[:], vy[:], vz[:],
+            ax[:], ay[:], az[:], bx[:], by[:], bz[:],
+            vx[:] + sph[4, j], vy[:] + sph[5, j], vz[:] + sph[6, j],
             cap,
         )
         tmin = jnp.min(t, axis=1)
@@ -181,7 +184,8 @@ def _kernel_occluded(
     def _tile():
         t = _mt_hits(
             px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            ax[:], ay[:], az[:], bx[:], by[:], bz[:], vx[:], vy[:], vz[:],
+            ax[:], ay[:], az[:], bx[:], by[:], bz[:],
+            vx[:] + sph[4, j], vy[:] + sph[5, j], vz[:] + sph[6, j],
             tmax[:],
         )
         hit = jnp.any(t < _BIG, axis=1)
@@ -220,7 +224,22 @@ def _sphere_operands(v0, e1, e2, spheres, block_n, nn):
         sc, sr2 = spheres
     sc = jnp.pad(sc, ((0, nn - sc.shape[0]), (0, 0)), constant_values=1e17)
     sr2 = jnp.pad(sr2, (0, nn - sr2.shape[0]), constant_values=0.0)
-    return jnp.concatenate([sc.T, sr2[None, :]], axis=0)
+    return jnp.concatenate(
+        [sc.T, sr2[None, :], jnp.zeros((3, nn), sc.dtype)], axis=0
+    )
+
+
+def instanced_tri_sphere_operands(canonical_spheres, offsets, nc):
+    sc, sr2 = canonical_spheres
+    sc = jnp.pad(sc, ((0, nc - sc.shape[0]), (0, 0)), constant_values=1e17)
+    sr2 = jnp.pad(sr2, (0, nc - sr2.shape[0]), constant_values=0.0)
+    I = offsets.shape[0]
+    centers_v = (sc[None, :, :] + offsets[:, None, :]).reshape(I * nc, 3)
+    sr2_v = jnp.broadcast_to(sr2[None, :], (I, nc)).reshape(I * nc)
+    off_v = jnp.broadcast_to(offsets[:, None, :], (I, nc, 3)).reshape(I * nc, 3)
+    return jnp.concatenate(
+        [centers_v.T, sr2_v[None, :], off_v.T], axis=0
+    )
 
 
 def ray_tris_nearest_pallas(
@@ -293,4 +312,73 @@ def ray_tris_occluded_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
+    return occ[:B] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Instanced (virtual-block) triangle sweeps — canonical mesh stored once,
+# per-virtual-block instance translations via the prefetch operand (same
+# construction as pallas/leaf_intersect's instanced entries).
+
+
+def _instanced_call(kernel, n_out, p, d, t_max, soup, offsets, spheres,
+                    block_b, block_n, interpret):
+    B = p.shape[0]
+    v0, e1, e2 = soup
+    rays, tris, nb, nc, Bp = _pad_inputs(
+        p, d, t_max, v0, e1, e2, block_b, block_n
+    )
+    if spheres is None:
+        spheres = tri_block_spheres(v0, e1, e2, block_n)
+    sph = instanced_tri_sphere_operands(spheres, offsets, nc)
+    I = offsets.shape[0]
+    nn = I * nc
+
+    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    tri_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j % nc,))
+    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, nn),
+            in_specs=[ray_spec] * 7 + [tri_spec] * 9,
+            out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
+        ),
+        out_shape=(
+            (jax.ShapeDtypeStruct((Bp,), p.dtype),) * n_out
+            if n_out > 1
+            else jax.ShapeDtypeStruct((Bp,), jnp.float32)
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(sph, *rays, *tris)
+    return out, B
+
+
+def ray_tris_nearest_instanced_pallas(
+    p, d, t_max, v0, e1, e2, offsets,
+    spheres=None, block_b: int = _BLOCK_B, block_n: int = _BLOCK_N,
+    interpret: bool = False,
+):
+    (best_t, bn_x, bn_y, bn_z), B = _instanced_call(
+        _kernel_nearest, 4, p, d, t_max, (v0, e1, e2), offsets, spheres,
+        block_b, block_n, interpret,
+    )
+    best_t = best_t[:B]
+    hit = best_t < t_max
+    n = jnp.stack([bn_x[:B], bn_y[:B], bn_z[:B]], axis=-1)
+    return jnp.where(hit, best_t, t_max), n, hit
+
+
+def ray_tris_occluded_instanced_pallas(
+    p, d, t_max, v0, e1, e2, offsets,
+    spheres=None, block_b: int = _BLOCK_B, block_n: int = _BLOCK_N,
+    interpret: bool = False,
+):
+    occ, B = _instanced_call(
+        _kernel_occluded, 1, p, d, t_max, (v0, e1, e2), offsets, spheres,
+        block_b, block_n, interpret,
+    )
     return occ[:B] > 0.5
