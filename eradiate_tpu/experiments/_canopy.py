@@ -88,27 +88,57 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
         els = canopy.instanced_canopy_elements
         if (
             len(els) == 1
-            and isinstance(els[0].canopy_element, LeafCloud)
             and np.atleast_2d(els[0].instance_positions).shape[0] >= 2
         ):
-            from ..ops.canopy import InstancedLeafArrays
+            element = els[0].canopy_element
+            if isinstance(element, LeafCloud):
+                cloud, tri_mesh = element, None
+            else:  # tree-like: leaf_part / mesh_part protocol
+                cloud = element.leaf_part()
+                mp = element.mesh_part()
+                tri_mesh = None
+                if mp is not None:
+                    v, f, r, t = mp
+                    tri_mesh = {
+                        "vertices": np.asarray(v),
+                        "faces": np.asarray(f),
+                        "reflectance": r,
+                        "transmittance": t,
+                    }
+            if cloud is not None:
+                from ..ops.canopy import InstancedLeafArrays
 
-            cloud = els[0].canopy_element
-            order = morton_order(cloud.positions)
-            canonical = LeafCloudArrays(
-                centers=jnp.asarray(cloud.positions[order], dtype=dtype),
-                normals=jnp.asarray(cloud.orientations[order], dtype=dtype),
-                radii=jnp.asarray(cloud.radii[order], dtype=dtype),
-            )
-            leaves = InstancedLeafArrays(
-                canonical=canonical,
-                offsets=jnp.asarray(
+                offsets = jnp.asarray(
                     np.atleast_2d(els[0].instance_positions), dtype=dtype
-                ),
-            )
-            # the caller only reads the optics spectra off this handle; no
-            # need to materialize the flattened copies
-            return cloud, leaves, None, None
+                )
+                order = morton_order(cloud.positions)
+                canonical = LeafCloudArrays(
+                    centers=jnp.asarray(cloud.positions[order], dtype=dtype),
+                    normals=jnp.asarray(
+                        cloud.orientations[order], dtype=dtype
+                    ),
+                    radii=jnp.asarray(cloud.radii[order], dtype=dtype),
+                )
+                leaves = InstancedLeafArrays(
+                    canonical=canonical, offsets=offsets
+                )
+                tris = None
+                if tri_mesh is not None:
+                    from ..ops.mesh import (
+                        InstancedTriArrays,
+                        mesh_from_vertices,
+                    )
+
+                    tris = InstancedTriArrays(
+                        canonical=mesh_from_vertices(
+                            jnp.asarray(tri_mesh["vertices"], dtype=dtype),
+                            tri_mesh["faces"],
+                        ),
+                        offsets=offsets,
+                    )
+                # the caller only reads the optics spectra off this
+                # handle; no need to materialize the flattened copies
+                return cloud, leaves, tris, tri_mesh
 
         flat, mesh = canopy.flatten_full()
         # Morton-order the leaves so the Pallas sweep kernels' per-block

@@ -85,7 +85,13 @@ def _canopy_helpers(
     if tris is not None:
         from .mesh import tri_accel
 
-        tris_accel = tri_accel(tris.v0, tris)
+        from .mesh import InstancedTriArrays
+
+        _tri_base = (
+            tris.canonical if isinstance(tris, InstancedTriArrays)
+            else tris
+        )
+        tris_accel = tri_accel(_tri_base.v0, tris)
     else:
         tris_accel = None
 
