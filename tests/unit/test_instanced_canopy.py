@@ -154,7 +154,6 @@ class TestInstancedTris:
     def _build(self, n_inst=5):
         from eradiate_tpu.ops.mesh import (
             InstancedTriArrays,
-            TriangleMeshArrays,
             cylinder_mesh,
             mesh_from_vertices,
         )
