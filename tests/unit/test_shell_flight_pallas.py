@@ -68,6 +68,61 @@ class TestShellFlightPallas:
         np.testing.assert_allclose(t_p[both], t_r[both], atol=1e-2)
 
 
+class TestShellFlightGroundAnchor:
+    def test_steep_descending_rays_toward_ground(self):
+        """Rays whose tangent lies below ground (b < r_ground) anchor the
+        inverted axial coordinate at X[:, 0] > 0 — the case that broke a
+        telescoped g_inv without the level-0 anchor."""
+        radii, sigma, p, rng = make_shells()
+        B = p.shape[0]
+        # near-nadir descending directions: tangent far below the surface
+        d = np.stack(
+            [
+                rng.uniform(-0.05, 0.05, B),
+                rng.uniform(-0.05, 0.05, B),
+                -np.ones(B),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        t_max = jnp.full(B, 200.0, dtype=jnp.float32)
+        tau_s = jnp.asarray(rng.exponential(0.2, B).astype(np.float32))
+
+        col_r, t_r, lay_r = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
+        x0 = jnp.sum(p * d, axis=-1)
+        b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+        col_p, t_p, lay_p = shell_flight_pallas(
+            x0, b2, t_max, tau_s, radii * radii, sigma,
+            block_b=256, interpret=True,
+        )
+        col_r, t_r, col_p, t_p = map(np.asarray, (col_r, t_r, col_p, t_p))
+        np.testing.assert_array_equal(col_p, col_r)
+        both = col_r & col_p
+        assert both.any()
+        np.testing.assert_allclose(t_p[both], t_r[both], atol=1e-2)
+
+
+class TestPrefixBlocked:
+    def test_matches_numpy_exclusive_cumsum(self):
+        from eradiate_tpu.ops.pallas.shell_flight import _prefix_blocked
+        from jax.experimental import pallas as pl
+
+        rng = np.random.default_rng(3)
+        c = rng.exponential(0.01, (16, 512)).astype(np.float32)
+
+        def kernel(c_ref, out_ref):
+            out_ref[:] = _prefix_blocked(c_ref[:])
+
+        got = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(c.shape, jnp.float32),
+            interpret=True,
+        )(jnp.asarray(c))
+        ref = np.cumsum(c.astype(np.float64), axis=1) - c
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=1e-6)
+
+
 class TestSlantTauPallas:
     def test_matches_xla_across_zenith(self):
         radii, sigma, p, _ = make_shells()
