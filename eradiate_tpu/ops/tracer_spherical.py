@@ -171,13 +171,18 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             config.phase_kinds, param_slots, fetched[1 + C :]
         )
 
+        # ONE slant-tau evaluation serves both the volume and surface NEE
+        # branches (hoisted so the [B, L] kernel provably runs once per
+        # event rather than relying on XLA custom-call CSE)
+        T_sun = sun_T(p_new)
+
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(
             lambda w_at, p_at, c: phase_eval_at(
                 config.phase_kinds, medium_row.phase_params, w_at, p_at, c
             )
         )(weights_at, params_at, cos_nee)
-        L_col = beta * albedo_col * p_nee * sun_T(p_new) * E_sun
+        L_col = beta * albedo_col * p_nee * T_sun * E_sun
 
         def _sample_one(w_at, p_at, dd, us, uc, up):
             return phase_sample_at(
@@ -210,7 +215,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             beta
             * f_nee
             * jnp.maximum(mu_sun_srf, 0.0)
-            * sun_T(p_new)
+            * T_sun
             * E_sun
         )
         d_srf_local, w_srf = bsdf_sample_from_uniforms(

@@ -124,8 +124,11 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
             )
         )(layer, cos_nee)
         R_out = rotator(rotate_basis_angle(l_out, h_out_nee, b))
+        # ONE slant-tau evaluation serves both NEE branches (see the
+        # scalar tracer's hoist note)
+        T_sun = sun_T(p_new)
         S_sun = jnp.zeros((B, 4)).at[:, 0].set(
-            E_sun * sun_T(p_new) * albedo_col * beta
+            E_sun * T_sun * albedo_col * beta
         )
         S_col = jnp.einsum("bij,bjk,bkl,bl->bi", P, R_out, M_nee, S_sun)
 
@@ -181,7 +184,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         R_out_srf = rotator(rotate_basis_angle(l_out, h_out_srf, b))
         mu_sun_srf = jnp.maximum(jnp.sum(n_srf * w_sun, axis=-1), 0.0)
         S_sun_srf = jnp.zeros((B, 4)).at[:, 0].set(
-            beta * mu_sun_srf * sun_T(p_new) * E_sun
+            beta * mu_sun_srf * T_sun * E_sun
         )
         S_srf = jnp.einsum(
             "bij,bjk,bkl,bl->bi", P, R_out_srf, M_srf, S_sun_srf
