@@ -40,14 +40,6 @@ from .tracer_spherical import (
 __all__ = ["render_spherical_polarized"]
 
 
-#: Lane-count target for the spherical regenerative tracers. Swept on
-#: v5e (spp 32768, 15 angles): 2^14 lanes x quota ~30 beats 2^16 x quota 8
-#: (1.78 vs 1.48 M samples/s) — per-lane bounce cost halves at 64k lanes,
-#: but regeneration's tail amortization over a deep quota matters more;
-#: see docs/developer_guide/performance.md.
-SPHERICAL_LANES_TARGET = 2**14
-
-
 def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_row):
     """Per-tentative-event Mueller-transport closure shared by the
     one-shot and regenerative loops (see ops/tracer._make_bounce)."""
