@@ -8,15 +8,27 @@ Configs (BASELINE.md):
   5. coupled canopy + atmosphere (HET01-like disks) with polarized transport
 
 Each config is timed through the product path (``Experiment.process`` on
-the current backend, single device) after a warmup/compile pass. Prints
-ONE JSON line; ``value``/``vs_baseline`` keep the config-1 headline
-semantics (vs_baseline = rate / (20 x CPU-reference rate) measured by
-re-running config 1 on the CPU backend in a subprocess), and ``configs``
-carries all five rates in samples/s.
+the current backend, single device) after a warmup/compile pass.
+
+Output contract (driver-capturable by construction): a cumulative JSON
+summary line is printed BEFORE the sweep starts, AFTER every config, and
+from ``atexit``/``SIGTERM`` — so the last stdout line is always a valid,
+parseable summary no matter where a timeout or kill lands.
+
+All five configs run sequentially IN ONE process: the remote device
+tunnel serializes client attaches and recovers slowly from killed
+clients (measured: a config that takes 110 s standalone never finishes
+when run as a subprocess after a previous child was hard-killed), so
+per-config subprocess isolation is strictly worse than one warm client.
+The only subprocess is the CPU-reference run (it never touches the TPU
+tunnel).  ``value``/``vs_baseline`` keep the config-1 headline
+semantics; ``configs`` carries all five rates in samples/s.
 """
 
+import atexit
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -25,6 +37,13 @@ import numpy as np
 
 N_VZA = 76
 SPP_C1 = 262144
+
+#: stop starting new configs past this point so the final summary (and
+#: any CPU-reference run) still lands inside a ~1200 s driver budget
+SWEEP_BUDGET_S = 900
+#: only attempt the CPU-reference subprocess if at least this much of the
+#: budget remains
+CPU_REF_BUDGET_S = 240
 
 
 def _experiment_rate(make_exp, spp, reps=3, mode="mono_single"):
@@ -150,8 +169,75 @@ CONFIGS = [
     ("c5_canopy_atm_polarized", _c5, 8192, "mono_polarized"),
 ]
 
+_T0 = time.monotonic()
+_STATE = {
+    "rates": {k: None for k, _, _, _ in CONFIGS},
+    "cpu_rate": None,
+    "note": "startup",
+    "emitted_final": False,
+}
 
-def cpu_reference_rate():
+
+def _summary_line():
+    rates = _STATE["rates"]
+    headline = rates.get("c1_rayleigh_lambert") or next(
+        (v for v in rates.values() if v), 0.0
+    )
+    cpu_rate = _STATE["cpu_rate"]
+    if cpu_rate:
+        vs = headline / (20.0 * cpu_rate)
+    else:
+        vs = headline / 1e8  # fallback normalization: 1.0 == 100 M samples/s
+    return json.dumps(
+        {
+            "metric": "path_samples_per_s_per_chip",
+            "value": headline,
+            "unit": "samples/s",
+            "vs_baseline": round(vs, 4),
+            "configs": rates,
+            "cpu_reference_c1": cpu_rate,
+            # honesty label (VERDICT r1, Weak #2): the reference publishes
+            # no numbers and Mitsuba is not installed, so the "CPU
+            # reference" is THIS ENGINE on the CPU backend — vs_baseline
+            # is an engine-relative chip speedup over the 20x target, not
+            # a cross-engine comparison.
+            "vs_baseline_definition": (
+                "tpu_rate / (20 * same_engine_cpu_rate); "
+                "engine-relative (no Mitsuba in env)"
+            ),
+            "elapsed_s": round(time.monotonic() - _T0, 1),
+            "note": _STATE["note"],
+        }
+    )
+
+
+def _emit():
+    """Print the current cumulative summary as one flushed JSON line."""
+    sys.stdout.write(_summary_line() + "\n")
+    sys.stdout.flush()
+
+
+def _emit_final_once(*_args):
+    if not _STATE["emitted_final"]:
+        _STATE["emitted_final"] = True
+        _STATE["note"] = "flushed_on_exit"
+        _emit()
+
+
+def _child_env():
+    """Environment for config children: share the persistent XLA cache so
+    a warm sweep never recompiles (the cache dir is set by
+    ``eradiate_tpu.config`` on import; pinning it here keeps parent and
+    children agreeing even if HOME differs)."""
+    env = dict(os.environ)
+    env.setdefault(
+        "ERADIATE_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "eradiate_tpu"),
+    )
+    return env
+
+
+def cpu_reference_rate(timeout):
     """CPU-backend samples/s of config 1 (reference proxy), in a
     subprocess so the platform choice is clean."""
     code = (
@@ -165,8 +251,9 @@ def cpu_reference_rate():
             [sys.executable, "-c", code],
             capture_output=True,
             text=True,
-            timeout=900,
+            timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=_child_env(),
         )
         for line in out.stdout.splitlines():
             if line.startswith("CPURATE"):
@@ -176,92 +263,50 @@ def cpu_reference_rate():
     return None
 
 
-#: wall-clock budget per config subprocess [s]; a wedged device tunnel
-#: must not eat the whole bench run (observed: minutes-long enqueue
-#: latency under the remote tunnel)
-CONFIG_TIMEOUT_S = 1200
-
-
-def _run_config_subprocess(key):
-    """Run one config in a child process under a timeout; returns its
-    rate or None (crash/hang)."""
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), key, "--inline"],
-            capture_output=True,
-            text=True,
-            timeout=CONFIG_TIMEOUT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in reversed(out.stdout.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line).get("configs", {}).get(key)
-        print(f"{key}: no JSON from child:\n{out.stderr[-800:]}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print(f"{key}: timed out after {CONFIG_TIMEOUT_S}s", file=sys.stderr)
-    except Exception as e:
-        print(f"{key}: {e}", file=sys.stderr)
-    return None
+def _run_sweep(only=None):
+    """Run the configs sequentially in THIS process (one warm tunnel
+    client), emitting the cumulative summary after each so partial
+    progress is always captured whatever the driver's budget."""
+    rates = _STATE["rates"]
+    _emit()  # a parseable line exists before any JAX work starts
+    for key, builder, spp, mode in CONFIGS:
+        if only and key not in only:
+            continue
+        elapsed = time.monotonic() - _T0
+        if not only and elapsed > SWEEP_BUDGET_S:
+            _STATE["note"] = f"budget_exhausted_before_{key}"
+            _emit()
+            break
+        try:
+            rates[key] = round(_experiment_rate(builder, spp, mode=mode), 1)
+        except Exception as e:
+            print(f"{key} failed: {e}", file=sys.stderr)
+            rates[key] = None
+        _STATE["note"] = f"after_{key}"
+        _emit()
+    # CPU reference only when c1 succeeded and budget allows; otherwise
+    # the fallback normalization (labeled) is used.
+    remaining = SWEEP_BUDGET_S + CPU_REF_BUDGET_S - (time.monotonic() - _T0)
+    if (
+        not only
+        and rates.get("c1_rayleigh_lambert") is not None
+        and remaining > 60
+    ):
+        _STATE["cpu_rate"] = cpu_reference_rate(timeout=int(remaining))
+    _STATE["note"] = "complete"
 
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--inline"]
-    inline = "--inline" in sys.argv[1:]
-    only = set(args)  # optional config keys to run
-    rates = {}
-    for key, builder, spp, mode in CONFIGS:
-        if only and key not in only:
-            continue
-        if inline or only:
-            # direct execution (child mode / explicit selection)
-            try:
-                rates[key] = round(
-                    _experiment_rate(builder, spp, mode=mode), 1
-                )
-            except Exception as e:
-                print(f"{key} failed: {e}", file=sys.stderr)
-                rates[key] = None
-        else:
-            # full sweep: isolate each config in a child process so one
-            # hang cannot consume the whole bench budget
-            rates[key] = _run_config_subprocess(key)
+    only = set(args) or None  # optional config keys to run
 
-    headline = rates.get("c1_rayleigh_lambert") or next(
-        (v for v in rates.values() if v), 0.0
-    )
-    # only meaningful when c1 itself succeeded: vs_baseline is defined as
-    # the c1 chip rate over the c1 CPU rate
-    cpu_rate = (
-        cpu_reference_rate()
-        if rates.get("c1_rayleigh_lambert") is not None
-        else None
-    )
-    if cpu_rate:
-        vs = headline / (20.0 * cpu_rate)
-    else:
-        vs = headline / 1e8  # fallback normalization: 1.0 == 100 M samples/s
-    print(
-        json.dumps(
-            {
-                "metric": "path_samples_per_s_per_chip",
-                "value": headline,
-                "unit": "samples/s",
-                "vs_baseline": round(vs, 4),
-                "configs": rates,
-                "cpu_reference_c1": cpu_rate,
-                # honesty label (VERDICT r1, Weak #2): the reference
-                # publishes no numbers and Mitsuba is not installed, so
-                # the "CPU reference" is THIS ENGINE on the CPU backend —
-                # vs_baseline is an engine-relative chip speedup over the
-                # 20x target, not a cross-engine comparison.
-                "vs_baseline_definition": (
-                    "tpu_rate / (20 * same_engine_cpu_rate); "
-                    "engine-relative (no Mitsuba in env)"
-                ),
-            }
-        )
-    )
+    atexit.register(_emit_final_once)
+    signal.signal(signal.SIGTERM, lambda *_: (_emit_final_once(), sys.exit(143)))
+
+    _run_sweep(only)
+
+    _STATE["emitted_final"] = True  # normal path: the line below is final
+    _emit()
 
 
 if __name__ == "__main__":

@@ -135,9 +135,10 @@ def _enable_compilation_cache():
 
         if jax.config.jax_compilation_cache_dir:
             return  # user already configured one
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "eradiate_tpu", "jax_cache"
+        base = settings.get("CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "eradiate_tpu"
         )
+        cache_dir = os.path.join(base, "jax_cache")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
