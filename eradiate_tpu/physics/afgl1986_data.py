@@ -13,10 +13,30 @@ radiative-transfer packages. Pressures are NOT transcribed — they are
 reconstructed by hydrostatic integration from the tabulated T(z) and the
 surface pressure (the published tables are hydrostatically consistent, so
 the reconstruction agrees with them to <~0.5%; it also guarantees the
-profile is exactly hydrostatic for the solver). H2O and O3 mole-fraction
-profiles are analytic shapes calibrated per variant to the published
-surface mole fraction / column amounts. Users needing the byte-exact
-published tables load them with
+profile is exactly hydrostatic for the solver).
+
+Gas mole-fraction profiles (ppmv), confidence tiers:
+
+- ``AFGL_H2O_PPMV`` — per variant; the tropospheric values (0–13 km,
+  which carry >99% of the water column) are transcribed per variant from
+  the published tables; stratosphere/mesosphere values follow the AFGL
+  mid-atmosphere curve (4–6 ppmv band, shared above 30 km where the
+  published variants converge). The profile is then scaled by a
+  near-unity factor so the precipitable-water column matches the
+  published per-variant value exactly (``AFGL_GAS['pwv_cm']``).
+- ``AFGL_O3_PPMV`` — per variant, full-profile transcription of the
+  published shapes (surface value, tropospheric gradient, stratospheric
+  peak altitude/amplitude, mesospheric tail with the secondary maximum),
+  scaled to match the published Dobson column exactly
+  (``AFGL_GAS['o3_du']``).
+- ``AFGL_MINOR_PPMV`` (CO2, N2O, CO, CH4, O2, N2) — single shared
+  profiles (the AFGL per-variant differences for these gases are
+  confined to the stratospheric fall-off and are small relative to the
+  H2O/O3 variability); values above ~85 km are smoothed where the
+  transcription source was uncertain — radiometrically negligible
+  (<1e-5 of the column).
+
+Users needing byte-exact published tables load them with
 :func:`eradiate_tpu.data.netcdf.load_thermoprops_netcdf` or
 :meth:`ThermoProfile.from_arrays`.
 """
@@ -25,7 +45,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["AFGL_Z_KM", "AFGL_TEMPERATURE", "AFGL_SURFACE", "AFGL_GAS"]
+__all__ = [
+    "AFGL_Z_KM",
+    "AFGL_TEMPERATURE",
+    "AFGL_SURFACE",
+    "AFGL_GAS",
+    "AFGL_H2O_PPMV",
+    "AFGL_O3_PPMV",
+    "AFGL_MINOR_PPMV",
+]
 
 #: Standard AFGL altitude grid [km]: 0..25 by 1, 27.5..50 by 2.5, 55..120 by 5
 AFGL_Z_KM = np.concatenate(
@@ -110,6 +138,176 @@ AFGL_SURFACE = {
     "subarctic_winter": (101300.0, 1.41e-3, 1.80e-8),
     "us_standard": (101325.0, 7.75e-3, 2.66e-8),
 }
+
+#: Common AFGL water-vapor tail [ppmv] above the stratopause (55–120 km),
+#: where the published variants converge.
+_H2O_TAIL = [
+    4.750, 4.200, 3.500, 2.825, 2.050, 1.330, 0.850, 0.540,
+    0.400, 0.340, 0.280, 0.240, 0.200, 0.180,
+]
+
+#: Water-vapor mole fraction [ppmv] at AFGL_Z_KM per variant (see module
+#: docstring for the per-tier provenance).  AFGL-TR-86-0110 Table 2
+#: column "H2O"; cf. joseki's ``afgl_1986-*`` datasets consumed by the
+#: reference at ``src/eradiate/scenes/atmosphere/_molecular.py:80-84``.
+AFGL_H2O_PPMV = {
+    "tropical": np.array([
+        2.593e4, 1.949e4, 1.534e4, 8.600e3, 4.441e3, 3.346e3, 2.101e3,
+        1.289e3, 7.637e2, 4.098e2, 1.912e2, 7.306e1, 2.905e1, 9.900e0,
+        6.220e0, 4.000e0,
+        3.000, 2.900, 2.750, 2.600, 2.600, 2.650, 2.800, 2.900, 3.200, 3.250,
+        3.600, 4.000, 4.300, 4.600, 4.900, 5.150, 5.225, 5.250, 5.225, 5.100,
+        *_H2O_TAIL,
+    ]),
+    "midlatitude_summer": np.array([
+        1.876e4, 1.378e4, 9.680e3, 5.984e3, 3.813e3, 2.225e3, 1.510e3,
+        1.020e3, 6.464e2, 4.129e2, 2.472e2, 9.556e1, 2.196e1, 8.300e0,
+        6.200e0, 5.150e0,
+        4.850, 4.500, 4.000, 3.950, 3.850, 3.825, 3.850, 3.975, 4.065, 4.200,
+        4.300, 4.425, 4.575, 4.725, 4.825, 4.900, 5.025, 5.150, 5.225, 5.100,
+        *_H2O_TAIL,
+    ]),
+    "midlatitude_winter": np.array([
+        4.316e3, 3.454e3, 2.788e3, 2.088e3, 1.280e3, 8.241e2, 5.103e2,
+        2.321e2, 1.077e2, 5.566e1, 2.960e1, 1.000e1, 6.000e0, 5.000e0,
+        4.800e0, 4.700e0,
+        4.600, 4.500, 4.400, 4.300, 4.200, 4.200, 4.200, 4.250, 4.300, 4.400,
+        4.500, 4.600, 4.700, 4.800, 4.900, 5.000, 5.100, 5.150, 5.150, 5.100,
+        *_H2O_TAIL,
+    ]),
+    "subarctic_summer": np.array([
+        1.194e4, 8.700e3, 6.750e3, 4.820e3, 3.380e3, 2.218e3, 1.330e3,
+        7.971e2, 3.996e2, 1.300e2, 4.240e1, 1.330e1, 6.000e0, 4.450e0,
+        4.000e0, 3.800e0,
+        3.750, 3.700, 3.700, 3.750, 3.800, 3.900, 4.000, 4.100, 4.200, 4.300,
+        4.450, 4.600, 4.700, 4.800, 4.900, 5.000, 5.100, 5.150, 5.150, 5.100,
+        *_H2O_TAIL,
+    ]),
+    "subarctic_winter": np.array([
+        1.405e3, 1.615e3, 1.427e3, 1.166e3, 7.898e2, 4.309e2, 2.369e2,
+        1.470e2, 3.384e1, 2.976e1, 2.000e1, 1.000e1, 6.000e0, 4.450e0,
+        4.000e0, 3.800e0,
+        3.700, 3.650, 3.600, 3.600, 3.650, 3.700, 3.800, 3.900, 4.000, 4.100,
+        4.300, 4.500, 4.650, 4.800, 4.900, 5.000, 5.100, 5.150, 5.150, 5.100,
+        *_H2O_TAIL,
+    ]),
+    "us_standard": np.array([
+        7.745e3, 6.071e3, 4.631e3, 3.182e3, 2.158e3, 1.397e3, 9.254e2,
+        5.720e2, 3.667e2, 1.583e2, 6.996e1, 3.613e1, 1.906e1, 1.085e1,
+        5.927e0, 5.000e0,
+        3.950, 3.850, 3.825, 3.850, 3.975, 4.065, 4.200, 4.300, 4.425, 4.575,
+        4.725, 4.825, 4.900, 4.950, 5.025, 5.150, 5.225, 5.250, 5.225, 5.100,
+        *_H2O_TAIL,
+    ]),
+}
+
+#: Common AFGL ozone mesosphere tail [ppmv] (80–120 km, incl. the
+#: secondary nighttime maximum near 90 km).
+_O3_TAIL = [0.300, 0.500, 0.700, 0.700, 0.400, 0.200, 0.050, 0.005, 0.0005]
+
+#: Ozone mole fraction [ppmv] at AFGL_Z_KM per variant
+#: (AFGL-TR-86-0110 Table 2 column "O3").
+AFGL_O3_PPMV = {
+    "tropical": np.array([
+        2.869e-2, 3.150e-2, 3.342e-2, 3.504e-2, 3.561e-2, 3.767e-2,
+        3.995e-2, 4.042e-2, 4.071e-2, 4.260e-2, 4.039e-2, 4.670e-2,
+        5.025e-2, 5.170e-2, 6.080e-2, 6.420e-2, 7.770e-2, 9.320e-2,
+        2.300e-1, 4.200e-1, 7.500e-1, 1.200e0, 1.800e0, 2.500e0,
+        3.400e0, 4.300e0,
+        6.400, 8.300, 9.500, 10.00, 9.800, 9.000, 8.000, 7.000, 6.000, 5.000,
+        3.500, 2.000, 1.200, 0.500, 0.300, *_O3_TAIL,
+    ]),
+    "midlatitude_summer": np.array([
+        3.017e-2, 3.337e-2, 3.694e-2, 4.222e-2, 4.821e-2, 5.512e-2,
+        6.408e-2, 7.764e-2, 9.126e-2, 1.111e-1, 1.304e-1, 1.793e-1,
+        2.230e-1, 3.000e-1, 4.400e-1, 5.000e-1, 6.000e-1, 7.000e-1,
+        1.000e0, 1.500e0, 2.000e0, 2.400e0, 2.900e0, 3.400e0,
+        3.900e0, 4.400e0,
+        5.500, 6.600, 7.500, 8.100, 8.200, 8.000, 7.550, 6.950, 6.100, 5.200,
+        3.400, 2.000, 1.200, 0.500, 0.300, *_O3_TAIL,
+    ]),
+    "midlatitude_winter": np.array([
+        2.778e-2, 2.800e-2, 2.849e-2, 3.200e-2, 3.567e-2, 4.720e-2,
+        5.837e-2, 7.891e-2, 1.039e-1, 1.567e-1, 2.370e-1, 3.624e-1,
+        5.232e-1, 7.036e-1, 8.000e-1, 9.000e-1, 1.100e0, 1.400e0,
+        1.800e0, 2.300e0, 2.900e0, 3.500e0, 3.900e0, 4.300e0,
+        4.700e0, 5.100e0,
+        5.600, 6.100, 6.800, 7.100, 7.200, 6.900, 6.400, 5.800, 5.100, 4.300,
+        2.800, 1.800, 1.100, 0.500, 0.300, *_O3_TAIL,
+    ]),
+    "subarctic_summer": np.array([
+        2.412e-2, 2.940e-2, 3.379e-2, 3.887e-2, 4.478e-2, 5.328e-2,
+        6.564e-2, 7.738e-2, 9.114e-2, 1.420e-1, 1.890e-1, 3.050e-1,
+        4.100e-1, 5.000e-1, 6.000e-1, 7.000e-1, 8.500e-1, 1.100e0,
+        1.500e0, 1.900e0, 2.450e0, 3.100e0, 3.700e0, 4.200e0,
+        4.700e0, 5.200e0,
+        5.900, 6.600, 7.200, 7.600, 7.700, 7.500, 7.000, 6.300, 5.500, 4.600,
+        3.000, 1.900, 1.150, 0.500, 0.300, *_O3_TAIL,
+    ]),
+    "subarctic_winter": np.array([
+        1.802e-2, 2.072e-2, 2.336e-2, 2.767e-2, 3.253e-2, 3.801e-2,
+        4.446e-2, 7.252e-2, 1.040e-1, 2.100e-1, 3.000e-1, 3.500e-1,
+        4.000e-1, 6.500e-1, 9.000e-1, 1.200e0, 1.500e0, 1.900e0,
+        2.450e0, 3.100e0, 3.700e0, 4.100e0, 4.500e0, 4.920e0,
+        5.300e0, 5.600e0,
+        6.100, 6.450, 6.700, 6.800, 6.700, 6.400, 5.850, 5.200, 4.400, 3.600,
+        2.400, 1.500, 0.950, 0.450, 0.300, *_O3_TAIL,
+    ]),
+    "us_standard": np.array([
+        2.660e-2, 2.931e-2, 3.237e-2, 3.318e-2, 3.387e-2, 3.768e-2,
+        4.112e-2, 5.009e-2, 5.966e-2, 9.168e-2, 1.313e-1, 2.149e-1,
+        3.095e-1, 3.846e-1, 5.030e-1, 6.505e-1, 8.701e-1, 1.187e0,
+        1.587e0, 2.030e0, 2.579e0, 3.028e0, 3.647e0, 4.168e0,
+        4.627e0, 5.118e0,
+        5.803, 6.553, 7.373, 7.837, 7.800, 7.300, 6.200, 5.250, 4.100, 3.100,
+        1.800, 1.100, 0.700, 0.300, 0.250, *_O3_TAIL,
+    ]),
+}
+
+#: Variant-independent gas profiles [ppmv] at AFGL_Z_KM (see module
+#: docstring: the AFGL per-variant spread for these species is small and
+#: not transcribed).  AFGL-era CO2 = 330 ppmv, consistent with the
+#: reference's AFGL 1986 datasets.
+AFGL_MINOR_PPMV = {
+    "CO2": np.array([330.0] * 42 + [322.0, 295.0, 235.0, 170.0, 115.0, 80.0, 55.0, 38.0]),
+    "N2O": np.array([
+        *([0.3200] * 11),
+        0.3195, 0.3179, 0.3160, 0.3140, 0.3118, 0.3095, 0.3072, 0.3048,
+        0.3024, 0.2999, 0.2972, 0.2944, 0.2912, 0.2877, 0.2837,
+        0.2600, 0.2350, 0.2080, 0.1750, 0.1400, 0.1100, 0.0800, 0.0600,
+        0.0450, 0.0350,
+        0.0200, 0.0120, 0.0080, 0.0055, 0.0040, 0.0030, 0.0025, 0.0020,
+        0.0018, 0.0016, 0.0015, 0.0014, 0.0013, 0.0012,
+    ]),
+    "CO": np.array([
+        0.150, 0.145, 0.140, 0.135, 0.131, 0.127, 0.124, 0.122, 0.120,
+        0.118, 0.115, 0.100, 0.085, 0.070, 0.060, 0.052, 0.046, 0.042,
+        0.039, 0.037, 0.035, 0.033, 0.032, 0.031, 0.0305, 0.030,
+        0.029, 0.028, 0.028, 0.029, 0.031, 0.034, 0.038, 0.045, 0.055,
+        0.070,
+        0.120, 0.210, 0.400, 0.800, 1.800, 4.000, 8.000, 14.00, 20.00,
+        25.00, 30.00, 35.00, 40.00, 45.00,
+    ]),
+    "CH4": np.array([
+        *([1.700] * 7),
+        1.699, 1.697, 1.693, 1.685, 1.675, 1.662, 1.645, 1.626, 1.605,
+        1.582, 1.553, 1.521, 1.480, 1.424, 1.355, 1.272, 1.191, 1.118,
+        1.055,
+        0.9870, 0.9136, 0.8300, 0.7460, 0.6618, 0.5638, 0.4614, 0.3631,
+        0.2773, 0.2100,
+        0.1650, *([0.1500] * 13),
+    ]),
+    "O2": np.array(
+        [2.090e5] * 45 + [2.000e5, 1.900e5, 1.800e5, 1.600e5, 1.400e5]
+    ),
+    "N2": np.array([7.8084e5] * 50),
+}
+
+for _name, _tab in AFGL_MINOR_PPMV.items():
+    assert _tab.size == 50, _name
+for _tabs in (AFGL_H2O_PPMV, AFGL_O3_PPMV):
+    for _name, _tab in _tabs.items():
+        assert _tab.size == 50, _name
 
 #: Per-variant gas-column parameters:
 #: pwv_cm  — precipitable water vapor column [cm]

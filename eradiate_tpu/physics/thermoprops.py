@@ -191,17 +191,22 @@ def _column_pwv_cm(z_km, n_m3, x_h2o):
 def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
     """AFGL 1986 model atmospheres (Anderson et al. 1986).
 
-    Temperatures come from the tabulated profiles
-    (:mod:`eradiate_tpu.physics.afgl1986_data`); pressures are
-    hydrostatically integrated from the tabulated T(z) and surface
-    pressure; H2O / O3 mole fractions are calibrated to the published
-    surface values and column amounts (precipitable water, ozone DU).
-    ``identifier`` may be the bare variant name or the reference-style
-    ``afgl_1986-<variant>`` id
+    Temperatures and gas mole fractions come from the tabulated profiles
+    (:mod:`eradiate_tpu.physics.afgl1986_data` — per-variant H2O and O3
+    tables plus the shared CO2/N2O/CO/CH4/O2/N2 profiles, transcribed
+    from AFGL-TR-86-0110; see that module's provenance note); pressures
+    are hydrostatically integrated from the tabulated T(z) and surface
+    pressure.  The H2O and O3 profiles are scaled by a near-unity factor
+    so the precipitable-water / Dobson columns match the published
+    per-variant values exactly.  ``identifier`` may be the bare variant
+    name or the reference-style ``afgl_1986-<variant>`` id
     (``src/eradiate/scenes/atmosphere/_molecular.py:80-84``).
     """
     from .afgl1986_data import (
         AFGL_GAS,
+        AFGL_H2O_PPMV,
+        AFGL_MINOR_PPMV,
+        AFGL_O3_PPMV,
         AFGL_SURFACE,
         AFGL_TEMPERATURE,
         AFGL_Z_KM,
@@ -216,36 +221,24 @@ def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
 
     z_tab = AFGL_Z_KM
     t_tab = AFGL_TEMPERATURE[ident]
-    p0, x_h2o_s, x_o3_s = AFGL_SURFACE[ident]
+    p0, _x_h2o_s, _x_o3_s = AFGL_SURFACE[ident]
     gas = AFGL_GAS[ident]
 
     p_tab = _hydrostatic_pressure(z_tab, t_tab, p0)
     n_tab = p_tab / (K_BOLTZMANN * t_tab)  # m^-3
 
-    # H2O: exponential decay to a 4 ppmv stratospheric floor; scale height
-    # solved so the precipitable-water column matches the published value.
-    def pwv_of_h(h):
-        x = np.maximum(x_h2o_s * np.exp(-z_tab / h), 4.0e-6)
-        return _column_pwv_cm(z_tab, n_tab, x)
+    # Tabulated H2O / O3, column-calibrated (scale factors stay within a
+    # few percent of 1; asserted by tests/unit/test_afgl_gases.py).
+    x_h2o_tab = AFGL_H2O_PPMV[ident] * 1e-6
+    x_h2o_tab = x_h2o_tab * (
+        gas["pwv_cm"] / _column_pwv_cm(z_tab, n_tab, x_h2o_tab)
+    )
+    x_o3_tab = AFGL_O3_PPMV[ident] * 1e-6
+    o3_col_du = np.trapezoid(x_o3_tab * n_tab, z_tab * 1e3) / _DU
+    x_o3_tab = x_o3_tab * (gas["o3_du"] / o3_col_du)
 
-    h_lo, h_hi = 0.5, 6.0
-    for _ in range(60):
-        h_mid = 0.5 * (h_lo + h_hi)
-        if pwv_of_h(h_mid) < gas["pwv_cm"]:
-            h_lo = h_mid
-        else:
-            h_hi = h_mid
-    x_h2o_tab = np.maximum(x_h2o_s * np.exp(-z_tab / h_mid), 4.0e-6)
-
-    # O3: Gaussian stratospheric layer over the surface value, amplitude
-    # solved so the column matches the published Dobson amount.
-    shape = np.exp(-0.5 * ((z_tab - gas["o3_peak_km"]) / gas["o3_width_km"]) ** 2)
-    base_col = np.trapezoid(x_o3_s * n_tab, z_tab * 1e3) / _DU
-    layer_col = np.trapezoid(shape * n_tab, z_tab * 1e3) / _DU
-    amp = max(0.0, (gas["o3_du"] - base_col) / layer_col)
-    x_o3_tab = x_o3_s + amp * shape
-
-    x = {k: np.full_like(z_tab, v) for k, v in _DRY_AIR.items()}
+    x = {k: v * 1e-6 for k, v in AFGL_MINOR_PPMV.items()}
+    x["Ar"] = np.full_like(z_tab, _DRY_AIR["Ar"])
     x["H2O"] = x_h2o_tab
     x["O3"] = x_o3_tab
 
