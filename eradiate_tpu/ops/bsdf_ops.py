@@ -359,8 +359,10 @@ def _fresnel_unpolarized(cos_i, n):
 
 
 def _water_ior(w_nm, chlorinity):
-    """Water refractive index: flat-dispersion fit + salinity correction
-    (Friedman 1969 salinity adjustment used by 6SV)."""
+    """ANALYTIC FALLBACK water refractive index (flat-dispersion fit +
+    Friedman 1969 salinity adjustment) — production params carry the
+    Hale & Querry table value (``physics.ocean_data.water_ior``) under
+    the ``n_water`` key; this fit only serves params built without it."""
     n = 1.325 + 6.0 / (w_nm * 1e-2)  # gentle UV rise, ~1.334 at 550 nm
     return n + 0.00017 * chlorinity
 
@@ -372,9 +374,10 @@ def _whitecap_fraction(wind_speed):
 
 
 def _water_leaving_reflectance(w_nm, pigmentation):
-    """Lambertian-equivalent water-leaving reflectance (surrogate for the
-    6SV Morel case-1 ocean colour model): blue-green peak shaped by the
-    pigment concentration [mg/m^3], decaying into the red/NIR."""
+    """ANALYTIC FALLBACK water-leaving reflectance — production params
+    carry the table-driven Morel case-1 value
+    (``physics.ocean_data.case1_water_reflectance``) under ``r_water``;
+    this shape only serves params built without it."""
     chl = jnp.maximum(pigmentation, 1e-3)
     blue = 0.03 * jnp.exp(-0.5 * ((w_nm - 440.0) / 60.0) ** 2) * chl ** (-0.3)
     green = 0.015 * jnp.exp(-0.5 * ((w_nm - 560.0) / 50.0) ** 2) * chl**0.1
@@ -406,7 +409,11 @@ def ocean_legacy_eval(params, wi, wo, p=None):
     tan2_beta = (1.0 - cos_beta**2) / cos_beta**2
     p_slope = jnp.exp(-tan2_beta / sigma2) / (jnp.pi * sigma2)
 
-    n_w = _water_ior(w_nm, chlorinity)
+    # table-driven optical constants when the params carry them (the
+    # product path: scenes.bsdfs.OceanLegacyBSDF.eval_params evaluates
+    # the Hale & Querry / Morel case-1 tables host-side); analytic
+    # fallbacks otherwise
+    n_w = params.get("n_water", _water_ior(w_nm, chlorinity))
     R_F = _fresnel_unpolarized(cos_theta_h, n_w)
 
     f_glint = p_slope * R_F / (4.0 * mu_i * mu_o * cos_beta**4)
@@ -417,7 +424,7 @@ def ocean_legacy_eval(params, wi, wo, p=None):
     f_wc = a_wc / jnp.pi
 
     # water-leaving: lambertian underlight transmitted through the surface
-    R_w = _water_leaving_reflectance(w_nm, pigment)
+    R_w = params.get("r_water", _water_leaving_reflectance(w_nm, pigment))
     t_up = 1.0 - _fresnel_unpolarized(mu_o, n_w)
     t_down = 1.0 - _fresnel_unpolarized(mu_i, n_w)
     f_water = R_w * t_up * t_down / jnp.pi

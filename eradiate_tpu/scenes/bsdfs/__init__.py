@@ -344,6 +344,8 @@ class OceanLegacyBSDF(BSDF):
     kind: str = attrs.field(default="ocean_legacy", init=False)
 
     def eval_params(self, w_nm) -> dict:
+        from ...physics.ocean_data import case1_water_reflectance, water_ior
+
         w = np.atleast_1d(np.asarray(w_nm))
         return {
             "wind_speed": np.full(w.shape, self.wind_speed),
@@ -351,6 +353,11 @@ class OceanLegacyBSDF(BSDF):
             "chlorinity": np.full(w.shape, self.chlorinity),
             "pigmentation": np.full(w.shape, self.pigmentation),
             "wavelength": w.astype(np.float64),
+            # 6SV-heritage tables (Hale & Querry IOR; Morel case-1
+            # underlight from Pope & Fry + Prieur-Sathyendranath),
+            # evaluated host-side per spectral row
+            "n_water": water_ior(w, self.chlorinity),
+            "r_water": case1_water_reflectance(w, self.pigmentation),
         }
 
 
