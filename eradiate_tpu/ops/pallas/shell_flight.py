@@ -20,11 +20,13 @@ Mosaic restrictions shape the data layout: no 1D slices/concats at offset
 shell table arrives pre-shifted — ``lo`` and ``hi`` level vectors padded
 to a lane multiple, built once host-side in :func:`_prep`.
 
-Inputs are per-lane scalars (x0 = p·dir, b2 = |p|² - x0², caps, draws) as
-[B] vectors plus the shared shell vectors. All radii comparisons in the
-flight kernel happen in squared space (monotone, so interval clamps
-commute with squaring); the slant kernel keeps unsquared radii for the
-cancellation-stable ``_seg`` form of the XLA reference.
+Inputs are per-lane scalars (x0 = p·dir, b2 = |p x dir|², caps, draws) as
+[B] vectors plus the shared shell vectors. BOTH kernels work in squared
+level space (monotone, so interval clamps commute with squaring) with the
+same shared-X quotient forms and the same clamped-accumulation g
+machinery; b² arrives from the cross-product form, which stays
+cancellation-free at planet-scale radii where |p|² - x0² loses all
+precision for near-radial rays.
 """
 
 from __future__ import annotations
@@ -49,10 +51,23 @@ def _pad_to(x, width, fill):
 
 def _recip(x):
     """Fast reciprocal: hardware approximate reciprocal + one Newton step
-    (~1e-6 relative) — an f32 divide costs several times more VPU slots
-    than mul/add, and the [TB, W]-wide quotients dominate these kernels."""
+    (~1e-6 relative).  Used where the quotient feeds the tau PREFIX,
+    whose value decides collide bits and bracketing layer indices that
+    the XLA-parity tests compare with exact equality."""
     r = pl.reciprocal(x, approx=True)
     return r * (2.0 - x * r)
+
+
+def _recip_fast(x):
+    """Hardware approximate reciprocal, ~1.2e-4 relative, no Newton.
+    Measured (round 3): the kernels are bound purely by VPU op count
+    (~1e12 scalar-op/s across any mix of arithmetic, transcendentals,
+    broadcasts and reductions), so dropping the 3-op Newton refinement
+    on a [TB, W] quotient saves real time.  Safe ONLY where the result
+    moves a continuous quantity (slant tau at 5e-2 test tolerance, the
+    within-shell collision fraction at 1e-2) — NOT for the flight
+    prefix, where a 1e-4 shift flips exact-equality layer brackets."""
+    return pl.reciprocal(x, approx=True)
 
 
 def _prefix_blocked(c):
@@ -89,7 +104,7 @@ def _kernel_flight(
     x0, b2, tmax, tau_s,
     r2_lo, r2_hi, sigma,
     collide, t_col, layer,
-    *, n_levels: int,
+    *, n_levels: int, exit_clipped: bool,
 ):
     Lp1 = n_levels  # real levels (<= padded width)
     L = Lp1 - 1
@@ -112,16 +127,18 @@ def _kernel_flight(
     c = sigma[:][None, :] * dX
     G = _prefix_blocked(c)  # [TB, Lpad]; G_0 = 0
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
-    real = iota < Lp1
-
     def g_at(y):
         # tau at axial coordinate y without locating the bracketing shell:
         # each shell contributes its slant depth clamped to the portion
         # below y — ONE clamped accumulation instead of a count reduction
-        # plus three masked selects (callers never use the index)
+        # plus three masked selects (callers never use the index).
+        # Intentional divergence from the XLA G_at at the float boundary:
+        # this form SATURATES at the total column depth for y a few ulps
+        # past the top level, where G_at extrapolates with the top
+        # shell's sigma — benign because callers clip t_max at the
+        # atmosphere exit, so y never meaningfully exceeds X_top.
         frac = jnp.minimum(jnp.maximum(y[:, None] - X, 0.0), dX)
-        return jnp.sum(sigma[:][None, :] * frac, axis=1), None
+        return jnp.sum(sigma[:][None, :] * frac, axis=1)
 
     def g_inv(v):
         # inverse of g_at in the same closed accumulation form: shell l
@@ -129,8 +146,9 @@ def _kernel_flight(
         # slant depth c_l below v (vacuum shells have c = 0 and pass
         # through fully via the dX clamp, matching the reference's
         # "collisions never land in zero-extinction layers" semantics);
-        # the bracketing index still needs one count reduction
-        below = (G <= v[:, None]) & real
+        # the bracketing index still needs one count reduction (padded
+        # columns hold G = S > v, so they never count)
+        below = G <= v[:, None]
         k = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1) - 1, 0, L - 1)
         frac = jnp.minimum(
             jnp.maximum((v[:, None] - G) * _recip(jnp.maximum(c, 1e-30)), 0.0),
@@ -143,9 +161,18 @@ def _kernel_flight(
         return y, k
 
     desc = x0v < 0.0
-    A, _ = g_at(jnp.abs(x0v))
+    A = g_at(jnp.abs(x0v))
     x_max = x0v + tmax[:]
-    Gm, _ = g_at(jnp.abs(x_max))
+    if exit_clipped:
+        # tracer contract: t_max is the boundary exit (ground or TOA), so
+        # the endpoint's g value is either 0 (ground hit: |x_max| =
+        # X[:, 0]) or the full column depth S (TOA exit: |x_max| = X_top)
+        # — no second g_at sweep needed.  (One reduction, not a G column
+        # read: Mosaic rejects lane slices at unaligned offsets.)
+        S = jnp.sum(c, axis=1)
+        Gm = jnp.where(x_max < 0.0, 0.0, S)
+    else:
+        Gm = g_at(jnp.abs(x_max))
     tau_max = jnp.where(
         desc, jnp.where(x_max < 0.0, A - Gm, A + Gm), Gm - A
     )
@@ -164,61 +191,44 @@ def _kernel_flight(
 
 
 def _kernel_slant(
-    x0, r2in, r2_lo, r2_hi, sigma, tau, *, n_levels: int,
+    x0, b2in, r2_lo, r2_hi, sigma, tau, *, n_levels: int,
 ):
-    """Slant tau from points at squared radius r2in toward a direction with
-    p·w = x0, through shells (r2_lo, r2_hi)/sigma — the VMEM-resident
+    """Slant tau from points with axial coordinate x0 = p·w and squared
+    impact parameter b2 (computed cancellation-free from |p x w|^2 by the
+    caller), through shells (r2_lo, r2_hi)/sigma — the VMEM-resident
     mirror of ops.spherical.slant_tau_exact.
 
-    Reformulated around ONE shared sqrt pass: X_l = sqrt(max(r2_l - b2, 0))
-    is the axial coordinate of level l, every (possibly tangent-clipped)
-    full-shell path length is the cancellation-stable quotient
-    ``(r2_hi - max(r2_lo, b2)) / (X_lo + X_hi)``, and the at-most-one
-    partial shell containing r contributes a per-lane-stable quotient
-    against Xr = |x0|. Equivalent to the three-``_seg`` legs of the XLA
-    form (up for ascending; down-to-tangent + full ascent for descending)
-    at a third of the sqrt/div passes."""
-    Lp1 = n_levels
+    Same g-machinery as :func:`_kernel_flight`: with S the full-column
+    slant depth from the tangent point and g(y) the clamped-accumulation
+    prefix, an ascending ray sees ``S - g(|x0|)`` and a descending ray
+    ``S + g(|x0|)`` (down leg to the tangent plus the full ascent).
+    This replaces the round-2 per-shell quotient/partial-shell selects at
+    roughly half the VPU passes; the only subtraction it adds,
+    ``|x0| - X_l`` inside the clamp, is exact everywhere but the single
+    partial shell, where its absolute error is bounded by f32 rounding
+    of the axial coordinate — a per-ray tau error of order
+    ``sigma_shell * eps * |x0|``, negligible against the column total."""
     x0v = x0[:]
-    r2 = r2in[:]
-    b2 = jnp.maximum(r2 - x0v * x0v, 0.0)
+    b2 = b2in[:]
     desc = x0v < 0.0
     blocked = desc & (b2 <= r2_lo[0])
-    Xr = jnp.abs(x0v)[:, None]
     b2e = b2[:, None]
-    r2e = r2[:, None]
 
     lo = r2_lo[:][None, :]  # [1, Lpad] squared level k = shell floor
     hi = r2_hi[:][None, :]
     # ONE sqrt pass [TB, W] as x*rsqrt(x) (see _kernel_flight)
     arg = jnp.maximum(lo - b2e, 1e-30)
-    X_lo = arg * jax.lax.rsqrt(arg)
-    X_hi = pltpu.roll(X_lo, X_lo.shape[1] - 1, axis=1)  # X at level k+1
+    X = arg * jax.lax.rsqrt(arg)
+    X_hi = pltpu.roll(X, X.shape[1] - 1, axis=1)  # X at level k+1
 
     # full (tangent-clipped) shell lengths; padded shells -> num = 0
     num = jnp.maximum(hi - jnp.maximum(lo, b2e), 0.0)
-    dX = num * _recip(jnp.maximum(X_lo + X_hi, 1e-30))
+    dX = num * _recip_fast(jnp.maximum(X + X_hi, 1e-30))
 
-    # the one shell containing r gets a partial leg against Xr; the
-    # ascending (to the shell top) and descending (to the shell floor)
-    # variants are mutually exclusive per lane, so they share ONE quotient
-    desc_f = desc.astype(x0v.dtype)[:, None]
-    asc_f = 1.0 - desc_f
-    in_shell = ((r2e > lo) & (r2e <= hi)).astype(x0v.dtype)
-    p_num = (
-        jnp.maximum(hi - r2e, 0.0) * asc_f
-        + jnp.maximum(r2e - jnp.maximum(lo, b2e), 0.0) * desc_f
-    )
-    p_den = (X_hi * asc_f + X_lo * desc_f) + Xr
-    part = in_shell * p_num * _recip(jnp.maximum(p_den, 1e-30))
-
-    # ascending: full shells strictly above r; descending: full column
-    # above the tangent point PLUS full shells strictly below r
-    f_full = (
-        (lo >= r2e).astype(x0v.dtype) * asc_f
-        + (1.0 + (hi < r2e).astype(x0v.dtype)) * desc_f
-    )
-    t = jnp.sum(sigma[:][None, :] * (dX * f_full + part), axis=1)
+    # tau = S +/- g in ONE fused reduction: sum sigma * (dX + sign*frac)
+    frac = jnp.minimum(jnp.maximum(jnp.abs(x0v)[:, None] - X, 0.0), dX)
+    sign = jnp.where(desc, 1.0, -1.0)[:, None]
+    t = jnp.sum(sigma[:][None, :] * (dX + sign * frac), axis=1)
     tau[:] = jnp.where(blocked, _TAU_BLOCKED, t)
 
 
@@ -241,10 +251,14 @@ def shell_flight_pallas(
     x0, b2, t_max, tau_s, radii2, sigma,
     block_b: int = _BLOCK_B,
     interpret: bool = False,
+    exit_clipped: bool = False,
 ):
     """Fused exact shell free flight (see ops.spherical.shell_flight).
 
-    x0 = p·d, b2 = |p|² - x0² per lane; radii2 = radii² [L+1]; sigma [L].
+    x0 = p·d, b2 = |p x d|² per lane; radii2 = radii² [L+1]; sigma [L].
+    ``exit_clipped=True`` asserts the tracer contract that ``t_max`` is
+    the exact boundary-exit distance (ground or TOA), which replaces the
+    endpoint g_at sweep with a select on the total column depth.
     Returns (collide bool [B], t_col [B], layer int32 [B]).
     """
     B = x0.shape[0]
@@ -259,7 +273,9 @@ def shell_flight_pallas(
     full_spec = pl.BlockSpec((r2_lo.shape[0],), lambda i: (0,))
 
     col, t_col, layer = pl.pallas_call(
-        functools.partial(_kernel_flight, n_levels=Lp1),
+        functools.partial(
+            _kernel_flight, n_levels=Lp1, exit_clipped=exit_clipped
+        ),
         grid=(nb,),
         in_specs=[lane_spec] * 4 + [full_spec] * 3,
         out_specs=(lane_spec,) * 3,
@@ -280,16 +296,17 @@ def shell_flight_pallas(
 
 
 def slant_tau_pallas(
-    x0, r2, radii, sigma,
+    x0, b2, radii, sigma,
     block_b: int = _BLOCK_B,
     interpret: bool = False,
 ):
     """Fused exact slant optical depth (see ops.spherical.slant_tau_exact).
 
-    x0 = p·w, r2 = |p|² per lane; ``radii`` UNSQUARED [L+1] (the kernel
-    works in squared level space with the cancellation-stable quotient
-    forms, matching the XLA reference's ``_seg``). Returns tau [B]
-    (TAU_BLOCKED for ground-blocked descending rays).
+    x0 = p·w, b2 = |p x w|² per lane (the cross-product form keeps b²
+    cancellation-free at planet-scale radii); ``radii`` UNSQUARED [L+1]
+    (the kernel works in squared level space with shared-X quotient
+    forms). Returns tau [B] (TAU_BLOCKED for ground-blocked descending
+    rays).
     """
     B = x0.shape[0]
     nb = -(-B // block_b)
@@ -310,5 +327,5 @@ def slant_tau_pallas(
         out_shape=jax.ShapeDtypeStruct((Bp,), x0.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(padb(x0), padb(r2, 1.0), r_lo, r_hi, sigma_p)
+    )(padb(x0), padb(b2, 1.0), r_lo, r_hi, sigma_p)
     return tau[:B]

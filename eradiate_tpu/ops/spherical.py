@@ -165,8 +165,10 @@ def slant_tau_exact(p, w, radii, sigma, r_ground=None):
         from .pallas.shell_flight import slant_tau_pallas
 
         x0 = jnp.sum(p * w, axis=-1)
-        r2 = jnp.sum(p * p, axis=-1)
-        return slant_tau_pallas(x0, r2, jnp.asarray(radii), sigma)
+        # b² from the cross product: cancellation-free at planet-scale
+        # radii, unlike |p|² - x0² (catastrophic for near-radial rays)
+        b2 = jnp.sum(jnp.cross(p, jnp.broadcast_to(w, p.shape)) ** 2, axis=-1)
+        return slant_tau_pallas(x0, b2, jnp.asarray(radii), sigma)
     return _slant_tau_exact_xla(p, w, radii, sigma, r_ground)
 
 
@@ -194,8 +196,9 @@ def _slant_tau_exact_xla(p, w, radii, sigma, r_ground=None):
     r2 = jnp.sum(p * p, axis=-1)
     r = jnp.sqrt(r2)
     mu = jnp.sum(p * w, axis=-1) / jnp.maximum(r, 1e-12)
-    sin2 = jnp.clip(1.0 - mu * mu, 0.0, 1.0)
-    b2 = r2 * sin2
+    # b² from the cross product: cancellation-free where r²(1 - mu²)
+    # loses all digits for near-radial rays at planet-scale radii
+    b2 = jnp.sum(jnp.cross(p, jnp.broadcast_to(w, p.shape)) ** 2, axis=-1)
     b = jnp.sqrt(b2)
     descending = mu < 0.0
     blocked = descending & (b <= r_ground)
@@ -229,9 +232,14 @@ def shell_flight(p, d, t_max, radii, sigma, tau_s):
         from .pallas.shell_flight import shell_flight_pallas
 
         x0 = jnp.sum(p * d, axis=-1)
-        b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+        # b² from the cross product (see slant_tau_exact): exact where
+        # |p|² - x0² cancels catastrophically for near-radial rays
+        b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
         radii = jnp.asarray(radii)
-        return shell_flight_pallas(x0, b2, t_max, tau_s, radii * radii, sigma)
+        # the tracers always pass the boundary-exit distance as t_max
+        return shell_flight_pallas(
+            x0, b2, t_max, tau_s, radii * radii, sigma, exit_clipped=True
+        )
     return _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
 
 
@@ -264,7 +272,8 @@ def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s):
     L = Lp1 - 1
     dtype = radii.dtype
     x0 = jnp.sum(p * d, axis=-1)  # [B]
-    b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+    # b² from the cross product (cancellation-free; see slant_tau_exact)
+    b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
     X = jnp.sqrt(jnp.maximum(radii[None, :] ** 2 - b2[:, None], 0.0))  # [B, L+1]
 
     # G[b, k] = tau from the tangent point to level k along one leg:

@@ -53,7 +53,7 @@ class TestShellFlightPallas:
 
         col_r, t_r, lay_r = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
         x0 = jnp.sum(p * d, axis=-1)
-        b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+        b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
         col_p, t_p, lay_p = shell_flight_pallas(
             x0, b2, t_max, tau_s, radii * radii, sigma,
             block_b=256, interpret=True,
@@ -66,6 +66,41 @@ class TestShellFlightPallas:
         np.testing.assert_array_equal(lay_p[both], lay_r[both])
         # f32 prefix-order differences (VMEM cumsum vs MXU hi/lo matmul)
         np.testing.assert_allclose(t_p[both], t_r[both], atol=1e-2)
+
+
+class TestShellFlightExitClipped:
+    def test_fast_path_matches_generic_on_boundary_exits(self):
+        """With t_max the true boundary-exit distance (the tracer
+        contract), the exit_clipped fast path (endpoint g from the total
+        column sum) must agree with the generic endpoint sweep."""
+        from eradiate_tpu.ops.spherical import ray_sphere_intersect
+
+        radii, sigma, p, rng = make_shells()
+        B = p.shape[0]
+        d = rng.normal(size=(B, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        tgn, tgf, hit_g = ray_sphere_intersect(p, d, radii[0])
+        t_ground = jnp.where(hit_g & (tgn > 0), tgn, jnp.inf)
+        _, ttf, _ = ray_sphere_intersect(p, d, radii[-1])
+        t_max = jnp.minimum(t_ground, jnp.maximum(ttf, 1e-6))
+        tau_s = jnp.asarray(rng.exponential(0.3, B).astype(np.float32))
+        x0 = jnp.sum(p * d, axis=-1)
+        b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
+        outs = [
+            shell_flight_pallas(
+                x0, b2, t_max, tau_s, radii * radii, sigma,
+                block_b=256, interpret=True, exit_clipped=fast,
+            )
+            for fast in (False, True)
+        ]
+        (col_g, t_g, lay_g), (col_f, t_f, lay_f) = [
+            tuple(map(np.asarray, o)) for o in outs
+        ]
+        np.testing.assert_array_equal(col_f, col_g)
+        both = col_g & col_f
+        np.testing.assert_array_equal(lay_f[both], lay_g[both])
+        np.testing.assert_allclose(t_f[both], t_g[both], atol=1e-3)
 
 
 class TestShellFlightGroundAnchor:
@@ -91,7 +126,7 @@ class TestShellFlightGroundAnchor:
 
         col_r, t_r, lay_r = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
         x0 = jnp.sum(p * d, axis=-1)
-        b2 = jnp.maximum(jnp.sum(p * p, axis=-1) - x0 * x0, 0.0)
+        b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
         col_p, t_p, lay_p = shell_flight_pallas(
             x0, b2, t_max, tau_s, radii * radii, sigma,
             block_b=256, interpret=True,
@@ -126,7 +161,6 @@ class TestPrefixBlocked:
 class TestSlantTauPallas:
     def test_matches_xla_across_zenith(self):
         radii, sigma, p, _ = make_shells()
-        r2 = jnp.sum(p * p, axis=-1)
         for zen in (0.0, 60.0, 85.0, 95.0):
             w = jnp.asarray(
                 [np.sin(np.deg2rad(zen)), 0.0, np.cos(np.deg2rad(zen))],
@@ -134,8 +168,11 @@ class TestSlantTauPallas:
             )
             tau_ref = np.asarray(_slant_tau_exact_xla(p, w, radii, sigma))
             x0 = jnp.einsum("bj,j->b", p, w)
+            b2 = jnp.sum(
+                jnp.cross(p, jnp.broadcast_to(w, p.shape)) ** 2, axis=-1
+            )
             tau_pl = np.asarray(
-                slant_tau_pallas(x0, r2, radii, sigma, block_b=256,
+                slant_tau_pallas(x0, b2, radii, sigma, block_b=256,
                                  interpret=True)
             )
             blk_r = tau_ref >= TAU_BLOCKED / 2
@@ -147,6 +184,27 @@ class TestSlantTauPallas:
             np.testing.assert_allclose(
                 tau_pl[ok], tau_ref[ok], atol=5e-2, rtol=2e-2
             )
+
+    def test_compiled_on_tpu(self):
+        """Compiled (interpret=False) XLA-vs-Pallas comparison so Mosaic
+        lowering and hardware approx-reciprocal accuracy are covered when
+        a TPU is attached; the CI conftest pins the CPU backend, so this
+        runs only in manual TPU sessions (ADVICE r2 #2)."""
+        import pytest
+
+        if jax.default_backend() != "tpu":
+            pytest.skip("needs TPU hardware (CI runs on the CPU backend)")
+        radii, sigma, p, _ = make_shells()
+        w = jnp.asarray([0.5, 0.0, np.sqrt(0.75)], dtype=jnp.float32)
+        tau_ref = np.asarray(_slant_tau_exact_xla(p, w, radii, sigma))
+        x0 = jnp.einsum("bj,j->b", p, w)
+        b2 = jnp.sum(
+            jnp.cross(p, jnp.broadcast_to(w, p.shape)) ** 2, axis=-1
+        )
+        tau_pl = np.asarray(
+            slant_tau_pallas(x0, b2, radii, sigma, block_b=256)
+        )
+        np.testing.assert_allclose(tau_pl, tau_ref, atol=5e-2, rtol=2e-2)
 
     def test_dispatch_cpu_takes_xla(self):
         # on CPU the public entry must route to the XLA implementation
