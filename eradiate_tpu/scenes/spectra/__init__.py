@@ -143,7 +143,7 @@ class SolarIrradianceSpectrum(Spectrum):
     distance seasonally.
     """
 
-    dataset: str = "coarse_am0"
+    dataset: str = "fine_am0"
     scale: float = 1.0
     datetime: str | None = None
 
@@ -157,6 +157,12 @@ class SolarIrradianceSpectrum(Spectrum):
         if path is not None:
             d = np.load(path)
             self._table = (d["w"], d["ssi"])
+        elif self.dataset == "fine_am0":
+            # default: the band-anchored fine table (Sentinel-2A band
+            # irradiances reproduced to <0.3%; see physics.solar_data)
+            from ...physics.solar_data import FINE_AM0_SSI, FINE_AM0_W_NM
+
+            self._table = (FINE_AM0_W_NM, FINE_AM0_SSI)
         elif self.dataset == "coarse_am0":
             from ...physics.solar_data import COARSE_AM0_SSI, COARSE_AM0_W_NM
 
@@ -166,7 +172,7 @@ class SolarIrradianceSpectrum(Spectrum):
                 f"solar irradiance dataset '{self.dataset}' not found on the "
                 f"data path; install solar/{self.dataset}.npz (e.g. import a "
                 f"reference NetCDF with data.netcdf.load_solar_netcdf) or "
-                f"use 'coarse_am0' / 'blackbody_sun'"
+                f"use 'fine_am0' / 'coarse_am0' / 'blackbody_sun'"
             )
 
     def _distance_factor(self) -> float:

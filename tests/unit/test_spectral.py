@@ -146,11 +146,12 @@ class TestSolarIrradiance:
         from eradiate_tpu.scenes.spectra import SolarIrradianceSpectrum
 
         s = SolarIrradianceSpectrum()
-        assert s.dataset == "coarse_am0"
-        # absolute calibration: in-band integral = 98% of TSI
+        assert s.dataset == "fine_am0"
+        # absolute calibration: in-band integral ~99.6% of TSI (the
+        # band-anchored table; see physics.solar_data.FINE_AM0_SSI)
         w = np.linspace(250.0, 3125.0, 5000)
         total = np.trapezoid(s.eval(w), w)
-        assert total == pytest.approx(0.98 * 1361.0, rel=1e-3)
+        assert total == pytest.approx(1355.0, rel=3e-3)
         # visible peak region magnitude (E490-family values)
         assert 1.7 < float(s.eval([550.0])[0]) < 2.05
         assert 1.8 < float(s.eval([450.0])[0]) < 2.25
