@@ -39,9 +39,16 @@ _BIG = 3.0e38
 # block shapes to match it (verified: 256-wide blocks fail layout checks).
 _BLOCK_B = 1024
 _BLOCK_N = 1024
+#: leaves per CULL sub-block: each 1024-leaf operand tile carries
+#: block_n // _SUB bounding spheres and the kernels cull + sweep at this
+#: finer granularity (Mosaic pins 1D operand blocks to the 1024-element
+#: XLA tiling, so the finer culling lives INSIDE the tile) — measured
+#: the main lever on canopy scenes where a 1024-leaf sphere spans a
+#: whole crown while a 128-leaf sphere covers a small sector of it
+_SUB = 128
 
 
-def leaf_block_spheres(centers, normals, radii, block_n: int = _BLOCK_N):
+def leaf_block_spheres(centers, normals, radii, block_n: int = _SUB):
     """Per-leaf-block bounding spheres (centers [M, 3], radius^2 [M]).
 
     Blocks are ``block_n`` consecutive leaves (pad with far-away dummies);
@@ -109,10 +116,11 @@ def _disk_hits(px, py, pz, dx, dy, dz, cx, cy, cz, nx, ny, nz, r2, cap):
 
 
 def _kernel_nearest(
-    sph,
+    csph, sph,
     px, py, pz, dx, dy, dz, tmax,
     cx, cy, cz, nx, ny, nz, r2,
     best_t, bn_x, bn_y, bn_z,
+    *, spt: int, sub: int,
 ):
     j = pl.program_id(1)
 
@@ -123,44 +131,87 @@ def _kernel_nearest(
         bn_y[:] = jnp.zeros(bn_y.shape, bn_y.dtype)
         bn_z[:] = jnp.ones(bn_z.shape, bn_z.dtype)
 
-    cap = best_t[:]
-    reach = _sphere_cull(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], cap,
-        sph[0, j], sph[1, j], sph[2, j], sph[3, j],
+    # two-level cull: ONE coarse whole-tile sphere test keeps the cheap
+    # far-tile skip (a flat sub-loop of fine tests measured 10x slower on
+    # the 1e6-disk instanced bench, where most tiles are far away)
+    coarse = _sphere_cull(
+        px[:], py[:], pz[:], dx[:], dy[:], dz[:], best_t[:],
+        csph[0, j], csph[1, j], csph[2, j], csph[3, j],
     )
 
-    @pl.when(jnp.any(reach))
-    def _tile():
-        # rows 4-6: per-virtual-block instance offset (zero when the
-        # leaf table is flat) — canonical leaf blocks translated in-tile
-        t = _disk_hits(
-            px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            cx[:] + sph[4, j], cy[:] + sph[5, j], cz[:] + sph[6, j],
-            nx[:], ny[:], nz[:], r2[:], cap,
+    @pl.when(jnp.any(coarse))
+    def _tile_lvl():
+        _kernel_nearest_subs(
+            sph, px, py, pz, dx, dy, dz,
+            cx, cy, cz, nx, ny, nz, r2,
+            best_t, bn_x, bn_y, bn_z, j=j, spt=spt, sub=sub,
         )
-        tmin = jnp.min(t, axis=1)
-        better = tmin < cap
-        # winner normal via one-hot masked sums (exact f32 ties average,
-        # mirroring the XLA reference reduction in ops/canopy.py)
-        m = (t == tmin[:, None]).astype(t.dtype)
-        nsel = jax.lax.dot_general(
-            m,
-            jnp.stack([nx[:], ny[:], nz[:], jnp.ones_like(nx[:])], axis=1),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=t.dtype,
-        )  # [TB, 4]: (sum nx, sum ny, sum nz, count)
-        cnt = jnp.maximum(nsel[:, 3], 1.0)
-        best_t[:] = jnp.where(better, tmin, best_t[:])
-        bn_x[:] = jnp.where(better, nsel[:, 0] / cnt, bn_x[:])
-        bn_y[:] = jnp.where(better, nsel[:, 1] / cnt, bn_y[:])
-        bn_z[:] = jnp.where(better, nsel[:, 2] / cnt, bn_z[:])
+
+
+def _kernel_nearest_subs(
+    sph, px, py, pz, dx, dy, dz,
+    cx, cy, cz, nx, ny, nz, r2,
+    best_t, bn_x, bn_y, bn_z, *, j, spt, sub,
+):
+    # in-tile sub-block views (static reshape; 1D refs cannot be sliced
+    # at sub-tile offsets under the T(1024) layout)
+    cxs = cx[:].reshape(spt, sub)
+    cys = cy[:].reshape(spt, sub)
+    czs = cz[:].reshape(spt, sub)
+    nxs = nx[:].reshape(spt, sub)
+    nys = ny[:].reshape(spt, sub)
+    nzs = nz[:].reshape(spt, sub)
+    r2s = r2[:].reshape(spt, sub)
+
+    for k in range(spt):
+        col = j * spt + k
+        cap = best_t[:]
+        if spt == 1:
+            # the coarse whole-tile gate already fired; no second test
+            reach_any = jnp.asarray(True)
+        else:
+            reach = _sphere_cull(
+                px[:], py[:], pz[:], dx[:], dy[:], dz[:], cap,
+                sph[0, col], sph[1, col], sph[2, col], sph[3, col],
+            )
+            reach_any = jnp.any(reach)
+
+        @pl.when(reach_any)
+        def _tile(k=k, col=col, cap=cap):
+            # rows 4-6: per-virtual-block instance offset (zero when the
+            # leaf table is flat) — canonical blocks translated in-tile
+            t = _disk_hits(
+                px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+                cxs[k] + sph[4, col], cys[k] + sph[5, col],
+                czs[k] + sph[6, col],
+                nxs[k], nys[k], nzs[k], r2s[k], cap,
+            )
+            tmin = jnp.min(t, axis=1)
+            better = tmin < cap
+            # winner normal via one-hot masked sums (exact f32 ties
+            # average, mirroring the XLA reduction in ops/canopy.py)
+            m = (t == tmin[:, None]).astype(t.dtype)
+            nsel = jax.lax.dot_general(
+                m,
+                jnp.stack(
+                    [nxs[k], nys[k], nzs[k], jnp.ones_like(nxs[k])], axis=1
+                ),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=t.dtype,
+            )  # [TB, 4]: (sum nx, sum ny, sum nz, count)
+            cnt = jnp.maximum(nsel[:, 3], 1.0)
+            best_t[:] = jnp.where(better, tmin, best_t[:])
+            bn_x[:] = jnp.where(better, nsel[:, 0] / cnt, bn_x[:])
+            bn_y[:] = jnp.where(better, nsel[:, 1] / cnt, bn_y[:])
+            bn_z[:] = jnp.where(better, nsel[:, 2] / cnt, bn_z[:])
 
 
 def _kernel_occluded(
-    sph,
+    csph, sph,
     px, py, pz, dx, dy, dz, tmax,
     cx, cy, cz, nx, ny, nz, r2,
     occ,
+    *, spt: int, sub: int,
 ):
     j = pl.program_id(1)
 
@@ -168,21 +219,72 @@ def _kernel_occluded(
     def _init():
         occ[:] = jnp.zeros(occ.shape, occ.dtype)
 
-    live = occ[:] == 0
-    reach = _sphere_cull(
+    live0 = occ[:] == 0
+    coarse = _sphere_cull(
         px[:], py[:], pz[:], dx[:], dy[:], dz[:], tmax[:],
-        sph[0, j], sph[1, j], sph[2, j], sph[3, j],
+        csph[0, j], csph[1, j], csph[2, j], csph[3, j],
     )
 
-    @pl.when(jnp.any(live & reach))
-    def _tile():
-        t = _disk_hits(
-            px[:], py[:], pz[:], dx[:], dy[:], dz[:],
-            cx[:] + sph[4, j], cy[:] + sph[5, j], cz[:] + sph[6, j],
-            nx[:], ny[:], nz[:], r2[:], tmax[:],
+    @pl.when(jnp.any(live0 & coarse))
+    def _tile_lvl():
+        _kernel_occluded_subs(
+            sph, px, py, pz, dx, dy, dz, tmax,
+            cx, cy, cz, nx, ny, nz, r2, occ, j=j, spt=spt, sub=sub,
         )
-        hit = jnp.any(t < _BIG, axis=1)
-        occ[:] = jnp.where(hit, jnp.ones_like(occ[:]), occ[:])
+
+
+def _kernel_occluded_subs(
+    sph, px, py, pz, dx, dy, dz, tmax,
+    cx, cy, cz, nx, ny, nz, r2, occ, *, j, spt, sub,
+):
+    cxs = cx[:].reshape(spt, sub)
+    cys = cy[:].reshape(spt, sub)
+    czs = cz[:].reshape(spt, sub)
+    nxs = nx[:].reshape(spt, sub)
+    nys = ny[:].reshape(spt, sub)
+    nzs = nz[:].reshape(spt, sub)
+    r2s = r2[:].reshape(spt, sub)
+
+    for k in range(spt):
+        col = j * spt + k
+        live = occ[:] == 0
+        if spt == 1:
+            gate = jnp.any(live)
+        else:
+            reach = _sphere_cull(
+                px[:], py[:], pz[:], dx[:], dy[:], dz[:], tmax[:],
+                sph[0, col], sph[1, col], sph[2, col], sph[3, col],
+            )
+            gate = jnp.any(live & reach)
+
+        @pl.when(gate)
+        def _tile(k=k, col=col):
+            t = _disk_hits(
+                px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+                cxs[k] + sph[4, col], cys[k] + sph[5, col],
+                czs[k] + sph[6, col],
+                nxs[k], nys[k], nzs[k], r2s[k], tmax[:],
+            )
+            hit = jnp.any(t < _BIG, axis=1)
+            occ[:] = jnp.where(hit, jnp.ones_like(occ[:]), occ[:])
+
+
+def _coarse_from_subs(sph, nn, spt):
+    """[4, nn] whole-tile enclosing spheres from the [7, nn*spt] fine
+    sub-sphere operand (instance translations already applied). Tiles
+    whose sub-spheres are all padding collapse to an unreachable point,
+    so the coarse cull skips them entirely."""
+    c = sph[:3].T.reshape(nn, spt, 3)
+    r = jnp.sqrt(sph[3]).reshape(nn, spt)
+    valid = c[..., 0] < 1e16
+    cnt = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    ctr = jnp.sum(jnp.where(valid[..., None], c, 0.0), axis=1) / cnt[:, None]
+    ctr = jnp.where(
+        jnp.any(valid, axis=1)[:, None], ctr, jnp.full_like(ctr, 1e17)
+    )
+    d = jnp.linalg.norm(c - ctr[:, None, :], axis=-1) + r
+    R = jnp.max(jnp.where(valid, d, 0.0), axis=1)
+    return jnp.concatenate([ctr.T, (R * R)[None, :]], axis=0)
 
 
 def _pad_inputs(p, d, t_max, centers, normals, radii, block_b, block_n):
@@ -212,33 +314,48 @@ def _pad_inputs(p, d, t_max, centers, normals, radii, block_b, block_n):
 
 
 def _sphere_operands(centers, normals, radii, spheres, block_n, nn):
-    """Sphere data as ONE [7, nn] f32 array (sx sy sz sR2 ox oy oz rows)
-    fed to the kernels via SMEM scalar prefetch and indexed by the
-    leaf-tile program id. Offset rows are zero for flat leaf tables; the
-    instanced entry points build virtual-block operands instead."""
+    """Sphere data as ONE [7, nn * spt] f32 array (sx sy sz sR2 ox oy oz
+    rows, one column per _SUB-leaf cull sub-block) fed to the kernels
+    via SMEM scalar prefetch and indexed by ``j * spt + k``. Offset rows
+    are zero for flat leaf tables; the instanced entry points build
+    virtual-block operands instead."""
+    sub = min(_SUB, block_n)
+    spt = max(1, block_n // sub)
+    n_sub = nn * spt
     if spheres is None:
-        sc, sr2 = leaf_block_spheres(centers, normals, radii, block_n)
+        sc, sr2 = leaf_block_spheres(centers, normals, radii, sub)
     else:
         sc, sr2 = spheres
-    sc = jnp.pad(sc, ((0, nn - sc.shape[0]), (0, 0)), constant_values=1e17)
-    sr2 = jnp.pad(sr2, (0, nn - sr2.shape[0]), constant_values=0.0)
+    sc = jnp.pad(sc, ((0, n_sub - sc.shape[0]), (0, 0)), constant_values=1e17)
+    sr2 = jnp.pad(sr2, (0, n_sub - sr2.shape[0]), constant_values=0.0)
     return jnp.concatenate(
-        [sc.T, sr2[None, :], jnp.zeros((3, nn), sc.dtype)], axis=0
+        [sc.T, sr2[None, :], jnp.zeros((3, n_sub), sc.dtype)], axis=0
     )
 
 
-def instanced_sphere_operands(canonical_spheres, offsets, nc):
-    """Virtual-block prefetch operand for instanced sweeps: nn = I * nc
-    blocks; block k = (instance k // nc, canonical block k % nc) with
-    sphere = canonical sphere + offset and offset rows carrying the
-    instance translation."""
+def instanced_sphere_operands(canonical_spheres, offsets, nc,
+                              block_n=_BLOCK_N, spt=None):
+    """Virtual-block prefetch operand for instanced sweeps: I * nc * spt
+    sub-sphere columns; tile j = (instance j // nc, canonical block
+    j % nc), its spt sub-spheres at columns j*spt + k, each the
+    canonical sub-sphere translated by the instance offset (offset rows
+    carry the translation). ``spt=1`` (canonical spheres at block
+    granularity) reproduces the single-level round-2 culling."""
+    if spt is None:
+        sub = min(_SUB, block_n)
+        spt = max(1, block_n // sub)
+    nc_sub = nc * spt
     sc, sr2 = canonical_spheres
-    sc = jnp.pad(sc, ((0, nc - sc.shape[0]), (0, 0)), constant_values=1e17)
-    sr2 = jnp.pad(sr2, (0, nc - sr2.shape[0]), constant_values=0.0)
+    sc = jnp.pad(
+        sc, ((0, nc_sub - sc.shape[0]), (0, 0)), constant_values=1e17
+    )
+    sr2 = jnp.pad(sr2, (0, nc_sub - sr2.shape[0]), constant_values=0.0)
     I = offsets.shape[0]
-    centers_v = (sc[None, :, :] + offsets[:, None, :]).reshape(I * nc, 3)
-    sr2_v = jnp.broadcast_to(sr2[None, :], (I, nc)).reshape(I * nc)
-    off_v = jnp.broadcast_to(offsets[:, None, :], (I, nc, 3)).reshape(I * nc, 3)
+    centers_v = (sc[None, :, :] + offsets[:, None, :]).reshape(I * nc_sub, 3)
+    sr2_v = jnp.broadcast_to(sr2[None, :], (I, nc_sub)).reshape(I * nc_sub)
+    off_v = jnp.broadcast_to(
+        offsets[:, None, :], (I, nc_sub, 3)
+    ).reshape(I * nc_sub, 3)
     return jnp.concatenate(
         [centers_v.T, sr2_v[None, :], off_v.T], axis=0
     )
@@ -262,15 +379,19 @@ def ray_leaves_nearest_pallas(
         p, d, t_max, centers, normals, radii, block_b, block_n
     )
     sph = _sphere_operands(centers, normals, radii, spheres, block_n, nn)
+    spt = max(1, block_n // _SUB)
+    csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
-    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j,))
+    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
 
     best_t, bn_x, bn_y, bn_z = pl.pallas_call(
-        _kernel_nearest,
+        functools.partial(
+            _kernel_nearest, spt=spt, sub=min(_SUB, block_n)
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nb, nn),
             in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
             out_specs=(out_spec,) * 4,
@@ -280,7 +401,7 @@ def ray_leaves_nearest_pallas(
         # 1024x1024 blocks; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(sph, *rays, *leaves)
+    )(csph, sph, *rays, *leaves)
 
     best_t = best_t[:B]
     hit = best_t < t_max
@@ -301,15 +422,19 @@ def ray_leaves_occluded_pallas(
         p, d, t_max, centers, normals, radii, block_b, block_n
     )
     sph = _sphere_operands(centers, normals, radii, spheres, block_n, nn)
+    spt = max(1, block_n // _SUB)
+    csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
-    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j,))
+    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
 
     occ = pl.pallas_call(
-        _kernel_occluded,
+        functools.partial(
+            _kernel_occluded, spt=spt, sub=min(_SUB, block_n)
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nb, nn),
             in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
             out_specs=out_spec,
@@ -317,7 +442,7 @@ def ray_leaves_occluded_pallas(
         out_shape=jax.ShapeDtypeStruct((Bp,), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(sph, *rays, *leaves)
+    )(csph, sph, *rays, *leaves)
     return occ[:B] > 0.5
 
 
@@ -331,26 +456,35 @@ def ray_leaves_occluded_pallas(
 
 
 def _instanced_call(kernel, n_out, p, d, t_max, leaves, offsets, spheres,
-                    block_b, block_n, interpret):
+                    block_b, block_n, interpret, sub_cull=False):
     B = p.shape[0]
     centers, normals, radii = leaves
     rays, leaf_ops, nb, nc, Bp = _pad_inputs(
         p, d, t_max, centers, normals, radii, block_b, block_n
     )
     if spheres is None:
+        spheres = leaf_block_spheres(
+            centers, normals, radii, min(_SUB, block_n)
+        )
+    sub = min(_SUB, block_n) if sub_cull else block_n
+    spt = max(1, block_n // sub)
+    if not sub_cull and spheres[0].shape[0] > -(-centers.shape[0] // block_n):
+        # block-level culling requested: tight block spheres directly
+        # from the canonical leaves (tighter than merging fine spheres)
         spheres = leaf_block_spheres(centers, normals, radii, block_n)
-    sph = instanced_sphere_operands(spheres, offsets, nc)
+    sph = instanced_sphere_operands(spheres, offsets, nc, block_n if sub_cull else None, spt=spt)
     I = offsets.shape[0]
     nn = I * nc
+    csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
-    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j % nc,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j % nc,))
+    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
 
     out = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, spt=spt, sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(nb, nn),
             in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
             out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
@@ -362,7 +496,7 @@ def _instanced_call(kernel, n_out, p, d, t_max, leaves, offsets, spheres,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(sph, *rays, *leaf_ops)
+    )(csph, sph, *rays, *leaf_ops)
     return out, B
 
 
