@@ -147,6 +147,16 @@ def postprocess_measure(
     w = np.asarray(spectral_ctx["w"], dtype=np.float64)
 
     var = moment2_to_variance(radiance, m2, spp)
+
+    # reconstruction-filter film assembly (perspective rfilter stack):
+    # fold the oversampled sub-pixel grid down to film_shape with the
+    # kernel weights (variance with squared weights) BEFORE any other
+    # post-processing — the filter is linear so ordering vs CKD
+    # aggregation is immaterial, but coords/sizes below assume N pixels
+    if getattr(measure, "rfilter", "box") != "box":
+        radiance, var = measure.assemble_film(radiance, var)
+        m2 = var * spp + radiance**2  # filtered-consistent second moment
+
     irr = extract_irradiance(illumination, w)
 
     # CKD: aggregate g nodes into bins
@@ -228,6 +238,10 @@ def postprocess_measure(
     # ``experiments/_core.py:714-744``)
     if "stokes" in raw:
         stokes = np.asarray(raw["stokes"], dtype=np.float64)
+        if getattr(measure, "rfilter", "box") != "box":
+            stokes = np.moveaxis(
+                measure.assemble_film(np.moveaxis(stokes, -1, 1)), 1, -1
+            )
         if mode.is_ckd:
             stokes = aggregate_ckd_quad(
                 stokes, spectral_ctx["bin_index"], spectral_ctx["g_weights"],

@@ -406,9 +406,16 @@ class PerspectiveCameraMeasure(Measure):
 
     Positioned by ``origin``/``target``/``up`` look-at vectors with a field
     of view ``fov`` (degrees) applied along the film **width** axis (Mitsuba
-    ``fov_axis='x'`` default). Each film pixel is an independent radiometer
-    whose ray starts at the camera origin through the pixel center — the
-    box-reconstruction special case of the reference's film/rfilter stack.
+    ``fov_axis='x'`` default).
+
+    Reconstruction filters (the reference's film/rfilter stack,
+    ``scenes/measure/_core.py:156-168``): ``rfilter='box'`` (default)
+    shoots one radiometer ray per pixel center; ``'tent'`` (radius 1) and
+    ``'gaussian'`` (sigma 0.5, radius 2 — the Mitsuba defaults) render an
+    ``rfilter_oversample``x finer stratified sub-pixel grid and assemble
+    the film by kernel-weighted downsampling — the deterministic
+    stratified form of Mitsuba's jittered-sample splatting, which fits
+    the wavefront engine's fixed (pixel, sample) lane partition.
 
     ``far_clip`` is structurally unnecessary here: the analytic tracers
     terminate rays on scene exit rather than on a clip plane.
@@ -419,6 +426,8 @@ class PerspectiveCameraMeasure(Measure):
     target: np.ndarray = attrs.field(factory=lambda: np.zeros(3))
     up: np.ndarray = attrs.field(factory=lambda: np.array([0.0, 0.0, 1.0]))
     fov: float = 50.0
+    rfilter: str = "box"
+    rfilter_oversample: int = 2
 
     def __attrs_post_init__(self):
         self.origin = np.asarray(
@@ -441,6 +450,14 @@ class PerspectiveCameraMeasure(Measure):
                 f"direction, got up = {self.up}, direction = "
                 f"{self.target - self.origin}"
             )
+        if self.rfilter not in ("box", "tent", "gaussian"):
+            raise ValueError(
+                f"unknown rfilter '{self.rfilter}'; "
+                "available: box, tent, gaussian"
+            )
+        self.rfilter_oversample = int(self.rfilter_oversample)
+        if self.rfilter != "box" and self.rfilter_oversample < 2:
+            raise ValueError("rfilter_oversample must be >= 2 for non-box")
 
     @property
     def film_shape(self) -> tuple:
@@ -455,17 +472,14 @@ class PerspectiveCameraMeasure(Measure):
     def ray_offset(self) -> float:
         return 0.0
 
-    def sensor_directions(self) -> np.ndarray:
-        """[W*H, 3] unit vectors from the scene toward the camera, row-major
-        over film pixels ((x fastest) to match ``film_shape = (W, H)``)."""
-        nx, ny = self.film_resolution
+    def _grid_directions(self, nx, ny) -> np.ndarray:
         fwd = self.target - self.origin
         fwd = fwd / np.linalg.norm(fwd)
         right = np.cross(fwd, self.up)
         right = right / np.linalg.norm(right)
         upv = np.cross(right, fwd)
         half_w = np.tan(np.deg2rad(self.fov) / 2.0)
-        half_h = half_w * ny / nx
+        half_h = half_w * self.film_resolution[1] / self.film_resolution[0]
         # pixel centers; +y up on the image plane
         xs = (np.arange(nx) + 0.5) / nx * 2.0 - 1.0
         ys = 1.0 - (np.arange(ny) + 0.5) / ny * 2.0
@@ -478,9 +492,90 @@ class PerspectiveCameraMeasure(Measure):
         d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         return -d  # toward the sensor
 
+    def sensor_directions(self) -> np.ndarray:
+        """Unit vectors from the scene toward the camera, x-fastest over
+        the (possibly rfilter-oversampled) sub-pixel grid; non-box
+        filters trace ``rfilter_oversample^2`` stratified rays per pixel
+        and :meth:`assemble_film` folds them back to ``film_shape``."""
+        nx, ny = self.film_resolution
+        if self.rfilter == "box":
+            return self._grid_directions(nx, ny)
+        os_ = self.rfilter_oversample
+        return self._grid_directions(nx * os_, ny * os_)
+
     @property
     def viewing_angles(self) -> np.ndarray:
-        return np.rad2deg(direction_to_angles(self.sensor_directions()))
+        nx, ny = self.film_resolution
+        return np.rad2deg(direction_to_angles(self._grid_directions(nx, ny)))
+
+    def _filter_taps(self):
+        """(offsets, weights): kernel taps on the oversampled grid, in
+        output-pixel units relative to the output pixel center."""
+        os_ = self.rfilter_oversample
+        if self.rfilter == "tent":
+            radius = 1.0
+
+            def kern(r):
+                return np.maximum(1.0 - np.abs(r), 0.0)
+        else:  # gaussian (Mitsuba defaults: sigma 0.5, radius 2)
+            radius, sigma = 2.0, 0.5
+
+            def kern(r):
+                g = np.exp(-0.5 * (r / sigma) ** 2)
+                return np.maximum(g - np.exp(-0.5 * (radius / sigma) ** 2), 0.0)
+
+        half = int(np.ceil(radius * os_))
+        taps = np.arange(-half, half + 1)
+        # tap t addresses sub-sample (os-1)//2 + t within the output
+        # pixel's os-wide stratum; that sub-sample's center sits at
+        # ((os-1)//2 + t + 0.5)/os - 0.5 output-pixel units from the
+        # output pixel center
+        r = ((os_ - 1) // 2 + taps + 0.5) / os_ - 0.5
+        w = kern(r)
+        keep = w > 0
+        return taps[keep], w[keep]
+
+    def assemble_film(self, *fields):
+        """Kernel-weighted downsampling of oversampled film fields.
+
+        ``fields``: arrays [..., N_over] (x-fastest raveled film). The
+        FIRST field is averaged with weights w; any further fields are
+        treated as per-sample variances (weights w^2, same
+        normalization squared). Returns the tuple of [..., W*H] arrays.
+        No-op for the box filter.
+        """
+        if self.rfilter == "box":
+            return fields if len(fields) > 1 else fields[0]
+        nx, ny = self.film_resolution
+        os_ = self.rfilter_oversample
+        taps, w = self._filter_taps()
+
+        def down(img, sq):
+            shp = img.shape[:-1]
+            a = img.reshape(shp + (nx * os_, ny * os_))
+            out = np.zeros(shp + (nx, ny), dtype=img.dtype)
+            norm = 0.0
+            # output pixel (i, j) pools sub-samples at
+            # (i*os + (os-1)/2 + tap) in each axis, clamped at the border
+            base_x = np.arange(nx) * os_ + (os_ - 1) // 2
+            base_y = np.arange(ny) * os_ + (os_ - 1) // 2
+            for tx, wx in zip(taps, w):
+                ix = np.clip(base_x + tx, 0, nx * os_ - 1)
+                for ty, wy in zip(taps, w):
+                    iy = np.clip(base_y + ty, 0, ny * os_ - 1)
+                    # variance of a w-weighted mean: w^2 numerator
+                    # weights over the SQUARED linear normalization
+                    wgt = (wx * wy) ** 2 if sq else wx * wy
+                    out += wgt * a[..., ix[:, None], iy[None, :]]
+                    norm += wx * wy
+            return (out / (norm**2 if sq else norm)).reshape(
+                shp + (nx * ny,)
+            )
+
+        outs = [down(np.asarray(fields[0]), sq=False)]
+        for f in fields[1:]:
+            outs.append(down(np.asarray(f), sq=True))
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
 
 @measure_factory.register("radiancemeter")
