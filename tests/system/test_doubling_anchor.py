@@ -106,8 +106,8 @@ class TestDoublingSelfChecks:
         np.testing.assert_allclose(S1[:, 2], -S2[:, 2], rtol=1e-12)
 
 
-def _mc_stokes(reflectance, vza_deg, vaa_deg, spp=65536, seed=7):
-    """Engine MC Stokes for the TAU Rayleigh slab (depol 0, E0 = 1)."""
+def _mc_stokes(reflectance, vza_deg, vaa_deg, spp=65536, seed=7, depol=0.0):
+    """Engine MC Stokes for the TAU Rayleigh slab (E0 = 1)."""
     import jax.numpy as jnp
 
     from eradiate_tpu.ops.scene_state import SensorArrays
@@ -121,6 +121,7 @@ def _mc_stokes(reflectance, vza_deg, vaa_deg, spp=65536, seed=7):
         sza_deg=SZA,
         n_layers=10,
         top=100.0,
+        depol=depol,
     )
     angles = np.stack(
         [np.deg2rad(vza_deg), np.deg2rad(vaa_deg)], axis=-1
@@ -151,18 +152,21 @@ class TestPolarizedTracerVsDoubling:
     GEOMS = [(15.0, 0.0), (45.0, 0.0), (60.0, 0.0), (30.0, 60.0),
              (45.0, 120.0), (60.0, 240.0)]
 
-    @pytest.mark.parametrize("reflectance", [0.0, 0.3])
-    def test_stokes_match(self, reflectance):
+    @pytest.mark.parametrize("reflectance,depol", [
+        (0.0, 0.0), (0.3, 0.0), (0.3, 0.0279),  # 0.0279 = air depol
+    ])
+    def test_stokes_match(self, reflectance, depol):
         vzas = np.array([g[0] for g in self.GEOMS])
         vaas = np.array([g[1] for g in self.GEOMS])
-        st, sigma_I = _mc_stokes(reflectance, vzas, vaas)
+        st, sigma_I = _mc_stokes(reflectance, vzas, vaas, depol=depol)
 
         mus = np.cos(np.deg2rad(vzas))
         # engine sun propagates toward azimuth 180 deg; solver's dphi is
         # the view azimuth relative to the sun's horizontal propagation
         dphis = np.deg2rad(vaas) - np.pi
         S = rayleigh_stokes_toa(
-            TAU, MU0, mus, dphis, albedo=reflectance, omega=1.0, n_mu=48
+            TAU, MU0, mus, dphis, albedo=reflectance, omega=1.0,
+            depol=depol, n_mu=48,
         )
 
         # radiance I: 4 sigma of the MC plus solver truncation margin
