@@ -302,16 +302,16 @@ class TestTwoLayerTransmittanceColumn:
 
 
 class TestF32NoiseFloor:
-    def test_quantified_vs_f64_at_high_spp(self):
-        """Quantify the f32-path accumulation floor against an x64 run at
-        spp 1e5: the deterministic Lambertian scene must agree to <1e-5
-        relative — the regime where the reference warns about single
+    def test_quantified_vs_analytic_at_high_spp(self):
+        """Quantify the f32-path accumulation floor at spp ~1e5 against
+        the ANALYTIC value (0.5 exactly — sharper than any x64 run could
+        be, since the deterministic Lambertian scene makes every sample
+        identical, so any deviation is pure accumulation error): <1e-5
+        relative, the regime where the reference warns about single
         precision (scenes/measure/_core.py:177-184)."""
         scene = make_scene(sigma_t=0.0, reflectance=0.5, sza_deg=30.0)
         sensor = make_sensor(np.array([0.0, 30.0]))
         r32 = render(scene, sensor, SceneConfig(), spp=131072, seed=0)
         brf32 = np.asarray(r32["radiance"]) * np.pi / np.cos(np.deg2rad(30.0))
-        # deterministic scene: every sample identical, so any deviation is
-        # pure accumulation error
         err = np.max(np.abs(brf32 - 0.5))
         assert err < 1e-5, f"f32 accumulation floor {err:.2e} exceeds 1e-5"
