@@ -137,6 +137,38 @@ def compare(a: str | None, b: str | None, threshold: float) -> int:
     return status
 
 
+def history(metric: str | None) -> None:
+    """Per-metric time series across every recorded run (ASV-style
+    history view): one line per run with revision, value, and the ratio
+    to the best value seen so far."""
+    allr = _load_all()
+    keys = set()
+    for _, e in allr:
+        r = e["result"]
+        keys.add("headline")
+        keys.update(k for k, v in (r.get("configs") or {}).items() if v)
+    if metric is None:
+        print("metrics:", " ".join(sorted(keys)))
+        return
+    best = 0.0
+    for name, e in allr:
+        r = e["result"]
+        v = (
+            r.get("value")
+            if metric == "headline"
+            else (r.get("configs") or {}).get(metric)
+        )
+        if v is None:
+            print(f"{name}  rev={e['revision']}  (absent)")
+            continue
+        best = max(best, float(v))
+        bar = "#" * int(40 * float(v) / best) if best else ""
+        print(
+            f"{name}  rev={e['revision']}  {float(v):14.1f}  "
+            f"{float(v) / best:5.3f}x-best  {bar}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -147,11 +179,18 @@ def main():
     cmp_.add_argument("a", nargs="?", default=None)
     cmp_.add_argument("b", nargs="?", default=None)
     cmp_.add_argument("--threshold", type=float, default=0.9)
+    hist = sub.add_parser("history")
+    hist.add_argument(
+        "metric", nargs="?", default=None,
+        help="config key or 'headline'; omit to list available metrics",
+    )
     args = ap.parse_args()
     if args.cmd == "record":
         record(args.source)
     elif args.cmd == "list":
         list_results()
+    elif args.cmd == "history":
+        history(args.metric)
     else:
         raise SystemExit(compare(args.a, args.b, args.threshold))
 
