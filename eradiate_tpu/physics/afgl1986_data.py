@@ -53,6 +53,7 @@ __all__ = [
     "AFGL_H2O_PPMV",
     "AFGL_O3_PPMV",
     "AFGL_MINOR_PPMV",
+    "AFGL_UV_TRACE_PPMV",
 ]
 
 #: Standard AFGL altitude grid [km]: 0..25 by 1, 27.5..50 by 2.5, 55..120 by 5
@@ -303,7 +304,68 @@ AFGL_MINOR_PPMV = {
     "N2": np.array([7.8084e5] * 50),
 }
 
+#: UV-relevant trace species [ppmv] at AFGL_Z_KM. LOWER-FIDELITY TIER
+#: than AFGL_MINOR_PPMV (see module docstring): these are *approximated
+#: profile shapes* — surface values, tropospheric gradients and
+#: stratospheric peak altitudes consistent with the AFGL-era literature
+#: and with typical measured columns (NO2 ~3e15 cm^-2 stratospheric,
+#: HNO3 ~1.5e16 cm^-2, SO2 background <1e15 cm^-2) — NOT per-level
+#: transcriptions of AFGL-TR-86-0110 Table 2 (not available in this
+#: offline environment). They extend joseki-style species coverage for
+#: UV products (reference: ``_molecular.py:80-84``); users with the
+#: published tables load them via ``ThermoProfile.from_arrays``.
+AFGL_UV_TRACE_PPMV = {
+    # tropospheric ~3e-4, minimum near the tropopause, stratospheric
+    # rise to ~1e-2 near 40 km, thermospheric increase above 90 km
+    "NO": np.array([
+        *np.full(11, 3.0e-4),
+        2.5e-4, 2.0e-4, 1.6e-4, 1.3e-4, 1.1e-4, 1.0e-4, 1.0e-4, 1.1e-4,
+        1.3e-4, 1.6e-4, 2.2e-4, 3.0e-4, 4.5e-4, 6.5e-4, 9.0e-4,
+        1.5e-3, 2.4e-3, 3.5e-3, 4.8e-3, 6.2e-3, 7.5e-3, 8.7e-3, 9.6e-3,
+        1.0e-2, 1.0e-2,
+        9.0e-3, 7.0e-3, 5.0e-3, 3.5e-3, 2.5e-3, 2.0e-3, 2.0e-3, 3.0e-3,
+        8.0e-3, 3.0e-2, 1.2e-1, 4.0e-1, 1.0e0, 2.0e0,
+    ]),
+    # boundary-layer maximum, free-troposphere minimum, stratospheric
+    # layer peaking near 30 km
+    "NO2": np.array([
+        2.3e-5, 1.8e-5, 1.4e-5, 1.1e-5, 9.0e-6, 7.8e-6, 7.0e-6, 6.5e-6,
+        6.2e-6, 6.1e-6, 6.1e-6, 6.2e-6, 6.6e-6, 7.5e-6, 9.0e-6, 1.2e-5,
+        1.9e-5, 3.0e-5, 5.0e-5, 8.0e-5, 1.3e-4, 2.1e-4, 3.2e-4, 4.5e-4,
+        6.1e-4, 8.0e-4,
+        1.3e-3, 1.9e-3, 2.5e-3, 2.9e-3, 3.0e-3, 2.7e-3, 2.2e-3, 1.6e-3,
+        1.1e-3, 7.0e-4,
+        3.0e-4, 1.2e-4, 5.0e-5, 2.5e-5, 1.5e-5, 1.0e-5, 8.0e-6, 7.0e-6,
+        7.0e-6, 8.0e-6, 1.0e-5, 1.5e-5, 2.5e-5, 4.0e-5,
+    ]),
+    # reservoir species: sharp stratospheric layer peaking ~22-25 km
+    "HNO3": np.array([
+        5.0e-5, 5.0e-5, 5.1e-5, 5.2e-5, 5.4e-5, 5.6e-5, 6.0e-5, 6.6e-5,
+        7.6e-5, 9.2e-5, 1.2e-4, 1.7e-4, 2.6e-4, 4.0e-4, 6.2e-4, 9.4e-4,
+        1.4e-3, 1.9e-3, 2.5e-3, 3.2e-3, 3.8e-3, 4.4e-3, 4.8e-3, 5.0e-3,
+        5.0e-3, 4.8e-3,
+        4.0e-3, 3.0e-3, 2.1e-3, 1.4e-3, 8.5e-4, 5.0e-4, 2.8e-4, 1.5e-4,
+        8.0e-5, 4.0e-5,
+        1.2e-5, 4.0e-6, 1.5e-6, 6.0e-7, 3.0e-7, 2.0e-7, 1.5e-7, 1.2e-7,
+        1.0e-7, 1.0e-7, 1.0e-7, 1.0e-7, 1.0e-7, 1.0e-7,
+    ]),
+    # background (non-volcanic): decays from the boundary layer; slight
+    # persistence in the lower-stratospheric aerosol region
+    "SO2": np.array([
+        3.0e-4, 2.2e-4, 1.5e-4, 1.0e-4, 7.0e-5, 5.2e-5, 4.0e-5, 3.2e-5,
+        2.7e-5, 2.4e-5, 2.2e-5, 2.1e-5, 2.0e-5, 2.0e-5, 2.0e-5, 2.0e-5,
+        2.0e-5, 2.1e-5, 2.1e-5, 2.2e-5, 2.2e-5, 2.1e-5, 2.0e-5, 1.9e-5,
+        1.8e-5, 1.7e-5,
+        1.4e-5, 1.1e-5, 8.0e-6, 5.5e-6, 3.5e-6, 2.2e-6, 1.4e-6, 8.0e-7,
+        5.0e-7, 3.0e-7,
+        1.2e-7, 5.0e-8, 2.5e-8, 1.5e-8, 1.0e-8, 8.0e-9, 6.0e-9, 5.0e-9,
+        5.0e-9, 5.0e-9, 5.0e-9, 5.0e-9, 5.0e-9, 5.0e-9,
+    ]),
+}
+
 for _name, _tab in AFGL_MINOR_PPMV.items():
+    assert _tab.size == 50, _name
+for _name, _tab in AFGL_UV_TRACE_PPMV.items():
     assert _tab.size == 50, _name
 for _tabs in (AFGL_H2O_PPMV, AFGL_O3_PPMV):
     for _name, _tab in _tabs.items():

@@ -162,3 +162,64 @@ def test_absorption_interpolator_consumes_species_axes():
     got = db.eval_sigma_a(550.0, prof)[0]
     want = 1e3 * prof.x["CH4"]
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestUVTraceSpecies:
+    """NO/NO2/SO2/HNO3 extension tier (approximated shapes; the module
+    docstring marks them as NOT transcribed — these tests pin the
+    structural facts the approximation is built on and the column
+    magnitudes against typical measured values)."""
+
+    def test_present_in_profiles(self):
+        from eradiate_tpu.physics.thermoprops import afgl_1986
+
+        prof = afgl_1986("us_standard")
+        for sp in ("NO", "NO2", "SO2", "HNO3"):
+            assert sp in prof.x
+            assert prof.x[sp].shape == prof.z.shape
+            assert np.all(prof.x[sp] > 0)
+
+    def test_no2_stratospheric_layer(self):
+        from eradiate_tpu.physics.afgl1986_data import (
+            AFGL_UV_TRACE_PPMV,
+            AFGL_Z_KM,
+        )
+
+        x = AFGL_UV_TRACE_PPMV["NO2"]
+        z_peak = AFGL_Z_KM[np.argmax(x)]
+        assert 25.0 <= z_peak <= 38.0
+        # boundary-layer secondary maximum exceeds the free troposphere
+        assert x[0] > x[8]
+
+    def test_hno3_layer_below_no2(self):
+        from eradiate_tpu.physics.afgl1986_data import (
+            AFGL_UV_TRACE_PPMV,
+            AFGL_Z_KM,
+        )
+
+        z_hno3 = AFGL_Z_KM[np.argmax(AFGL_UV_TRACE_PPMV["HNO3"])]
+        z_no2 = AFGL_Z_KM[np.argmax(AFGL_UV_TRACE_PPMV["NO2"])]
+        assert z_hno3 < z_no2
+        assert 18.0 <= z_hno3 <= 27.0
+
+    def test_columns_in_measured_ranges(self):
+        """Vertical columns [molec cm^-2] against typical mid-latitude
+        background magnitudes: NO2 1-10e15, HNO3 0.5-4e16, SO2 <2e15."""
+        from eradiate_tpu.physics.thermoprops import afgl_1986
+
+        prof = afgl_1986("us_standard")
+        n_cm3 = prof.n / 1e9 / 1e6  # km^-3 -> m^-3 -> cm^-3
+
+        def col(sp):
+            return np.trapezoid(prof.x[sp] * n_cm3, prof.z * 1e5)
+
+        assert 1e15 < col("NO2") < 1e16
+        assert 5e15 < col("HNO3") < 4e16
+        assert col("SO2") < 2e15
+
+    def test_so2_decays_with_altitude(self):
+        from eradiate_tpu.physics.afgl1986_data import AFGL_UV_TRACE_PPMV
+
+        x = AFGL_UV_TRACE_PPMV["SO2"]
+        assert x[0] == x.max()
+        assert x[30] < 1e-5  # negligible in the upper stratosphere
