@@ -167,6 +167,20 @@ class EarthObservationExperiment(Experiment):
             n_done = 0
             if checkpoint is not None:
                 raws, n_done = checkpoint.load(measure.id, n, ctx["w"])
+                import jax as _jax
+
+                if _jax.process_count() > 1:
+                    # hosts killed mid-loop may have persisted fewer
+                    # chunks than survivors; resume from the MINIMUM so
+                    # every process enters the sharded render for the
+                    # same chunk (otherwise the collectives deadlock)
+                    from jax.experimental import multihost_utils as _mhu
+
+                    n_all = _np.asarray(
+                        _mhu.process_allgather(_np.int64(n_done))
+                    )
+                    n_done = int(n_all.min())
+                    raws = raws[:n_done]
             t0 = time.perf_counter()
             n_paths_pix = 0
             for ci, sub_ctx in enumerate(self._chunk_spectral_ctx(ctx)):
