@@ -55,6 +55,8 @@ class TestSummaryContract:
     def test_incremental_lines_and_final_completeness(self):
         rc, out, err = _run_bench_stub(
             "bench._experiment_rate = lambda *a, **k: 123.0\n"
+            "bench._experiment_rate_noise = "
+            "lambda *a, **k: {'samples_per_s': 99.0, 'wall_s': 1.0}\n"
             "bench.cpu_reference_rate = lambda timeout: 10.0\n"
         )
         assert rc == 0, err[-1000:]
@@ -66,6 +68,14 @@ class TestSummaryContract:
         assert all(v is None for v in first["configs"].values())
         assert last["note"] == "complete"
         assert all(v == 123.0 for v in last["configs"].values())
+        # fixed-noise mode results ride along for c1/c2
+        assert set(last["noise_target"]) == {
+            "c1_rayleigh_lambert",
+            "c2_rpv_continental",
+        }
+        assert last["noise_target"]["c1_rayleigh_lambert"][
+            "samples_per_s"
+        ] == 99.0
         # every intermediate line is itself a valid full summary
         for p in parsed:
             assert set(p) >= {"metric", "value", "unit", "vs_baseline",
@@ -80,6 +90,7 @@ class TestSummaryContract:
             "        raise RuntimeError('boom')\n"
             "    return 55.0\n"
             "bench._experiment_rate = rate\n"
+            "bench._experiment_rate_noise = lambda *a, **k: {}\n"
             "bench.cpu_reference_rate = lambda timeout: None\n"
         )
         assert rc == 0, err[-1000:]
