@@ -141,17 +141,61 @@ class AtmosphereExperiment(EarthObservationExperiment):
             params = ({"depol": np.zeros((S, L))},)
             weights = np.ones((S, 1, L))
 
-        phase_params_dev = tuple(
-            {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()} for p in params
-        )
         spherical = self.geometry.kind == "spherical_shell"
         if spherical:
             from ..ops.tracer_spherical import SphericalMediumArrays
+            from ..physics.shell_merge import (
+                adaptive_shell_groups,
+                merge_layer_mean,
+                merge_layer_weighted,
+            )
+
+            levels = zgrid.levels
+            tol = getattr(self.geometry, "shell_merge_tol", None)
+            groups = adaptive_shell_groups(
+                levels, sigma_t, self.geometry.planet_radius, tol or 0.0
+            )
+            if groups.size - 1 < np.asarray(sigma_t).shape[-1]:
+                # error-bounded merge: vertical tau exact, worst-case
+                # tangent slant-tau error <= tol per group (shell_merge.py)
+                dz = np.diff(levels)
+                sigma_np = np.asarray(sigma_t, dtype=np.float64)
+                # albedo merges under extinction-depth weights (sigma dz)
+                # so sigma_m * albedo_m * dz_m preserves the vertical
+                # scattering depth exactly; phase quantities merge under
+                # scattering-depth weights (sigma albedo dz)
+                w_ext = sigma_np * dz
+                w_scat = w_ext * np.asarray(albedo, dtype=np.float64)
+                sigma_t_m = merge_layer_mean(sigma_np, groups, dz)
+                albedo = merge_layer_weighted(albedo, groups, w_ext)
+                weights = merge_layer_weighted(weights, groups, w_scat[:, None, :])
+                L_m = groups.size - 1
+                params = tuple(
+                    {
+                        k: (
+                            merge_layer_weighted(v, groups, w_scat)
+                            if (
+                                np.ndim(v) >= 1
+                                and np.shape(v)[-1] == L
+                                and np.shape(v)[-1] != L_m
+                            )
+                            else v
+                        )
+                        for k, v in p.items()
+                    }
+                    for p in params
+                )
+                levels = levels[groups]
+                sigma_t = sigma_t_m
 
             radii = jnp.asarray(
-                self.geometry.planet_radius + zgrid.levels, dtype=dtype
+                self.geometry.planet_radius + levels, dtype=dtype
             )
             sig = jnp.asarray(sigma_t, dtype=dtype)
+            phase_params_dev = tuple(
+                {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
+                for p in params
+            )
             # sun transmittance is computed in closed form per event
             # (ops/spherical.slant_tau_exact) — no precomputed slant table
             medium = SphericalMediumArrays(
@@ -168,6 +212,10 @@ class AtmosphereExperiment(EarthObservationExperiment):
             # host-side cumulative tau: under a remote-device tunnel every
             # eager op is a round trip, so scene compilation stays numpy
             # and ships to the device in one transfer per leaf
+            phase_params_dev = tuple(
+                {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
+                for p in params
+            )
             dz = np.diff(zgrid.levels)
             tau_np = np.concatenate(
                 [

@@ -77,9 +77,22 @@ class PlaneParallelGeometry(SceneGeometry):
 @geometry_factory.register("spherical_shell")
 @attrs.define(eq=False, slots=False)
 class SphericalShellGeometry(SceneGeometry):
-    """Spherical-shell atmosphere (``geometry.py:216-265``)."""
+    """Spherical-shell atmosphere (``geometry.py:216-265``).
+
+    ``shell_merge_tol`` bounds the worst-case tangent-ray optical-depth
+    error of the error-bounded adaptive shell merge
+    (:mod:`eradiate_tpu.physics.shell_merge`): the tracer's per-event
+    cost is O(L) in the shell count, and most of the default 1200 shells
+    carry near-constant extinction. Set to 0 (or ``None``) to trace the
+    raw altitude grid. The grid itself stays a user-settable model
+    parameter, mirroring the reference (``geometry.py:22-97``).
+    """
 
     planet_radius: float = EARTH_RADIUS_KM
+    #: worst-case per-group slant optical-depth error of the adaptive
+    #: shell merge; 0/None disables (default tuned in
+    #: ``docs/developer_guide/performance.md``)
+    shell_merge_tol: float | None = 1e-3
 
     def __attrs_post_init__(self):
         super().__attrs_post_init__()
