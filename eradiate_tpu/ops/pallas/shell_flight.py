@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shell_flight_pallas", "slant_tau_pallas"]
+__all__ = ["shell_event_pallas", "shell_flight_pallas", "slant_tau_pallas"]
 
 _BLOCK_B = 1024
 #: Sentinel for ground-blocked slant paths; matches ops.spherical.TAU_BLOCKED
@@ -100,31 +100,43 @@ def _prefix_blocked(c):
     return jnp.concatenate(parts, axis=1)
 
 
-def _kernel_flight(
-    x0, b2, tmax, tau_s,
-    r2_lo, r2_hi, sigma,
-    collide, t_col, layer,
-    *, n_levels: int, exit_clipped: bool,
+def _colr(ref):
+    """Lane-scalar ref -> [TB, 1] column array. 1D T(1024)-laid-out
+    operands need a relayout here (the round-4 measured W-independent
+    per-call cost); 2D (block_b, 1) operands arrive in column layout and
+    broadcast against [TB, W] natively."""
+    v = ref[:]
+    return v if v.ndim == 2 else v[:, None]
+
+
+def _store(ref, col_val):
+    """Store a [TB, 1] column into a lane-scalar output ref."""
+    ref[:] = col_val if len(ref.shape) == 2 else col_val[:, 0]
+
+
+def _flight_core(
+    x0c, b2c, tmaxc, tausc, lo, hi, sig, *, n_levels, exit_clipped
 ):
+    """Exact shell free flight on [TB, 1] lane columns.
+
+    Returns (collide, t_col, layer) as [TB, 1] columns. All lane-scalar
+    intermediates stay in column layout end to end — reductions use
+    ``keepdims`` — so no 1D<->column relayouts occur inside the body.
+    """
     Lp1 = n_levels  # real levels (<= padded width)
     L = Lp1 - 1
-    x0v = x0[:]
-    b2v = b2[:]
-    b2e = b2v[:, None]
-    lo = r2_lo[:][None, :]
-    hi = r2_hi[:][None, :]
     # ONE sqrt pass [TB, W], as x*rsqrt(x) (hardware rsqrt is cheaper than
     # sqrt; the 1e-30 floor maps x = 0 to ~1e-15, well under level spacing)
-    arg = jnp.maximum(lo - b2e, 1e-30)
+    arg = jnp.maximum(lo - b2c, 1e-30)
     X = arg * jax.lax.rsqrt(arg)
     # X_{k+1} by circular left-shift (shift W-1 == -1); the wrapped last
     # column only ever multiplies sigma = 0 (sigma has <= W-1 real shells)
     X_hi = pltpu.roll(X, X.shape[1] - 1, axis=1)
     # c_k = sigma_k * (X_{k+1} - X_k) in the cancellation-stable
     # difference-of-squares form (tangent-clipped numerator)
-    num = jnp.maximum(hi - jnp.maximum(lo, b2e), 0.0)
+    num = jnp.maximum(hi - jnp.maximum(lo, b2c), 0.0)
     dX = num * _recip(jnp.maximum(X + X_hi, 1e-30))
-    c = sigma[:][None, :] * dX
+    c = sig * dX
     G = _prefix_blocked(c)  # [TB, Lpad]; G_0 = 0
 
     def g_at(y):
@@ -137,8 +149,8 @@ def _kernel_flight(
         # past the top level, where G_at extrapolates with the top
         # shell's sigma — benign because callers clip t_max at the
         # atmosphere exit, so y never meaningfully exceeds X_top.
-        frac = jnp.minimum(jnp.maximum(y[:, None] - X, 0.0), dX)
-        return jnp.sum(sigma[:][None, :] * frac, axis=1)
+        frac = jnp.minimum(jnp.maximum(y - X, 0.0), dX)
+        return jnp.sum(sig * frac, axis=1, keepdims=True)
 
     def g_inv(v):
         # inverse of g_at in the same closed accumulation form: shell l
@@ -148,46 +160,63 @@ def _kernel_flight(
         # "collisions never land in zero-extinction layers" semantics);
         # the bracketing index still needs one count reduction (padded
         # columns hold G = S > v, so they never count)
-        below = G <= v[:, None]
-        k = jnp.clip(jnp.sum(below.astype(jnp.int32), axis=1) - 1, 0, L - 1)
+        below = G <= v
+        k = jnp.clip(
+            jnp.sum(below.astype(jnp.int32), axis=1, keepdims=True) - 1,
+            0,
+            L - 1,
+        )
         frac = jnp.minimum(
-            jnp.maximum((v[:, None] - G) * _recip(jnp.maximum(c, 1e-30)), 0.0),
+            jnp.maximum((v - G) * _recip(jnp.maximum(c, 1e-30)), 0.0),
             1.0,
         )
         # anchor at the axial coordinate of level 0: the clamped dX sum
         # telescopes from the tangent point (X = 0) OR from ground level
         # when the tangent lies below ground (X[:, 0] > 0)
-        y = X[:, 0] + jnp.sum(dX * frac, axis=1)
+        y = X[:, 0:1] + jnp.sum(dX * frac, axis=1, keepdims=True)
         return y, k
 
-    desc = x0v < 0.0
-    A = g_at(jnp.abs(x0v))
-    x_max = x0v + tmax[:]
+    desc = x0c < 0.0
+    A = g_at(jnp.abs(x0c))
+    x_max = x0c + tmaxc
     if exit_clipped:
         # tracer contract: t_max is the boundary exit (ground or TOA), so
         # the endpoint's g value is either 0 (ground hit: |x_max| =
         # X[:, 0]) or the full column depth S (TOA exit: |x_max| = X_top)
-        # — no second g_at sweep needed.  (One reduction, not a G column
-        # read: Mosaic rejects lane slices at unaligned offsets.)
-        S = jnp.sum(c, axis=1)
+        # — no second g_at sweep needed.
+        S = jnp.sum(c, axis=1, keepdims=True)
         Gm = jnp.where(x_max < 0.0, 0.0, S)
     else:
         Gm = g_at(jnp.abs(x_max))
     tau_max = jnp.where(
         desc, jnp.where(x_max < 0.0, A - Gm, A + Gm), Gm - A
     )
-    col = tau_s[:] < jnp.maximum(tau_max, 0.0)
+    col = tausc < jnp.maximum(tau_max, 0.0)
 
-    on_desc = desc & (tau_s[:] < A)
-    v = jnp.where(
-        on_desc, A - tau_s[:], jnp.where(desc, tau_s[:] - A, A + tau_s[:])
-    )
+    on_desc = desc & (tausc < A)
+    v = jnp.where(on_desc, A - tausc, jnp.where(desc, tausc - A, A + tausc))
     y, k = g_inv(v)
     x_c = jnp.where(on_desc, -y, y)
+    t = jnp.clip(x_c - x0c, 0.0, tmaxc)
+    return col, t, k
 
-    collide[:] = col.astype(collide.dtype)
-    t_col[:] = jnp.clip(x_c - x0v, 0.0, tmax[:])
-    layer[:] = k
+
+def _kernel_flight(
+    x0, b2, tmax, tau_s,
+    r2_lo, r2_hi, sigma,
+    collide, t_col, layer,
+    *, n_levels: int, exit_clipped: bool,
+):
+    lo = r2_lo[:][None, :]
+    hi = r2_hi[:][None, :]
+    sig = sigma[:][None, :]
+    col, t, k = _flight_core(
+        _colr(x0), _colr(b2), _colr(tmax), _colr(tau_s), lo, hi, sig,
+        n_levels=n_levels, exit_clipped=exit_clipped,
+    )
+    _store(collide, col.astype(collide.dtype))
+    _store(t_col, t)
+    _store(layer, k)
 
 
 def _kernel_slant(
@@ -230,6 +259,132 @@ def _kernel_slant(
     sign = jnp.where(desc, 1.0, -1.0)[:, None]
     t = jnp.sum(sigma[:][None, :] * (dX + sign * frac), axis=1)
     tau[:] = jnp.where(blocked, _TAU_BLOCKED, t)
+
+
+def _kernel_event(
+    x0, b2, tmax, tau_s, pw, dw, b2w0,
+    r2_lo, r2_hi, sigma,
+    collide, t_col, layer, tau_sun,
+    *, n_levels: int,
+):
+    """Fused per-event kernel: exact shell free flight PLUS the sun
+    slant optical depth at the resulting event point, in ONE launch.
+
+    Round-4 measurement: a [B, W] shell kernel carries a large FIXED
+    per-call cost inside device loops on this backend (~0.45 ms at
+    B=16k, W=256 — the round-3 "no fixed in-loop cost" note was measured
+    on a trivial [B]-only kernel and does not transfer), so once the
+    adaptive shell merge shrinks W the per-event cost is launch-bound,
+    not compute-bound. Fusing the two launches halves it.
+
+    The slant geometry at the unknown event point p' = p + t d is
+    closed-form in per-lane scalars the caller can supply without
+    knowing t: with w the (unit) sunward direction,
+
+        x0' = p·w + t (d·w)
+        |p' x w|^2 = |p x w|^2 + 2 t [(p·d) - (p·w)(d·w)] + t^2 (1 - (d·w)^2)
+
+    (Lagrange identity for (p x w)·(d x w)). The f32 rounding of the
+    quadratic form is the same order as crossing p' outside the kernel
+    (~|p| eps on each term), which the R=1e5 km cross-gates already
+    bound; planet-scale f64 runs keep the two-kernel XLA path.
+    """
+    lo = r2_lo[:][None, :]
+    hi = r2_hi[:][None, :]
+    sig = sigma[:][None, :]
+    tmaxc = _colr(tmax)
+    col, t_c, k = _flight_core(
+        _colr(x0), _colr(b2), tmaxc, _colr(tau_s), lo, hi, sig,
+        n_levels=n_levels, exit_clipped=True,
+    )
+    _store(collide, col.astype(collide.dtype))
+    _store(t_col, t_c)
+    _store(layer, k)
+
+    t_step = jnp.where(col, t_c, tmaxc)
+    pwc = _colr(pw)
+    dwc = _colr(dw)
+    x0s = pwc + t_step * dwc
+    c1 = _colr(x0) - pwc * dwc
+    c2 = jnp.maximum(1.0 - dwc * dwc, 0.0)
+    b2s = jnp.maximum(_colr(b2w0) + t_step * (2.0 * c1 + t_step * c2), 0.0)
+
+    # slant tau from (x0s, b2s) columns — same g-machinery as _kernel_slant
+    desc = x0s < 0.0
+    blocked = desc & (b2s <= r2_lo[0])
+    arg = jnp.maximum(lo - b2s, 1e-30)
+    X = arg * jax.lax.rsqrt(arg)
+    X_hi = pltpu.roll(X, X.shape[1] - 1, axis=1)
+    num = jnp.maximum(hi - jnp.maximum(lo, b2s), 0.0)
+    dX = num * _recip_fast(jnp.maximum(X + X_hi, 1e-30))
+    frac = jnp.minimum(jnp.maximum(jnp.abs(x0s) - X, 0.0), dX)
+    sign = jnp.where(desc, 1.0, -1.0)
+    t = jnp.sum(sig * (dX + sign * frac), axis=1, keepdims=True)
+    _store(tau_sun, jnp.where(blocked, _TAU_BLOCKED, t))
+
+
+def shell_event_pallas(
+    x0, b2, t_max, tau_s, pw, dw, b2w0, radii2, sigma,
+    block_b: int = _BLOCK_B,
+    interpret: bool = False,
+    lanes_2d: bool = True,
+):
+    """Fused flight + event-point sun slant tau (see :func:`_kernel_event`).
+
+    Per-lane scalars: x0 = p·d, b2 = |p x d|², t_max (exact boundary-exit
+    distance — the exit-clipped tracer contract), tau_s sampled depths,
+    pw = p·w, dw = d·w, b2w0 = |p x w|² for sunward unit w.
+    Returns (collide bool [B], t_col [B], layer int32 [B], tau_sun [B]).
+
+    ``lanes_2d`` ships the lane scalars as [B, 1] columns instead of 1D
+    vectors: 1D f32 operands get the T(1024) layout, and every broadcast
+    against a [TB, W] intermediate then pays a Mosaic relayout whose cost
+    is independent of W — the dominant per-call cost once the shell
+    merge shrinks W (round-4 measurement). Column operands broadcast
+    natively.
+    """
+    B = x0.shape[0]
+    nb = -(-B // block_b)
+    Bp = nb * block_b
+    r2_lo, r2_hi, sigma_p, Lp1 = _prep_levels(radii2, sigma)
+
+    if lanes_2d:
+        def padb(x, fill=0.0):
+            return jnp.pad(x, (0, Bp - B), constant_values=fill)[:, None]
+
+        lane_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+        out_dim = (Bp, 1)
+    else:
+        def padb(x, fill=0.0):
+            return jnp.pad(x, (0, Bp - B), constant_values=fill)
+
+        lane_spec = pl.BlockSpec((block_b,), lambda i: (i,))
+        out_dim = (Bp,)
+    full_spec = pl.BlockSpec((r2_lo.shape[0],), lambda i: (0,))
+
+    col, t_col, layer, tau_sun = pl.pallas_call(
+        functools.partial(_kernel_event, n_levels=Lp1),
+        grid=(nb,),
+        in_specs=[lane_spec] * 7 + [full_spec] * 3,
+        out_specs=(lane_spec,) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct(out_dim, x0.dtype),
+            jax.ShapeDtypeStruct(out_dim, x0.dtype),
+            jax.ShapeDtypeStruct(out_dim, jnp.int32),
+            jax.ShapeDtypeStruct(out_dim, x0.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(
+        padb(x0), padb(b2), padb(t_max), padb(tau_s, 1e30),
+        padb(pw), padb(dw, 1.0), padb(b2w0),
+        r2_lo, r2_hi, sigma_p,
+    )
+    if lanes_2d:
+        col, t_col, layer, tau_sun = (
+            col[:, 0], t_col[:, 0], layer[:, 0], tau_sun[:, 0]
+        )
+    return col[:B] > 0.5, t_col[:B], layer[:B], tau_sun[:B]
 
 
 def _prep_levels(levels, sigma):

@@ -225,6 +225,38 @@ def _slant_tau_exact_xla(p, w, radii, sigma, r_ground=None):
     return jnp.where(blocked, TAU_BLOCKED, tau)
 
 
+def shell_event(p, d, t_max, radii, sigma, tau_s, w_sun):
+    """Fused per-event transition: exact free flight AND the sun slant
+    optical depth at the resulting event point p' = p + t d.
+
+    One Mosaic launch on TPU/f32 (``shell_event_pallas``) — the per-call
+    fixed cost of in-loop [B, W] kernels dominates once the adaptive
+    shell merge shrinks W, so one launch per event beats two (round-4
+    measurement, ``docs/developer_guide/performance.md``). Other
+    backends/dtypes run the two-step XLA formulation.
+
+    Returns (collide [B] bool, t_col [B], layer [B] int32, tau_sun [B]).
+    """
+    if _use_pallas(jnp.result_type(p)):
+        from .pallas.shell_flight import shell_event_pallas
+
+        w = jnp.broadcast_to(w_sun, p.shape)
+        x0 = jnp.sum(p * d, axis=-1)
+        b2 = jnp.sum(jnp.cross(p, d) ** 2, axis=-1)
+        pw = jnp.sum(p * w, axis=-1)
+        dw = jnp.sum(d * w, axis=-1)
+        b2w0 = jnp.sum(jnp.cross(p, w) ** 2, axis=-1)
+        radii = jnp.asarray(radii)
+        return shell_event_pallas(
+            x0, b2, t_max, tau_s, pw, dw, b2w0, radii * radii, sigma
+        )
+    collide, t_col, layer = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
+    t_step = jnp.where(collide, t_col, t_max)
+    p_new = p + d * t_step[:, None]
+    tau_sun = slant_tau_exact(p_new, w_sun, radii, sigma)
+    return collide, t_col, layer, tau_sun
+
+
 def shell_flight(p, d, t_max, radii, sigma, tau_s):
     """Dispatch: fused Pallas kernel on TPU/f32, XLA formulation (MXU
     triangular-matmul prefix) otherwise. See :func:`_shell_flight_xla`."""

@@ -34,7 +34,7 @@ from .phase_ops import (
     rebuild_fetched,
 )
 from .scene_state import SensorArrays, SurfaceArrays, IlluminationArrays, SceneConfig, _pytree_dataclass
-from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
+from .spherical import ray_sphere_intersect, shell_event
 
 __all__ = ["SphericalMediumArrays", "render_spherical"]
 
@@ -112,13 +112,6 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
 
     eps_t = 1e-4  # km; surface offset to avoid self-intersection
 
-    def sun_T(p):
-        # closed-form slant optical depth (no table, no gathers — the
-        # bilinear table lookup's per-lane gathers dominated the whole
-        # spherical tracer on TPU)
-        tau = slant_tau_exact(p, w_sun, radii, medium_row.sigma_t)
-        return jnp.exp(-jnp.minimum(tau, 80.0))
-
     def event(evt_b, p, d, beta, depth, keys):
         # one batched threefry draw per event (see ops/tracer._make_bounce)
         k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
@@ -139,14 +132,16 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         t_exit = jnp.maximum(ttf, eps_t)
         t_max = jnp.minimum(t_ground, t_exit)
 
-        # ---- exact free flight -----------------------------------------
+        # ---- exact free flight + event-point sun tau (ONE launch) ------
         # closed-form inversion of the piecewise cumulative tau along the
-        # ray (ops/spherical.shell_flight) — every event is a REAL
-        # collision; no null-collision/majorant loop, deterministic
-        # transmittance (the 'piecewise' exactness in shell geometry)
+        # ray — every event is a REAL collision; no null-collision loop,
+        # deterministic transmittance — fused with the NEE slant depth at
+        # the event point (ops/spherical.shell_event): in-loop [B, W]
+        # kernels are launch-bound once the shell merge shrinks W, so one
+        # fused launch per event beats flight + slant separately
         tau_s = -jnp.log1p(-u_dist)
-        accept, t_col, layer = shell_flight(
-            p, d, t_max, radii, medium_row.sigma_t, tau_s
+        accept, t_col, layer, tau_sun = shell_event(
+            p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
         )
         t_step = jnp.where(accept, t_col, t_max)
         p_new = p + d * t_step[:, None]
@@ -171,10 +166,9 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             config.phase_kinds, param_slots, fetched[1 + C :]
         )
 
-        # ONE slant-tau evaluation serves both the volume and surface NEE
-        # branches (hoisted so the [B, L] kernel provably runs once per
-        # event rather than relying on XLA custom-call CSE)
-        T_sun = sun_T(p_new)
+        # ONE slant-tau evaluation (from the fused event kernel) serves
+        # both the volume and surface NEE branches
+        T_sun = jnp.exp(-jnp.minimum(tau_sun, 80.0))
 
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
         p_nee = jax.vmap(

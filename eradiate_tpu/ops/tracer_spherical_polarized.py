@@ -28,7 +28,7 @@ from .scene_state import (
     SurfaceArrays,
     SceneConfig,
 )
-from .spherical import ray_sphere_intersect, shell_flight, slant_tau_exact
+from .spherical import ray_sphere_intersect, shell_event
 from .tracer_polarized import _phase_mueller, _scatter_frames
 from .tracer_spherical import (
     SphericalMediumArrays,
@@ -52,11 +52,6 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
     E_sun = illum_row.irradiance
 
     eps_t = 1e-4
-
-    def sun_T(p):
-        # closed-form slant optical depth (see ops/spherical.slant_tau_exact)
-        tau = slant_tau_exact(p, w_sun, radii, medium_row.sigma_t)
-        return jnp.exp(-jnp.minimum(tau, 80.0))
 
     def event(evt_b, p, d, P, b, beta, depth, keys):
         B = p.shape[0]
@@ -86,11 +81,11 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         t_exit = jnp.maximum(ttf, eps_t)
         t_max = jnp.minimum(t_ground, t_exit)
 
-        # exact free flight (see ops/spherical.shell_flight): every event
-        # is a real collision; no null-collision/majorant loop
+        # exact free flight fused with the event-point sun slant tau
+        # (ops/spherical.shell_event): one Mosaic launch per event
         tau_s = -jnp.log1p(-u_dist)
-        accept, t_col, layer = shell_flight(
-            p, d, t_max, radii, medium_row.sigma_t, tau_s
+        accept, t_col, layer, tau_sun = shell_event(
+            p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
         )
         t_step = jnp.where(accept, t_col, t_max)
         p_new = p + d * t_step[:, None]
@@ -116,9 +111,9 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
             )
         )(layer, cos_nee)
         R_out = rotator(rotate_basis_angle(l_out, h_out_nee, b))
-        # ONE slant-tau evaluation serves both NEE branches (see the
-        # scalar tracer's hoist note)
-        T_sun = sun_T(p_new)
+        # ONE slant-tau evaluation (from the fused event kernel) serves
+        # both NEE branches
+        T_sun = jnp.exp(-jnp.minimum(tau_sun, 80.0))
         S_sun = jnp.zeros((B, 4)).at[:, 0].set(
             E_sun * T_sun * albedo_col * beta
         )

@@ -226,3 +226,60 @@ class TestSlantTauPallas:
         ref = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
         for g, r in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+class TestShellEventFused:
+    def test_matches_two_step(self):
+        """The fused flight+NEE kernel must reproduce the two-step path:
+        identical collide/layer decisions and matching tau_sun at the
+        event point (quadratic-form b'^2 vs crossing p' directly)."""
+        from eradiate_tpu.ops.pallas.shell_flight import shell_event_pallas
+
+        radii, sigma, p, rng = make_shells()
+        B = p.shape[0]
+        d = rng.normal(size=(B, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        w_sun = np.array([0.3, 0.1, 0.9486833], dtype=np.float32)
+        w_sun /= np.linalg.norm(w_sun)
+        w_sun = jnp.asarray(w_sun)
+        tau_s = jnp.asarray(rng.exponential(0.3, B).astype(np.float32))
+
+        # tracer contract: t_max is the boundary-exit distance
+        from eradiate_tpu.ops.spherical import ray_sphere_intersect
+
+        tgn, tgf, hit_g = ray_sphere_intersect(p, d, radii[0])
+        t_ground = jnp.where(hit_g & (tgn > 1e-4), tgn, jnp.inf)
+        _, ttf, _ = ray_sphere_intersect(p, d, radii[-1])
+        t_max = jnp.minimum(t_ground, jnp.maximum(ttf, 1e-4))
+
+        col_r, t_r, lay_r = _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
+        t_step = jnp.where(col_r, t_r, t_max)
+        p_new = p + d * t_step[:, None]
+        tau_r = _slant_tau_exact_xla(p_new, w_sun, radii, sigma)
+
+        x0 = jnp.sum(p * d, axis=-1)
+        b2 = jnp.sum(jnp.cross(p, jnp.broadcast_to(d, p.shape)) ** 2, axis=-1)
+        w_b = jnp.broadcast_to(w_sun, p.shape)
+        pw = jnp.sum(p * w_b, axis=-1)
+        dw = jnp.sum(d * w_b, axis=-1)
+        b2w0 = jnp.sum(jnp.cross(p, w_b) ** 2, axis=-1)
+        col_p, t_p, lay_p, tau_p = shell_event_pallas(
+            x0, b2, t_max, tau_s, pw, dw, b2w0, radii * radii, sigma,
+            block_b=256, interpret=True,
+        )
+        col_r, t_r, lay_r, tau_r, col_p, t_p, lay_p, tau_p = map(
+            np.asarray, (col_r, t_r, lay_r, tau_r, col_p, t_p, lay_p, tau_p)
+        )
+        np.testing.assert_array_equal(col_p, col_r)
+        both = col_r & col_p
+        np.testing.assert_array_equal(lay_p[both], lay_r[both])
+        np.testing.assert_allclose(t_p[both], t_r[both], rtol=1e-3, atol=1e-2)
+        # blocked sentinel agreement, then value agreement elsewhere
+        blk_r = tau_r > 1e9
+        blk_p = tau_p > 1e9
+        np.testing.assert_array_equal(blk_p, blk_r)
+        ok = ~blk_r
+        np.testing.assert_allclose(
+            tau_p[ok], tau_r[ok], rtol=5e-2, atol=2e-3
+        )
