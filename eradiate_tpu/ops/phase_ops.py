@@ -136,20 +136,23 @@ def tab_phase_tables(mu, values):
 
 
 def tab_eval(params, cos_theta):
-    from .medium import _interp_tables
+    # MXU-ridden fetch (ops/medium.interp_fetch): the per-bounce masked
+    # reductions over the [M] mu grid were the dominant share of the c2
+    # transport fusions
+    from .medium import interp_fetch
 
-    _, frac, ((v0, v1),) = _interp_tables(
+    _, frac, ((v0, dv),) = interp_fetch(
         cos_theta, params["mu"], (params["values"],)
     )
-    return v0 + frac * (v1 - v0)
+    return v0 + frac * dv
 
 
 def tab_sample_cos(params, u):
-    from .medium import _interp_tables
+    from .medium import interp_fetch
 
     u1 = u[..., 0]
-    _, frac, ((m0, m1),) = _interp_tables(u1, params["cdf"], (params["mu"],))
-    return m0 + frac * (m1 - m0)
+    _, frac, ((m0, dm),) = interp_fetch(u1, params["cdf"], (params["mu"],))
+    return m0 + frac * dm
 
 
 # ---------------------------------------------------------------------------
