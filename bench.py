@@ -209,12 +209,18 @@ def _c5():
 
 
 CONFIGS = [
-    # (key, builder, spp, mode)
+    # (key, builder, spp, mode).  spp is chosen so each config runs at
+    # sustained production scale: at small budgets the measurement is
+    # dominated by per-render fixed cost (dispatch + host fetch), not
+    # engine throughput — measured round 4: c5 at spp 8k ran 8.9 ms/render
+    # (17 M samples/s) vs 50 M samples/s at spp >= 32k; c4 scaled 7.4 ->
+    # 12.2 M from spp 131k -> 524k (rate-vs-spp table in
+    # docs/developer_guide/performance.md).
     ("c1_rayleigh_lambert", _c1, SPP_C1, "mono_single"),
     ("c2_rpv_continental", _c2, 131072, "mono_single"),
     ("c3_ckd_sentinel2", _c3, 16384, "ckd"),
-    ("c4_spherical_hapke_sza75", _c4, 131072, "mono_single"),
-    ("c5_canopy_atm_polarized", _c5, 8192, "mono_polarized"),
+    ("c4_spherical_hapke_sza75", _c4, 524288, "mono_single"),
+    ("c5_canopy_atm_polarized", _c5, 131072, "mono_polarized"),
 ]
 
 #: configs that also run the fixed-noise mode (key, builder, mode)
