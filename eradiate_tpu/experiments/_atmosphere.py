@@ -212,11 +212,61 @@ class AtmosphereExperiment(EarthObservationExperiment):
             # host-side cumulative tau: under a remote-device tunnel every
             # eager op is a round trip, so scene compilation stays numpy
             # and ships to the device in one transfer per leaf
+            from ..physics.shell_merge import (
+                adaptive_layer_groups_pp,
+                merge_layer_mean,
+                merge_layer_weighted,
+            )
+
+            levels = zgrid.levels
+            tol = getattr(self.geometry, "layer_merge_tol", None)
+            if tol:
+                # plane-parallel transport is invariant in the tau
+                # coordinate, so layers merge under a slant-error bound;
+                # per-component scattering rows block merging across
+                # material boundaries (aerosol layer edges)
+                sigma_np = np.asarray(sigma_t, dtype=np.float64)
+                alb_np = np.asarray(albedo, dtype=np.float64)
+                w_np = np.asarray(weights, dtype=np.float64)
+                C = w_np.shape[1]
+                rows = np.concatenate(
+                    [sigma_np]
+                    + [sigma_np * alb_np * w_np[:, c, :] for c in range(C)],
+                    axis=0,
+                )
+                groups = adaptive_layer_groups_pp(levels, rows, tol)
+                if groups.size - 1 < sigma_np.shape[-1]:
+                    dzf = np.diff(levels)
+                    w_ext = sigma_np * dzf
+                    w_scat = w_ext * alb_np
+                    sigma_t = merge_layer_mean(sigma_np, groups, dzf)
+                    albedo = merge_layer_weighted(alb_np, groups, w_ext)
+                    weights = merge_layer_weighted(
+                        w_np, groups, w_scat[:, None, :]
+                    )
+                    L_m = groups.size - 1
+                    params = tuple(
+                        {
+                            k: (
+                                merge_layer_weighted(v, groups, w_scat)
+                                if (
+                                    np.ndim(v) >= 1
+                                    and np.shape(v)[-1] == L
+                                    and np.shape(v)[-1] != L_m
+                                )
+                                else v
+                            )
+                            for k, v in p.items()
+                        }
+                        for p in params
+                    )
+                    levels = levels[groups]
+
             phase_params_dev = tuple(
                 {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
                 for p in params
             )
-            dz = np.diff(zgrid.levels)
+            dz = np.diff(levels)
             tau_np = np.concatenate(
                 [
                     np.zeros(sigma_t.shape[:-1] + (1,)),
@@ -225,7 +275,7 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 axis=-1,
             )
             medium = MediumArrays(
-                z_levels=jnp.asarray(zgrid.levels, dtype=dtype),
+                z_levels=jnp.asarray(levels, dtype=dtype),
                 tau_levels=jnp.asarray(tau_np, dtype=dtype),
                 albedo=jnp.asarray(albedo, dtype=dtype),
                 phase_weights=jnp.asarray(weights, dtype=dtype),

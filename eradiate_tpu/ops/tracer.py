@@ -445,9 +445,11 @@ _QUOTA_FLOOR = 8
 
 
 def _lane_plan(
-    n_pix: int, spp: int, lanes_target: int = REGEN_LANES_TARGET
+    n_pix: int, spp: int, lanes_target: int | None = None
 ) -> tuple[int, int]:
     """(lanes_per_pixel, max quota) for the regenerative tracer."""
+    if lanes_target is None:
+        lanes_target = REGEN_LANES_TARGET  # late-bound: tunable per run
     lp = max(1, min(spp, lanes_target // max(n_pix, 1)))
     lp = min(lp, max(1, spp // _QUOTA_FLOOR))
     quota = -(-spp // lp)
@@ -457,7 +459,7 @@ def _lane_plan(
 def lane_partition(
     n_pix: int,
     spp: int,
-    lanes_target: int = REGEN_LANES_TARGET,
+    lanes_target: int | None = None,
     spp_stride: int | None = None,
     sample_offset=None,
 ):

@@ -45,7 +45,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["adaptive_shell_groups", "merge_layer_mean", "merge_layer_weighted"]
+__all__ = [
+    "adaptive_layer_groups_pp",
+    "adaptive_shell_groups",
+    "merge_layer_mean",
+    "merge_layer_weighted",
+]
 
 
 def adaptive_shell_groups(
@@ -100,6 +105,52 @@ def adaptive_shell_groups(
                 max_group_height is not None
                 and z[i1 + 1] - z[i0] > max_group_height
             ):
+                break
+            i1 += 1
+        bounds.append(i1)
+        i0 = i1
+    return np.asarray(bounds, dtype=np.int64)
+
+
+def adaptive_layer_groups_pp(
+    z_levels: np.ndarray,
+    rows: np.ndarray,
+    tau_tol: float,
+    mu_min: float = 0.1,
+) -> np.ndarray:
+    """Plane-parallel variant of :func:`adaptive_shell_groups`.
+
+    Plane-parallel transport is exactly invariant under layer merging
+    when the profile is constant within each group — radiance depends on
+    the optical-depth coordinate alone — so the only error source is the
+    *variation* of the merged quantities inside a group. The criterion
+    bounds the worst-case slant path integral of that variation:
+
+        err(group) = 2 * max_r  sum_i |rows[r, i] - mean_r| dz_i / mu_min
+                   <= tau_tol
+
+    ``rows`` stacks every quantity whose smearing matters — extinction
+    AND the per-component scattering coefficients (sigma_s * blend
+    weight), so sharp material boundaries (an aerosol layer edge) block
+    merging across them. ``mu_min`` is the steepest slant credited
+    (|cos zenith| below it is measure-zero for distant measures).
+    """
+    z = np.asarray(z_levels, dtype=np.float64)
+    r = np.atleast_2d(np.asarray(rows, dtype=np.float64))
+    L = z.size - 1
+    if tau_tol is None or tau_tol <= 0.0 or L < 2:
+        return np.arange(L + 1)
+    dz = np.diff(z)
+    bounds = [0]
+    i0 = 0
+    while i0 < L:
+        i1 = i0 + 1
+        while i1 < L:
+            j = slice(i0, i1 + 1)
+            dzj = dz[j]
+            m = (r[:, j] @ dzj) / dzj.sum()
+            err = 2.0 * np.max(np.abs(r[:, j] - m[:, None]) @ dzj) / mu_min
+            if err > tau_tol:
                 break
             i1 += 1
         bounds.append(i1)

@@ -65,9 +65,21 @@ class SceneGeometry(SceneElement):
 @geometry_factory.register("plane_parallel")
 @attrs.define(eq=False, slots=False)
 class PlaneParallelGeometry(SceneGeometry):
-    """Plane-parallel slab (``geometry.py:170-213``)."""
+    """Plane-parallel slab (``geometry.py:170-213``).
+
+    ``layer_merge_tol`` bounds the worst-case slant optical-depth error
+    of the adaptive layer merge
+    (:func:`eradiate_tpu.physics.shell_merge.adaptive_layer_groups_pp`).
+    Plane-parallel transport depends on the optical-depth coordinate
+    alone, so merging layers with near-constant properties is near-exact;
+    the tracer's per-collision fetch cost scales with the layer count.
+    Set to 0 (or ``None``) to trace the raw grid.
+    """
 
     width: float = 1e6  # km; only relevant for finite-extent surfaces
+    #: worst-case slant optical-depth error of the adaptive layer merge;
+    #: 0/None disables
+    layer_merge_tol: float | None = 1e-3
 
     @property
     def kind(self) -> str:

@@ -214,3 +214,68 @@ class TestInterpFetchMXU:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-6
         )
+
+
+class TestPlaneParallelMerge:
+    def test_material_boundary_blocks_merging(self):
+        """Rows with an abrupt scattering-component change (aerosol layer
+        edge) must not merge across the boundary."""
+        from eradiate_tpu.physics.shell_merge import adaptive_layer_groups_pp
+
+        z = np.linspace(0.0, 10.0, 101)
+        sigma = np.full((1, 100), 0.05)
+        aer = np.where(z[:-1] < 2.0, 0.05, 0.0)[None, :]
+        rows = np.concatenate([sigma, aer], axis=0)
+        g = adaptive_layer_groups_pp(z, rows, 1e-3)
+        # the 2-km edge (level index 20) is a group boundary
+        assert 20 in g
+        # and constant regions merge hard
+        assert g.size - 1 < 30
+
+    def test_pp_merge_bit_identical_for_uniform_properties(self, mode_mono):
+        """Rayleigh-only plane-parallel: transport lives in the tau
+        coordinate and every per-layer quantity is uniform, so the merged
+        run is BIT-identical to the raw 1200-layer run."""
+        import eradiate_tpu as ert
+        from eradiate_tpu.experiments import AtmosphereExperiment
+
+        def run(tol):
+            exp = AtmosphereExperiment(
+                geometry={"type": "plane_parallel", "layer_merge_tol": tol},
+                illumination={"type": "directional", "zenith": 30.0},
+                measures={
+                    "type": "mdistant",
+                    "construct": "hplane",
+                    "zeniths": [-45.0, 0.0, 45.0],
+                    "azimuth": 0.0,
+                    "spp": 512,
+                    "id": "m",
+                },
+                surface={"type": "lambertian", "reflectance": 0.5},
+                atmosphere={"type": "molecular"},
+            )
+            ert.root_seed_state.reset(11)
+            return np.asarray(ert.run(exp)["brf"])
+
+        np.testing.assert_array_equal(run(1e-3), run(0.0))
+
+    def test_pp_merge_preserves_columns(self, mode_mono):
+        from eradiate_tpu.test_tools.test_cases import (
+            create_rpv_afgl1986_continental_brfpp,
+        )
+
+        def medium(tol):
+            e = create_rpv_afgl1986_continental_brfpp(n_vza=3)
+            e.geometry.layer_merge_tol = tol
+            e.init()
+            m = e.measures[0]
+            sc, _, _ = e.compile_scene(m, e.spectral_context(m))
+            return sc.medium
+
+        m0 = medium(0.0)
+        m1 = medium(1e-3)
+        assert m1.albedo.shape[-1] < 100 < m0.albedo.shape[-1]
+        # total optical depth exact (tau_levels are cumulative)
+        np.testing.assert_allclose(
+            float(m1.tau_levels[0, -1]), float(m0.tau_levels[0, -1]), rtol=1e-6
+        )
