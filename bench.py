@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 N_VZA = 76
-SPP_C1 = 262144
+SPP_C1 = 1048576
 
 #: stop starting new configs past this point so the final summary (and
 #: any CPU-reference run) still lands inside a ~1200 s driver budget
@@ -217,8 +217,8 @@ CONFIGS = [
     # 12.2 M from spp 131k -> 524k (rate-vs-spp table in
     # docs/developer_guide/performance.md).
     ("c1_rayleigh_lambert", _c1, SPP_C1, "mono_single"),
-    ("c2_rpv_continental", _c2, 131072, "mono_single"),
-    ("c3_ckd_sentinel2", _c3, 16384, "ckd"),
+    ("c2_rpv_continental", _c2, 524288, "mono_single"),
+    ("c3_ckd_sentinel2", _c3, 65536, "ckd"),
     ("c4_spherical_hapke_sza75", _c4, 524288, "mono_single"),
     ("c5_canopy_atm_polarized", _c5, 131072, "mono_polarized"),
 ]
