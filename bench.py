@@ -84,7 +84,15 @@ def _experiment_rate_noise(
     """Wall-clock and samples/s to reach a stated worst-pixel relative
     BRF noise. Probes variance at ``probe_spp``, scales spp by 1/sigma^2
     (rounded up to a power of two so jit cache buckets stay stable), then
-    times one run at that spp."""
+    times one run at that spp.
+
+    Scope: sigma comes from the in-render m2 accumulator, which measures
+    the per-sample marginal variance — correct for the ``independent``
+    sampler these configs use. Structured point sets (stratified/LD)
+    leave the marginal unchanged and anti-correlate samples, so their
+    variance reduction is only visible across independent replicates
+    (see tests/system/test_samplers_variance.py); crediting them here
+    would need a replicate-based sigma estimate."""
     import eradiate_tpu as ert
     from eradiate_tpu.core.rng import SeedState
 
