@@ -23,11 +23,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "ray_sphere_intersect",
     "slant_path_matrix",
     "slant_tau_exact",
+    "sun_mu_grid",
+    "sun_tau_fetch",
     "sun_tau_table",
     "lookup_sun_tau",
 ]
@@ -372,6 +375,78 @@ def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s):
     x_col = jnp.where(on_desc, -y, y)
     t_col = jnp.clip(x_col - x0, 0.0, t_max)
     return collide, t_col, layer
+
+
+def sun_mu_grid(n_fine: int = 160, n_coarse: int = 64):
+    """Local-cosine grid for the sun slant-tau table, concentrated where
+    the horizon lives: for shell radii within ~120 km of an Earth-sized
+    ground, the blocking boundary mu_h(r) = -sqrt(1 - (rg/r)^2) spans
+    [-0.20, 0] — the table needs density there because tau varies fastest
+    across the terminator; elsewhere bilinear on a coarse grid is ample.
+    """
+    fine = np.linspace(-0.30, 0.06, n_fine)
+    lo = np.linspace(-1.0, -0.30, n_coarse // 2, endpoint=False)
+    hi = np.linspace(0.06, 1.0, n_coarse // 2 + 1)[1:]
+    return np.unique(np.concatenate([lo, fine, hi, [1.0, -1.0]]))
+
+
+def sun_tau_fetch(table, radii, mu_grid, r, mu):
+    """Bilinear sun-tau table interpolation on the MXU (TPU f32 path).
+
+    The round-1 table was abandoned because per-lane searchsorted+gather
+    lowered to serial dynamic slices; this fetch encodes the r-side
+    linear interpolation as a TWO-HOT weight matrix ((1-f) at idx, f at
+    idx+1) contracted against the [L+1, M] table in one hi/lo-bf16
+    matmul pair, and the mu side as a two-hot masked reduction — no
+    gathers anywhere. Replaces the in-kernel slant recomputation (~1/3
+    of the fused event kernel's op count); ground blockage is NOT in the
+    table (build it with ``r_ground=0``) — the caller applies the exact
+    cross-product blocked test.
+
+    table: [L+1, M]; radii: [L+1]; mu_grid: [M]; r, mu: [B].
+    """
+    Lr = radii.shape[0]
+    M = mu_grid.shape[0]
+    ir = jnp.clip(
+        jnp.sum((radii <= r[:, None]).astype(jnp.int32), axis=1) - 1, 0, Lr - 2
+    )
+    iota_r = jnp.arange(Lr, dtype=jnp.int32)
+    m0 = iota_r == ir[:, None]
+    m1 = iota_r == (ir + 1)[:, None]
+    r0 = jnp.sum(jnp.where(m0, radii, 0.0), axis=1)
+    dr = jnp.sum(jnp.where(m0, jnp.diff(radii, append=radii[-1:]), 0.0), axis=1)
+    fr = jnp.clip((r - r0) / jnp.maximum(dr, 1e-30), 0.0, 1.0)
+    Wr = (
+        m0.astype(jnp.float32) * (1.0 - fr)[:, None]
+        + m1.astype(jnp.float32) * fr[:, None]
+    )
+    hi = Wr.astype(jnp.bfloat16)
+    lo = (Wr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb = table.astype(jnp.bfloat16)
+    tlo = (table - tb.astype(jnp.float32)).astype(jnp.bfloat16)
+    rows = (
+        jnp.matmul(hi, tb, preferred_element_type=jnp.float32)
+        + jnp.matmul(hi, tlo, preferred_element_type=jnp.float32)
+        + jnp.matmul(lo, tb, preferred_element_type=jnp.float32)
+    )  # [B, M]
+    im = jnp.clip(
+        jnp.sum((mu_grid <= mu[:, None]).astype(jnp.int32), axis=1) - 1,
+        0,
+        M - 2,
+    )
+    iota_m = jnp.arange(M, dtype=jnp.int32)
+    n0 = iota_m == im[:, None]
+    n1 = iota_m == (im + 1)[:, None]
+    mu0 = jnp.sum(jnp.where(n0, mu_grid, 0.0), axis=1)
+    dmu = jnp.sum(
+        jnp.where(n0, jnp.diff(mu_grid, append=mu_grid[-1:]), 0.0), axis=1
+    )
+    fm = jnp.clip((mu - mu0) / jnp.maximum(dmu, 1e-30), 0.0, 1.0)
+    Wm = (
+        n0.astype(jnp.float32) * (1.0 - fm)[:, None]
+        + n1.astype(jnp.float32) * fm[:, None]
+    )
+    return jnp.sum(rows * Wm, axis=1)
 
 
 def lookup_sun_tau(table, radii, mu_grid, r, mu):

@@ -279,3 +279,39 @@ class TestPlaneParallelMerge:
         np.testing.assert_allclose(
             float(m1.tau_levels[0, -1]), float(m0.tau_levels[0, -1]), rtol=1e-6
         )
+
+
+class TestSunTauFetchMXU:
+    def test_matches_lookup_at_off_node_points(self):
+        """The two-hot MXU bilinear fetch reproduces the gather-based
+        lookup_sun_tau on the same table (the fetch is exact bilinear;
+        the table's own terminator-cusp limit is documented in
+        performance.md)."""
+        import jax.numpy as jnp
+
+        from eradiate_tpu.ops.spherical import (
+            lookup_sun_tau,
+            sun_mu_grid,
+            sun_tau_fetch,
+            sun_tau_table,
+        )
+
+        R6 = 6378.1
+        z = np.linspace(0.0, 100.0, 101)
+        radii = jnp.asarray(R6 + z, jnp.float32)
+        sigma = jnp.asarray(
+            0.012 * np.exp(-z[:-1] / 8.0)[None, :], jnp.float32
+        )
+        mu_grid = jnp.asarray(sun_mu_grid(), jnp.float32)
+        table = sun_tau_table(sigma, radii, mu_grid, r_ground=0.0)[0]
+        rng = np.random.default_rng(2)
+        r = jnp.asarray(R6 + rng.uniform(0, 100, 300), jnp.float32)
+        mu = jnp.asarray(rng.uniform(-0.9, 0.9, 300), jnp.float32)
+        ref = np.array(
+            [
+                float(lookup_sun_tau(table, radii, mu_grid, r[i], mu[i]))
+                for i in range(300)
+            ]
+        )
+        got = np.asarray(sun_tau_fetch(table, radii, mu_grid, r, mu))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
