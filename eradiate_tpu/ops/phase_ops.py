@@ -51,7 +51,13 @@ def ortho_frame(d):
 
 
 def direction_from_cos(d_in, cos_theta, phi):
-    """Scattered direction at angle (theta, phi) around incident d_in."""
+    """Scattered direction at angle (theta, phi) around incident d_in.
+
+    TPU note: replacing ``sin(phi)`` with ``sign * sqrt(1 - cos^2)`` was
+    measured (round 4) to change c1/c2 by < run variance — the cos+sin
+    pair fuses as cheaply as cos+sqrt+select on the VPU — so the plain
+    transcendental form stays.
+    """
     t1, t2 = ortho_frame(d_in)
     sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0))
     return (
