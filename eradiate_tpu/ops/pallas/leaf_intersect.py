@@ -74,9 +74,18 @@ def leaf_block_spheres(centers, normals, radii, block_n: int = _SUB):
     return mid, R * R
 
 
+def _colr(ref):
+    """Lane-scalar ref -> [TB, 1] column array (see shell_flight._colr:
+    1D T(1024) operands pay a Mosaic relayout at every broadcast against
+    a [TB, TN] tile; [B, 1] column operands broadcast natively)."""
+    v = ref[:]
+    return v if v.ndim == 2 else v[:, None]
+
+
 def _sphere_cull(px, py, pz, dx, dy, dz, tcap, sx, sy, sz, sr2):
     """Conservative per-ray test: can the segment p + t d, t in [0, tcap]
-    reach the block sphere? Returns bool [TB]."""
+    reach the block sphere? Column convention: ray components and tcap
+    are [TB, 1]; returns bool [TB, 1]."""
     vx = sx - px
     vy = sy - py
     vz = sz - pz
@@ -88,27 +97,20 @@ def _sphere_cull(px, py, pz, dx, dy, dz, tcap, sx, sy, sz, sr2):
 
 
 def _disk_hits(px, py, pz, dx, dy, dz, cx, cy, cz, nx, ny, nz, r2, cap):
-    """[TB, TN] masked intersection distances (cap where missed)."""
-    dn = (
-        dx[:, None] * nx[None, :]
-        + dy[:, None] * ny[None, :]
-        + dz[:, None] * nz[None, :]
-    )
+    """[TB, TN] masked intersection distances (cap where missed).
+    Ray components and cap are [TB, 1] columns; leaf vectors are [TN]."""
+    dn = dx * nx[None, :] + dy * ny[None, :] + dz * nz[None, :]
     cn = cx * nx + cy * ny + cz * nz  # [TN]
-    pn = (
-        px[:, None] * nx[None, :]
-        + py[:, None] * ny[None, :]
-        + pz[:, None] * nz[None, :]
-    )
+    pn = px * nx[None, :] + py * ny[None, :] + pz * nz[None, :]
     dn_safe = jnp.where(jnp.abs(dn) > 1e-12, dn, 1e-12)
     t = (cn[None, :] - pn) / dn_safe
-    qx = px[:, None] + dx[:, None] * t - cx[None, :]
-    qy = py[:, None] + dy[:, None] * t - cy[None, :]
-    qz = pz[:, None] + dz[:, None] * t - cz[None, :]
+    qx = px + dx * t - cx[None, :]
+    qy = py + dy * t - cy[None, :]
+    qz = pz + dz * t - cz[None, :]
     dist2 = qx * qx + qy * qy + qz * qz
     ok = (
         (t > 1e-7)
-        & (t < cap[:, None])
+        & (t < cap)
         & (dist2 <= r2[None, :])
         & (jnp.abs(dn) > 1e-12)
     )
@@ -135,7 +137,8 @@ def _kernel_nearest(
     # far-tile skip (a flat sub-loop of fine tests measured 10x slower on
     # the 1e6-disk instanced bench, where most tiles are far away)
     coarse = _sphere_cull(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], best_t[:],
+        _colr(px), _colr(py), _colr(pz), _colr(dx), _colr(dy), _colr(dz),
+        _colr(best_t),
         csph[0, j], csph[1, j], csph[2, j], csph[3, j],
     )
 
@@ -163,15 +166,18 @@ def _kernel_nearest_subs(
     nzs = nz[:].reshape(spt, sub)
     r2s = r2[:].reshape(spt, sub)
 
+    pxc, pyc, pzc = _colr(px), _colr(py), _colr(pz)
+    dxc, dyc, dzc = _colr(dx), _colr(dy), _colr(dz)
+    two_d = len(best_t.shape) == 2
     for k in range(spt):
         col = j * spt + k
-        cap = best_t[:]
+        cap = _colr(best_t)
         if spt == 1:
             # the coarse whole-tile gate already fired; no second test
             reach_any = jnp.asarray(True)
         else:
             reach = _sphere_cull(
-                px[:], py[:], pz[:], dx[:], dy[:], dz[:], cap,
+                pxc, pyc, pzc, dxc, dyc, dzc, cap,
                 sph[0, col], sph[1, col], sph[2, col], sph[3, col],
             )
             reach_any = jnp.any(reach)
@@ -181,16 +187,16 @@ def _kernel_nearest_subs(
             # rows 4-6: per-virtual-block instance offset (zero when the
             # leaf table is flat) — canonical blocks translated in-tile
             t = _disk_hits(
-                px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+                pxc, pyc, pzc, dxc, dyc, dzc,
                 cxs[k] + sph[4, col], cys[k] + sph[5, col],
                 czs[k] + sph[6, col],
                 nxs[k], nys[k], nzs[k], r2s[k], cap,
             )
-            tmin = jnp.min(t, axis=1)
+            tmin = jnp.min(t, axis=1, keepdims=True)
             better = tmin < cap
             # winner normal via one-hot masked sums (exact f32 ties
             # average, mirroring the XLA reduction in ops/canopy.py)
-            m = (t == tmin[:, None]).astype(t.dtype)
+            m = (t == tmin).astype(t.dtype)
             nsel = jax.lax.dot_general(
                 m,
                 jnp.stack(
@@ -199,11 +205,17 @@ def _kernel_nearest_subs(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=t.dtype,
             )  # [TB, 4]: (sum nx, sum ny, sum nz, count)
-            cnt = jnp.maximum(nsel[:, 3], 1.0)
-            best_t[:] = jnp.where(better, tmin, best_t[:])
-            bn_x[:] = jnp.where(better, nsel[:, 0] / cnt, bn_x[:])
-            bn_y[:] = jnp.where(better, nsel[:, 1] / cnt, bn_y[:])
-            bn_z[:] = jnp.where(better, nsel[:, 2] / cnt, bn_z[:])
+            cnt = jnp.maximum(nsel[:, 3:4], 1.0)
+
+            def upd(ref, val):
+                cur = _colr(ref)
+                new = jnp.where(better, val, cur)
+                ref[:] = new if two_d else new[:, 0]
+
+            upd(bn_x, nsel[:, 0:1] / cnt)
+            upd(bn_y, nsel[:, 1:2] / cnt)
+            upd(bn_z, nsel[:, 2:3] / cnt)
+            upd(best_t, tmin)
 
 
 def _kernel_occluded(
@@ -219,9 +231,10 @@ def _kernel_occluded(
     def _init():
         occ[:] = jnp.zeros(occ.shape, occ.dtype)
 
-    live0 = occ[:] == 0
+    live0 = _colr(occ) == 0
     coarse = _sphere_cull(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], tmax[:],
+        _colr(px), _colr(py), _colr(pz), _colr(dx), _colr(dy), _colr(dz),
+        _colr(tmax),
         csph[0, j], csph[1, j], csph[2, j], csph[3, j],
     )
 
@@ -245,14 +258,18 @@ def _kernel_occluded_subs(
     nzs = nz[:].reshape(spt, sub)
     r2s = r2[:].reshape(spt, sub)
 
+    pxc, pyc, pzc = _colr(px), _colr(py), _colr(pz)
+    dxc, dyc, dzc = _colr(dx), _colr(dy), _colr(dz)
+    tmaxc = _colr(tmax)
+    two_d = len(occ.shape) == 2
     for k in range(spt):
         col = j * spt + k
-        live = occ[:] == 0
+        live = _colr(occ) == 0
         if spt == 1:
             gate = jnp.any(live)
         else:
             reach = _sphere_cull(
-                px[:], py[:], pz[:], dx[:], dy[:], dz[:], tmax[:],
+                pxc, pyc, pzc, dxc, dyc, dzc, tmaxc,
                 sph[0, col], sph[1, col], sph[2, col], sph[3, col],
             )
             gate = jnp.any(live & reach)
@@ -260,13 +277,15 @@ def _kernel_occluded_subs(
         @pl.when(gate)
         def _tile(k=k, col=col):
             t = _disk_hits(
-                px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+                pxc, pyc, pzc, dxc, dyc, dzc,
                 cxs[k] + sph[4, col], cys[k] + sph[5, col],
                 czs[k] + sph[6, col],
-                nxs[k], nys[k], nzs[k], r2s[k], tmax[:],
+                nxs[k], nys[k], nzs[k], r2s[k], tmaxc,
             )
-            hit = jnp.any(t < _BIG, axis=1)
-            occ[:] = jnp.where(hit, jnp.ones_like(occ[:]), occ[:])
+            hit = jnp.any(t < _BIG, axis=1, keepdims=True)
+            cur = _colr(occ)
+            new = jnp.where(hit, jnp.ones_like(cur), cur)
+            occ[:] = new if two_d else new[:, 0]
 
 
 def _coarse_from_subs(sph, nn, spt):
@@ -382,9 +401,12 @@ def ray_leaves_nearest_pallas(
     spt = max(1, block_n // _SUB)
     csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    # lane operands as [Bp, 1] columns (native broadcast in the kernels;
+    # 1D T(1024) operands pay a relayout per broadcast per tile)
+    rays = [x[:, None] for x in rays]
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
     leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
 
     best_t, bn_x, bn_y, bn_z = pl.pallas_call(
         functools.partial(
@@ -396,13 +418,16 @@ def ray_leaves_nearest_pallas(
             in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
             out_specs=(out_spec,) * 4,
         ),
-        out_shape=(jax.ShapeDtypeStruct((Bp,), p.dtype),) * 4,
+        out_shape=(jax.ShapeDtypeStruct((Bp, 1), p.dtype),) * 4,
         # tile temporaries exceed the default 16 MB scoped-VMEM budget at
         # 1024x1024 blocks; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(csph, sph, *rays, *leaves)
 
+    best_t, bn_x, bn_y, bn_z = (
+        best_t[:, 0], bn_x[:, 0], bn_y[:, 0], bn_z[:, 0]
+    )
     best_t = best_t[:B]
     hit = best_t < t_max
     n = jnp.stack([bn_x[:B], bn_y[:B], bn_z[:B]], axis=-1)
@@ -425,9 +450,10 @@ def ray_leaves_occluded_pallas(
     spt = max(1, block_n // _SUB)
     csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    rays = [x[:, None] for x in rays]
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
     leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
 
     occ = pl.pallas_call(
         functools.partial(
@@ -439,11 +465,11 @@ def ray_leaves_occluded_pallas(
             in_specs=[ray_spec] * 7 + [leaf_spec] * 7,
             out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(csph, sph, *rays, *leaves)
-    return occ[:B] > 0.5
+    return occ[:B, 0] > 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -477,9 +503,10 @@ def _instanced_call(kernel, n_out, p, d, t_max, leaves, offsets, spheres,
     nn = I * nc
     csph = _coarse_from_subs(sph, nn, spt)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    rays = [x[:, None] for x in rays]
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
     leaf_spec = pl.BlockSpec((block_n,), lambda i, j, csph, sph: (j % nc,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, csph, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, csph, sph: (i, 0))
 
     out = pl.pallas_call(
         functools.partial(kernel, spt=spt, sub=sub),
@@ -490,13 +517,16 @@ def _instanced_call(kernel, n_out, p, d, t_max, leaves, offsets, spheres,
             out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
         ),
         out_shape=(
-            (jax.ShapeDtypeStruct((Bp,), p.dtype),) * n_out
+            (jax.ShapeDtypeStruct((Bp, 1), p.dtype),) * n_out
             if n_out > 1
-            else jax.ShapeDtypeStruct((Bp,), jnp.float32)
+            else jax.ShapeDtypeStruct((Bp, 1), jnp.float32)
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(csph, sph, *rays, *leaf_ops)
+    out = (
+        tuple(o[:, 0] for o in out) if n_out > 1 else out[:, 0]
+    )
     return out, B
 
 
