@@ -227,8 +227,8 @@ CONFIGS = [
     ("c1_rayleigh_lambert", _c1, SPP_C1, "mono_single"),
     ("c2_rpv_continental", _c2, 524288, "mono_single"),
     ("c3_ckd_sentinel2", _c3, 65536, "ckd"),
-    ("c4_spherical_hapke_sza75", _c4, 524288, "mono_single"),
-    ("c5_canopy_atm_polarized", _c5, 131072, "mono_polarized"),
+    ("c4_spherical_hapke_sza75", _c4, 786432, "mono_single"),
+    ("c5_canopy_atm_polarized", _c5, 262144, "mono_polarized"),
 ]
 
 #: configs that also run the fixed-noise mode (key, builder, mode)
