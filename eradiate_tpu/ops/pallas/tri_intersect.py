@@ -55,6 +55,12 @@ def tri_block_spheres(v0, e1, e2, block_n: int = _BLOCK_N):
     return mid, R * R
 
 
+def _colr(ref):
+    """Lane-scalar ref -> [TB, 1] column (see leaf_intersect._colr)."""
+    v = ref[:]
+    return v if v.ndim == 2 else v[:, None]
+
+
 def _sphere_cull(px, py, pz, dx, dy, dz, tcap, sx, sy, sz, sr2):
     vx = sx - px
     vy = sy - py
@@ -74,22 +80,23 @@ def _mt_hits(
 
     a = e1, b = e2, v = v0; rays as columns, triangles as rows.
     """
+    # ray components and cap are [TB, 1] columns; triangles [TN] rows
     # pvec = d x e2
-    pvx = dy[:, None] * bz[None, :] - dz[:, None] * by[None, :]
-    pvy = dz[:, None] * bx[None, :] - dx[:, None] * bz[None, :]
-    pvz = dx[:, None] * by[None, :] - dy[:, None] * bx[None, :]
+    pvx = dy * bz[None, :] - dz * by[None, :]
+    pvy = dz * bx[None, :] - dx * bz[None, :]
+    pvz = dx * by[None, :] - dy * bx[None, :]
     det = ax[None, :] * pvx + ay[None, :] * pvy + az[None, :] * pvz
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
     # tvec = p - v0
-    tvx = px[:, None] - vx[None, :]
-    tvy = py[:, None] - vy[None, :]
-    tvz = pz[:, None] - vz[None, :]
+    tvx = px - vx[None, :]
+    tvy = py - vy[None, :]
+    tvz = pz - vz[None, :]
     u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
     # qvec = tvec x e1
     qvx = tvy * az[None, :] - tvz * ay[None, :]
     qvy = tvz * ax[None, :] - tvx * az[None, :]
     qvz = tvx * ay[None, :] - tvy * ax[None, :]
-    v = (dx[:, None] * qvx + dy[:, None] * qvy + dz[:, None] * qvz) * inv_det
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
     t = (bx[None, :] * qvx + by[None, :] * qvy + bz[None, :] * qvz) * inv_det
     ok = (
         (jnp.abs(det) > 1e-12)
@@ -97,7 +104,7 @@ def _mt_hits(
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > 1e-7)
-        & (t < cap[:, None])
+        & (t < cap)
     )
     return jnp.where(ok, t, _BIG)
 
@@ -117,9 +124,12 @@ def _kernel_nearest(
         bn_y[:] = jnp.zeros(bn_y.shape, bn_y.dtype)
         bn_z[:] = jnp.ones(bn_z.shape, bn_z.dtype)
 
-    cap = best_t[:]
+    cap = _colr(best_t)
+    pxc, pyc, pzc = _colr(px), _colr(py), _colr(pz)
+    dxc, dyc, dzc = _colr(dx), _colr(dy), _colr(dz)
+    two_d = len(best_t.shape) == 2
     reach = _sphere_cull(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], cap,
+        pxc, pyc, pzc, dxc, dyc, dzc, cap,
         sph[0, j], sph[1, j], sph[2, j], sph[3, j],
     )
 
@@ -128,12 +138,12 @@ def _kernel_nearest(
         # rows 4-6 of sph: per-virtual-block instance translation
         # (applied to v0 only — edges are translation-invariant)
         t = _mt_hits(
-            px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+            pxc, pyc, pzc, dxc, dyc, dzc,
             ax[:], ay[:], az[:], bx[:], by[:], bz[:],
             vx[:] + sph[4, j], vy[:] + sph[5, j], vz[:] + sph[6, j],
             cap,
         )
-        tmin = jnp.min(t, axis=1)
+        tmin = jnp.min(t, axis=1, keepdims=True)
         better = tmin < cap
         # geometric normals n = e1 x e2 (unnormalized; winner sums
         # normalized after division by count on ties, then unit-normalized
@@ -144,7 +154,7 @@ def _kernel_nearest(
         inv_len = jax.lax.rsqrt(
             jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24)
         )
-        m = (t == tmin[:, None]).astype(t.dtype)
+        m = (t == tmin).astype(t.dtype)
         nsel = jax.lax.dot_general(
             m,
             jnp.stack(
@@ -155,11 +165,17 @@ def _kernel_nearest(
             (((1,), (0,)), ((), ())),
             preferred_element_type=t.dtype,
         )
-        cnt = jnp.maximum(nsel[:, 3], 1.0)
-        best_t[:] = jnp.where(better, tmin, best_t[:])
-        bn_x[:] = jnp.where(better, nsel[:, 0] / cnt, bn_x[:])
-        bn_y[:] = jnp.where(better, nsel[:, 1] / cnt, bn_y[:])
-        bn_z[:] = jnp.where(better, nsel[:, 2] / cnt, bn_z[:])
+        cnt = jnp.maximum(nsel[:, 3:4], 1.0)
+
+        def upd(ref, val):
+            cur = _colr(ref)
+            new = jnp.where(better, val, cur)
+            ref[:] = new if two_d else new[:, 0]
+
+        upd(bn_x, nsel[:, 0:1] / cnt)
+        upd(bn_y, nsel[:, 1:2] / cnt)
+        upd(bn_z, nsel[:, 2:3] / cnt)
+        upd(best_t, tmin)
 
 
 def _kernel_occluded(
@@ -174,22 +190,28 @@ def _kernel_occluded(
     def _init():
         occ[:] = jnp.zeros(occ.shape, occ.dtype)
 
-    live = occ[:] == 0
+    live = _colr(occ) == 0
+    pxc, pyc, pzc = _colr(px), _colr(py), _colr(pz)
+    dxc, dyc, dzc = _colr(dx), _colr(dy), _colr(dz)
+    tmaxc = _colr(tmax)
+    two_d = len(occ.shape) == 2
     reach = _sphere_cull(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], tmax[:],
+        pxc, pyc, pzc, dxc, dyc, dzc, tmaxc,
         sph[0, j], sph[1, j], sph[2, j], sph[3, j],
     )
 
     @pl.when(jnp.any(live & reach))
     def _tile():
         t = _mt_hits(
-            px[:], py[:], pz[:], dx[:], dy[:], dz[:],
+            pxc, pyc, pzc, dxc, dyc, dzc,
             ax[:], ay[:], az[:], bx[:], by[:], bz[:],
             vx[:] + sph[4, j], vy[:] + sph[5, j], vz[:] + sph[6, j],
-            tmax[:],
+            tmaxc,
         )
-        hit = jnp.any(t < _BIG, axis=1)
-        occ[:] = jnp.where(hit, jnp.ones_like(occ[:]), occ[:])
+        hit = jnp.any(t < _BIG, axis=1, keepdims=True)
+        cur = _colr(occ)
+        new = jnp.where(hit, jnp.ones_like(cur), cur)
+        occ[:] = new if two_d else new[:, 0]
 
 
 def _pad_inputs(p, d, t_max, v0, e1, e2, block_b, block_n):
@@ -257,9 +279,10 @@ def ray_tris_nearest_pallas(
     )
     sph = _sphere_operands(v0, e1, e2, spheres, block_n, nn)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    rays = [x[:, None] for x in rays]  # column lane operands
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
     tri_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
 
     best_t, bn_x, bn_y, bn_z = pl.pallas_call(
         _kernel_nearest,
@@ -269,13 +292,16 @@ def ray_tris_nearest_pallas(
             in_specs=[ray_spec] * 7 + [tri_spec] * 9,
             out_specs=(out_spec,) * 4,
         ),
-        out_shape=(jax.ShapeDtypeStruct((Bp,), p.dtype),) * 4,
+        out_shape=(jax.ShapeDtypeStruct((Bp, 1), p.dtype),) * 4,
         # tile temporaries exceed the default 16 MB scoped-VMEM budget at
         # 1024x1024 blocks; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
 
+    best_t, bn_x, bn_y, bn_z = (
+        best_t[:, 0], bn_x[:, 0], bn_y[:, 0], bn_z[:, 0]
+    )
     best_t = best_t[:B]
     hit = best_t < t_max
     n = jnp.stack([bn_x[:B], bn_y[:B], bn_z[:B]], axis=-1)
@@ -296,9 +322,10 @@ def ray_tris_occluded_pallas(
     )
     sph = _sphere_operands(v0, e1, e2, spheres, block_n, nn)
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    rays = [x[:, None] for x in rays]  # column lane operands
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
     tri_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
 
     occ = pl.pallas_call(
         _kernel_occluded,
@@ -308,11 +335,11 @@ def ray_tris_occluded_pallas(
             in_specs=[ray_spec] * 7 + [tri_spec] * 9,
             out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
-    return occ[:B] > 0.5
+    return occ[:B, 0] > 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -334,9 +361,10 @@ def _instanced_call(kernel, n_out, p, d, t_max, soup, offsets, spheres,
     I = offsets.shape[0]
     nn = I * nc
 
-    ray_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    rays = [x[:, None] for x in rays]  # column lane operands
+    ray_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
     tri_spec = pl.BlockSpec((block_n,), lambda i, j, sph: (j % nc,))
-    out_spec = pl.BlockSpec((block_b,), lambda i, j, sph: (i,))
+    out_spec = pl.BlockSpec((block_b, 1), lambda i, j, sph: (i, 0))
 
     out = pl.pallas_call(
         kernel,
@@ -347,13 +375,14 @@ def _instanced_call(kernel, n_out, p, d, t_max, soup, offsets, spheres,
             out_specs=(out_spec,) * n_out if n_out > 1 else out_spec,
         ),
         out_shape=(
-            (jax.ShapeDtypeStruct((Bp,), p.dtype),) * n_out
+            (jax.ShapeDtypeStruct((Bp, 1), p.dtype),) * n_out
             if n_out > 1
-            else jax.ShapeDtypeStruct((Bp,), jnp.float32)
+            else jax.ShapeDtypeStruct((Bp, 1), jnp.float32)
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
     )(sph, *rays, *tris)
+    out = tuple(o[:, 0] for o in out) if n_out > 1 else out[:, 0]
     return out, B
 
 
