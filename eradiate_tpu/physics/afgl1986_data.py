@@ -35,6 +35,10 @@ Gas mole-fraction profiles (ppmv), confidence tiers:
   H2O/O3 variability); values above ~85 km are smoothed where the
   transcription source was uncertain — radiometrically negligible
   (<1e-5 of the column).
+- ``AFGL_UV_TRACE_PPMV`` (NO, NO2, HNO3, SO2) and
+  ``AFGL_SINGLE_TRACE_PPMV`` (the 16 further species completing
+  joseki's 28-molecule set) — approximated-shape tiers; see each
+  table's own provenance note.
 
 Users needing byte-exact published tables load them with
 :func:`eradiate_tpu.data.netcdf.load_thermoprops_netcdf` or
@@ -54,6 +58,7 @@ __all__ = [
     "AFGL_O3_PPMV",
     "AFGL_MINOR_PPMV",
     "AFGL_UV_TRACE_PPMV",
+    "AFGL_SINGLE_TRACE_PPMV",
 ]
 
 #: Standard AFGL altitude grid [km]: 0..25 by 1, 27.5..50 by 2.5, 55..120 by 5
@@ -363,9 +368,87 @@ AFGL_UV_TRACE_PPMV = {
     ]),
 }
 
+def _shape(nodes) -> np.ndarray:
+    """Piecewise log-linear mole-fraction shape on ``AFGL_Z_KM`` from a
+    handful of (z_km, ppmv) nodes — the construction used for the
+    approximated-shape trace tiers (values are interpolated in
+    log(ppmv), clamped at the end nodes)."""
+    z = np.array([n[0] for n in nodes], dtype=np.float64)
+    v = np.array([n[1] for n in nodes], dtype=np.float64)
+    return np.exp(np.interp(AFGL_Z_KM, z, np.log(v)))
+
+
+#: Remaining AFGL/joseki trace species [ppmv] at AFGL_Z_KM — the species
+#: that complete joseki's 28-molecule ``afgl_1986-*`` set
+#: (``joseki.make(..., additional_molecules=True)``; the reference's
+#: default is ``additional_molecules=False`` i.e. the 7 per-variant
+#: gases, ``src/eradiate/scenes/atmosphere/_molecular.py:80-84``).
+#: AFGL-TR-86-0110 tabulates these as SINGLE profiles shared by all six
+#: model atmospheres, which this table mirrors. LOWEST-FIDELITY TIER
+#: (see module docstring): approximated profile *shapes* — surface
+#: values, tropospheric gradients and stratospheric layers consistent
+#: with the AFGL-era literature and typical measured abundances — built
+#: from sparse (z, ppmv) nodes via log-linear interpolation, NOT
+#: per-level transcriptions (published tables unavailable offline).
+#: Radiometrically all are minor at reflective wavelengths; users with
+#: the published tables substitute via ``ThermoProfile.from_arrays``.
+AFGL_SINGLE_TRACE_PPMV = {
+    # sharp decline of the soluble surface-sourced gas
+    "NH3": _shape([(0, 5.0e-4), (2, 3.0e-4), (6, 8.0e-5), (10, 1.5e-5),
+                   (16, 3.0e-6), (30, 5.0e-7), (50, 2.0e-7), (120, 1.0e-7)]),
+    # photochemical radical: ppq-level troposphere, mesospheric layer
+    "OH": _shape([(0, 5.0e-8), (10, 8.0e-8), (20, 6.0e-7), (30, 6.0e-6),
+                  (40, 6.0e-5), (50, 3.0e-4), (60, 1.0e-3), (75, 8.0e-3),
+                  (85, 1.5e-2), (95, 5.0e-3), (120, 1.0e-3)]),
+    # stratospheric source (CFC photolysis): rises above the tropopause
+    "HF": _shape([(0, 3.0e-5), (12, 3.0e-5), (20, 1.5e-4), (30, 5.0e-4),
+                  (40, 9.0e-4), (50, 1.0e-3), (120, 1.0e-3)]),
+    # marine boundary layer + stratospheric reservoir
+    "HCl": _shape([(0, 1.0e-3), (2, 4.0e-4), (8, 1.5e-4), (14, 1.0e-4),
+                   (20, 2.5e-4), (30, 8.0e-4), (40, 1.6e-3), (50, 2.0e-3),
+                   (120, 2.0e-3)]),
+    "HBr": _shape([(0, 1.7e-6), (12, 1.7e-6), (50, 2.2e-6), (120, 2.2e-6)]),
+    "HI": _shape([(0, 3.0e-6), (120, 3.0e-6)]),
+    # upper-stratospheric photochemical layer
+    "ClO": _shape([(0, 1.0e-8), (15, 2.0e-8), (25, 1.0e-5), (32, 5.0e-5),
+                   (40, 1.4e-4), (45, 1.0e-4), (55, 3.0e-5), (70, 1.0e-6),
+                   (120, 1.0e-7)]),
+    # long-lived tropospheric reservoir, photolysed in the stratosphere
+    "OCS": _shape([(0, 5.0e-4), (12, 5.0e-4), (20, 2.5e-4), (30, 3.0e-5),
+                   (40, 3.0e-6), (60, 5.0e-7), (120, 1.0e-7)]),
+    # formaldehyde: CH4-oxidation background, photolysed aloft
+    "H2CO": _shape([(0, 2.0e-3), (2, 1.0e-3), (8, 3.0e-4), (14, 1.0e-4),
+                    (25, 3.0e-5), (40, 1.0e-5), (60, 3.0e-6), (120, 1.0e-6)]),
+    # chlorine reservoir layer below the ClO peak
+    "HOCl": _shape([(0, 1.0e-8), (15, 5.0e-8), (25, 3.0e-5), (35, 1.1e-4),
+                    (42, 8.0e-5), (55, 1.0e-5), (120, 1.0e-7)]),
+    # well-mixed through the stratosphere
+    "HCN": _shape([(0, 1.7e-4), (30, 1.7e-4), (50, 1.0e-4), (80, 2.0e-5),
+                   (120, 5.0e-6)]),
+    # methyl chloride: dominant natural organochlorine
+    "CH3Cl": _shape([(0, 6.0e-4), (12, 6.0e-4), (20, 4.5e-4), (30, 1.5e-4),
+                     (40, 2.5e-5), (55, 2.0e-6), (120, 1.0e-7)]),
+    # hydrogen peroxide: HOx reservoir, lower-troposphere maximum
+    "H2O2": _shape([(0, 1.5e-3), (4, 1.0e-3), (10, 3.0e-4), (16, 1.0e-4),
+                    (25, 1.5e-4), (35, 1.0e-4), (45, 3.0e-5), (60, 5.0e-6),
+                    (120, 1.0e-7)]),
+    # acetylene: combustion-sourced, short-lived
+    "C2H2": _shape([(0, 3.0e-4), (4, 1.5e-4), (10, 6.0e-5), (16, 2.0e-5),
+                    (25, 3.0e-6), (40, 3.0e-7), (120, 1.0e-8)]),
+    # ethane: longest-lived NMHC
+    "C2H6": _shape([(0, 1.5e-3), (8, 1.0e-3), (14, 5.0e-4), (20, 2.0e-4),
+                    (30, 3.0e-5), (40, 5.0e-6), (60, 1.0e-6), (120, 1.0e-7)]),
+    # phosphine: no persistent terrestrial background — kept at the AFGL
+    # placeholder floor so the species axis exists for HITRAN-keyed DBs
+    "PH3": _shape([(0, 1.0e-8), (120, 1.0e-8)]),
+}
+
+
 for _name, _tab in AFGL_MINOR_PPMV.items():
     assert _tab.size == 50, _name
 for _name, _tab in AFGL_UV_TRACE_PPMV.items():
+    assert _tab.size == 50, _name
+for _name, _tab in AFGL_SINGLE_TRACE_PPMV.items():
     assert _tab.size == 50, _name
 for _tabs in (AFGL_H2O_PPMV, AFGL_O3_PPMV):
     for _name, _tab in _tabs.items():

@@ -207,6 +207,7 @@ def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
         AFGL_H2O_PPMV,
         AFGL_MINOR_PPMV,
         AFGL_O3_PPMV,
+        AFGL_SINGLE_TRACE_PPMV,
         AFGL_SURFACE,
         AFGL_TEMPERATURE,
         AFGL_UV_TRACE_PPMV,
@@ -239,9 +240,14 @@ def afgl_1986(identifier: str = "us_standard", z_km=None) -> ThermoProfile:
     x_o3_tab = x_o3_tab * (gas["o3_du"] / o3_col_du)
 
     x = {k: v * 1e-6 for k, v in AFGL_MINOR_PPMV.items()}
-    # UV-relevant trace species (approximated-shape tier; see
-    # afgl1986_data.AFGL_UV_TRACE_PPMV provenance note)
+    # Trace extension tiers (approximated shapes; see the provenance
+    # notes on afgl1986_data.AFGL_UV_TRACE_PPMV / AFGL_SINGLE_TRACE_PPMV).
+    # Together with the tables above these complete joseki's 28-molecule
+    # afgl_1986 species set (joseki.make(..., additional_molecules=True);
+    # the reference default is the 7-molecule set,
+    # src/eradiate/scenes/atmosphere/_molecular.py:80-84).
     x.update({k: v * 1e-6 for k, v in AFGL_UV_TRACE_PPMV.items()})
+    x.update({k: v * 1e-6 for k, v in AFGL_SINGLE_TRACE_PPMV.items()})
     x["Ar"] = np.full_like(z_tab, _DRY_AIR["Ar"])
     x["H2O"] = x_h2o_tab
     x["O3"] = x_o3_tab

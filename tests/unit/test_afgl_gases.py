@@ -223,3 +223,87 @@ class TestUVTraceSpecies:
         x = AFGL_UV_TRACE_PPMV["SO2"]
         assert x[0] == x.max()
         assert x[30] < 1e-5  # negligible in the upper stratosphere
+
+
+class TestSingleTraceSpecies:
+    """The 16 single-profile species completing joseki's 28-molecule
+    afgl_1986 set (approximated-shape tier; AFGL-TR-86-0110 tabulates
+    these once for all six variants, which the table mirrors). Pins the
+    species roster, structural shape facts and column magnitudes."""
+
+    JOSEKI_28 = {
+        "H2O", "CO2", "O3", "N2O", "CO", "CH4", "O2",  # per-variant 7
+        "NO", "SO2", "NO2", "NH3", "HNO3", "OH", "HF", "HCl", "HBr",
+        "HI", "ClO", "OCS", "H2CO", "HOCl", "N2", "HCN", "CH3Cl",
+        "H2O2", "C2H2", "C2H6", "PH3",
+    }
+
+    def test_roster_completes_joseki_set(self):
+        from eradiate_tpu.physics.thermoprops import afgl_1986
+
+        for variant in ("us_standard", "tropical", "subarctic_winter"):
+            prof = afgl_1986(variant)
+            missing = self.JOSEKI_28 - set(prof.x)
+            assert not missing, f"{variant}: missing species {missing}"
+            for sp in self.JOSEKI_28:
+                assert prof.x[sp].shape == prof.z.shape
+                assert np.all(prof.x[sp] > 0)
+                assert np.all(prof.x[sp] < 1.0)
+
+    def test_stratospheric_source_gases_increase_aloft(self):
+        """HF and HCl originate from stratospheric halocarbon photolysis:
+        mixing ratio at 40 km must exceed the tropospheric value."""
+        from eradiate_tpu.physics.afgl1986_data import (
+            AFGL_SINGLE_TRACE_PPMV,
+            AFGL_Z_KM,
+        )
+
+        i_trop = np.searchsorted(AFGL_Z_KM, 5.0)
+        i_strat = np.searchsorted(AFGL_Z_KM, 40.0)
+        for sp in ("HF", "HCl"):
+            x = AFGL_SINGLE_TRACE_PPMV[sp]
+            assert x[i_strat] > 3 * x[i_trop], sp
+
+    def test_photolysed_reservoirs_decay_aloft(self):
+        """OCS / CH3Cl / C2H6 are destroyed in the stratosphere: the
+        40 km value must sit far below the surface value."""
+        from eradiate_tpu.physics.afgl1986_data import (
+            AFGL_SINGLE_TRACE_PPMV,
+            AFGL_Z_KM,
+        )
+
+        i_strat = np.searchsorted(AFGL_Z_KM, 40.0)
+        for sp in ("OCS", "CH3Cl", "C2H6", "NH3", "C2H2", "H2CO"):
+            x = AFGL_SINGLE_TRACE_PPMV[sp]
+            assert x[i_strat] < 0.1 * x[0], sp
+
+    def test_clo_hocl_layers(self):
+        """ClO peaks in the upper stratosphere (~35-45 km), HOCl just
+        below it; both are negligible at the surface."""
+        from eradiate_tpu.physics.afgl1986_data import (
+            AFGL_SINGLE_TRACE_PPMV,
+            AFGL_Z_KM,
+        )
+
+        z_clo = AFGL_Z_KM[np.argmax(AFGL_SINGLE_TRACE_PPMV["ClO"])]
+        z_hocl = AFGL_Z_KM[np.argmax(AFGL_SINGLE_TRACE_PPMV["HOCl"])]
+        assert 33.0 <= z_clo <= 47.0
+        assert z_hocl < z_clo
+        assert AFGL_SINGLE_TRACE_PPMV["ClO"][0] < 1e-6
+
+    def test_column_magnitudes(self):
+        """Vertical columns [molec cm^-2] against typical background
+        magnitudes: OCS ~1e16 (0.5 ppb well-mixed troposphere), HCN
+        ~0.5e16, stratospheric HCl ~(1-3)e15 above 20 km."""
+        from eradiate_tpu.physics.thermoprops import afgl_1986
+
+        prof = afgl_1986("us_standard")
+        n_cm3 = prof.n / 1e9 / 1e6
+
+        def col(sp, z_lo=0.0):
+            m = prof.z >= z_lo
+            return np.trapezoid((prof.x[sp] * n_cm3)[m], prof.z[m] * 1e5)
+
+        assert 3e15 < col("OCS") < 3e16
+        assert 1e15 < col("HCN") < 2e16
+        assert 5e14 < col("HCl", z_lo=20.0) < 1e16
