@@ -14,6 +14,41 @@ class TestRayleigh:
         val = rayleigh.compute_sigma_s_air(550.0)
         assert 1.0e-2 < val < 1.3e-2
 
+    def test_published_cross_sections_and_depths(self):
+        """Pin the Rayleigh path to externally published numbers (not
+        self-derived): per-molecule scattering cross-sections and the
+        sea-level Rayleigh optical depth as published by Bodhaine et al.
+        1999 (J. Atmos. Ocean. Tech. 16, Table 3 / eq. 30) and Bucholtz
+        1995 (Appl. Opt. 34). The anchor values below are the commonly
+        quoted table entries transcribed at reduced precision (offline
+        environment), so tolerances are set at 2% — far tighter than any
+        plausible implementation bug (wrong King factor ~ +5%, missing
+        dispersion ~ +10% at 300 nm, wrong density convention ~ x1e3).
+
+        Column for tau: N = P0 / (m_air g) * Na with P0 = 1013.25 hPa
+        (Bodhaine's sea-level convention)."""
+        n_cm3 = rayleigh.STANDARD_AIR_NUMBER_DENSITY_KM3 / 1e15
+        n_col = 1013.25e2 / (9.80665 * 28.9595e-3) * 6.02214076e23 / 1e4
+
+        def sigma_cm2(w_nm):
+            return (rayleigh.compute_sigma_s_air(w_nm) / 1e5) / n_cm3
+
+        # sigma [cm^2/molecule]: 550 nm ~ 4.51e-27 (Bucholtz 4.514e-27),
+        # 400 nm ~ 1.67e-26, 300 nm ~ 5.65e-26
+        assert sigma_cm2(550.0) == pytest.approx(4.51e-27, rel=0.02)
+        assert sigma_cm2(400.0) == pytest.approx(1.67e-26, rel=0.02)
+        assert sigma_cm2(300.0) == pytest.approx(5.65e-26, rel=0.02)
+        # sea-level tau: ~0.0973 at 550 nm, ~0.1435 at 500 nm, ~0.360
+        # at 400 nm (Bodhaine eq. 30 family; quoted across the aerosol
+        # literature)
+        assert sigma_cm2(550.0) * n_col == pytest.approx(0.0973, rel=0.02)
+        assert sigma_cm2(500.0) * n_col == pytest.approx(0.1435, rel=0.02)
+        assert sigma_cm2(400.0) * n_col == pytest.approx(0.360, rel=0.02)
+        # King factor of dry air at 550 nm: ~1.048 (Bodhaine Table 1)
+        assert float(rayleigh.king_factor(550.0)) == pytest.approx(
+            1.048, abs=0.003
+        )
+
     def test_wavelength_scaling(self):
         # ~ lambda^-4 scaling (modulo dispersion)
         a = rayleigh.compute_sigma_s_air(400.0)
