@@ -55,6 +55,7 @@ def __getattr__(name):
         "data",
         "xr",
         "units",
+        "sensitivity",
     }:
         if name == "units":
             from .core import units as mod

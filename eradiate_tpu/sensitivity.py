@@ -1,0 +1,303 @@
+"""Forward-mode sensitivities of rendered radiance/BRF to scene parameters.
+
+A capability the reference does not offer: because the entire transport
+loop is a JAX program (``ops/tracer*.py``), the renderer is forward-mode
+differentiable end to end — :func:`jax.jvp` propagates a tangent through
+free flight, collision fetches, BSDF/phase evaluation and next-event
+estimation in a single render-cost pass per parameter. The reference's
+C++ kernel exposes no parameter derivatives at all (its Mitsuba fork is
+built without autodiff variants); retrieval workflows around it fall
+back to finite differences over repeated renders.
+
+Estimator semantics (important): the returned derivatives are
+**fixed-sample-path ("detached") JVP estimates** — the random decisions
+are taken at the *base* parameter value and the tangent flows through
+the integrand. This is unbiased exactly for parameters that enter path
+*throughput* (surface reflectance and BSDF shape parameters,
+single-scattering albedo, emitter scale): event geometry and event-type
+choices do not depend on them, so the per-sample estimator is smooth.
+Russian roulette would break that property (survival probability tracks
+the path weight while the compensating weight ``beta/q == 1`` hides the
+dependence from the tangent), so sensitivity renders run with RR
+disabled (``rr_depth = max_depth``). Agreement with common-random-
+number finite differences is pinned by ``tests/unit/test_sensitivity.py``.
+
+**Known limitation — extinction/optical-depth parameters.** A channel
+scaling ``tau_levels`` is NOT offered as a built-in: differentiating
+through the closed-form tau inversion moves collision positions
+smoothly, but the collide-vs-boundary event *type* flips at
+``tau_draw == tau_max`` and the detached estimator drops that boundary
+term. Measured (c1-class scene, rho 0.5, SZA 30, spp 65k, seed-averaged
+centered FD at eps 0.05): true d L / d (relative tau) is ~0 to +0.011
+across the hplane while the detached JVP reports a smooth -0.026 — a
+sign-level bias, because for conservative Rayleigh scattering added tau
+mostly redistributes radiance. The fix is an estimator change (forced-
+collision splitting, which makes every segment's theta-dependence
+smooth, or a score-function term for the event choice), not a tangent
+plumbing change; until the tracers grow that estimator, optical-depth
+Jacobians should use seed-averaged common-random-number finite
+differences over :func:`eradiate_tpu.run`.
+
+Implementation notes:
+
+- Forward mode only. The tracers run :func:`jax.lax.while_loop` (path
+  regeneration), which JAX differentiates in forward mode but not in
+  reverse; with a handful of retrieval parameters, K jvp passes are the
+  right tool anyway (reverse mode would pay checkpointed loop replay).
+- The Pallas kernels (spherical flight, leaf sweeps) define no JVP
+  rules, so this module renders with ``ERADIATE_NO_PALLAS=1`` — every
+  kernel has an XLA fallback with identical semantics (the A/B contract
+  pinned by the kernel parity tests). Expect spherical/canopy
+  sensitivity renders to run at the XLA-path rate.
+- Channels perturb the *compiled* scene pytree
+  (:class:`~eradiate_tpu.ops.scene_state.SceneArrays`), not experiment
+  constructor arguments — scene compilation is host-side Python and is
+  not traced.
+
+Reference context: retrieval users of the reference compute BRF
+Jacobians by re-running ``eradiate.run`` per parameter offset
+(finite differences); cf. the experiment surface
+``src/eradiate/experiments/_core.py:808`` which exposes no derivative
+path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+__all__ = ["sensitivities", "channel_names"]
+
+#: Built-in perturbation channels: name -> (theta0, apply(scene, theta)).
+#: Additive channels differentiate w.r.t. the parameter value itself;
+#: ``*_scale`` channels are multiplicative, differentiating w.r.t. a
+#: relative perturbation (theta = fractional change, evaluated at 0).
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+def _chan_surface(name):
+    # Exact for every BSDF whose direction sampling is parameter-free
+    # (all one-sided kinds: cosine-hemisphere sampling with weight f*pi,
+    # ops/bsdf_ops.bsdf_sample_from_uniforms). The bilambertian
+    # reflect-vs-transmit branch chooses by rho/(rho+tau), so its rho/tau
+    # channels carry the discrete-choice bias class described in the
+    # module docstring.
+    def apply(scene, theta):
+        params = dict(scene.surface.params)
+        if name not in params:
+            raise KeyError(
+                f"surface parameter '{name}' not in compiled scene "
+                f"(available: {sorted(scene.surface.params)})"
+            )
+        params[name] = params[name] + theta
+        return _replace(scene, surface=_replace(scene.surface, params=params))
+
+    return 0.0, apply
+
+
+def _chan_medium_albedo():
+    def apply(scene, theta):
+        med = _replace(scene.medium, albedo=scene.medium.albedo + theta)
+        return _replace(scene, medium=med)
+
+    return 0.0, apply
+
+
+def _chan_tau_scale():
+    """NOT a built-in channel (see the module docstring's known-
+    limitation note): the detached JVP is biased for extinction
+    parameters. Kept for experimentation via the callable interface."""
+
+    def apply(scene, theta):
+        med = _replace(
+            scene.medium, tau_levels=scene.medium.tau_levels * (1.0 + theta)
+        )
+        return _replace(scene, medium=med)
+
+    return 0.0, apply
+
+
+def _chan_irradiance_scale():
+    def apply(scene, theta):
+        ill = _replace(
+            scene.illumination,
+            irradiance=scene.illumination.irradiance * (1.0 + theta),
+        )
+        return _replace(scene, illumination=ill)
+
+    return 0.0, apply
+
+
+def _resolve_channel(name):
+    if callable(name):
+        # custom channel: apply(scene, theta) evaluated at theta = 0
+        return 0.0, name
+    if name.startswith("surface."):
+        return _chan_surface(name.split(".", 1)[1])
+    if name == "medium.albedo":
+        return _chan_medium_albedo()
+    if name == "medium.tau_scale":
+        raise ValueError(
+            "'medium.tau_scale' is not offered: the detached JVP is "
+            "biased for extinction parameters (see the module docstring "
+            "known-limitation note). Use seed-averaged common-random-"
+            "number finite differences, or pass _chan_tau_scale()[1] as "
+            "a callable channel if you accept the bias."
+        )
+    if name == "illumination.irradiance_scale":
+        return _chan_irradiance_scale()
+    raise ValueError(
+        f"unknown sensitivity channel '{name}'; use 'surface.<param>', "
+        "'medium.albedo', 'illumination.irradiance_scale', or pass a "
+        "callable apply(scene, theta)"
+    )
+
+
+def channel_names(scene) -> list:
+    """Built-in channel names valid for a compiled scene."""
+    names = [f"surface.{k}" for k in sorted(scene.surface.params)]
+    names += ["medium.albedo", "illumination.irradiance_scale"]
+    return names
+
+
+def sensitivities(exp, wrt, spp=None, seed=0):
+    """Radiance/BRF values and parameter sensitivities for an experiment.
+
+    Parameters
+    ----------
+    exp
+        A constructed experiment (any family whose local render path the
+        channels' scene structure applies to: atmosphere, canopy, DEM,
+        spherical).
+    wrt
+        Sequence of channel names (see :func:`channel_names`) and/or
+        callables ``apply(scene, theta)``.
+    spp
+        Samples per pixel (default: each measure's own ``spp``).
+    seed
+        Base RNG seed; measure ``i`` renders with ``seed + i``. The same
+        sample paths evaluate value and all tangents (common random
+        numbers by construction).
+
+    Returns
+    -------
+    dict
+        ``{measure_id: entry}`` where ``entry`` has ``radiance`` [S, P],
+        ``brf`` [S, P] (present for distant-type measures),
+        ``radiance_var`` [S, P] (MC variance of the mean), and ``jac``:
+        ``{channel_name: {"radiance": [S, P], "brf": [S, P]}}`` — all
+        numpy arrays.
+
+    Notes
+    -----
+    BRF is computed as ``pi * L / (E * mu0)`` from the compiled
+    illumination (the post-processing pipeline's convention,
+    ``pipelines/logic.py``); since the normalization is linear, channel
+    tangents map through the same factor. The ``spp`` MC noise of a
+    tangent is typically larger than that of the value — derivatives
+    are differences of correlated transport terms — so budget more
+    samples for tight Jacobians.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    channels = []
+    for name in wrt:
+        theta0, apply = _resolve_channel(name)
+        channels.append((name if not callable(name) else getattr(
+            name, "__name__", "custom"), theta0, apply))
+
+    out = {}
+    prev = os.environ.get("ERADIATE_NO_PALLAS")
+    os.environ["ERADIATE_NO_PALLAS"] = "1"
+    try:
+        for i, measure in enumerate(exp.measures):
+            ctx = exp.spectral_context(measure)
+            scene, sensor, config = exp.compile_scene(measure, ctx)
+            # Disable Russian roulette: RR survival is a discrete decision
+            # whose probability tracks the path weight, so under a weight-
+            # perturbing channel the detached JVP would silently drop the
+            # continuation value of paths at the survival threshold (the
+            # compensating weight beta/q == 1 hides the dependence). With
+            # RR off, throughput channels are exactly differentiable;
+            # max_depth still bounds the loop.
+            config = dataclasses.replace(config, rr_depth=config.max_depth)
+            n = int(spp) if spp is not None else int(measure.spp)
+
+            def run(scene_p):
+                raw = exp._render_one(
+                    scene_p, sensor, config, n, seed + i, mesh=None
+                )
+                return (
+                    jnp.asarray(raw["radiance"]),
+                    jnp.asarray(raw["m2"]),
+                    # returned so each channel's effect on the BRF
+                    # normalization comes out of the same jvp
+                    jnp.asarray(scene_p.illumination.irradiance),
+                )
+
+            def f(thetas):
+                s = scene
+                for (_, _, apply), th in zip(channels, thetas):
+                    s = apply(s, th)
+                return run(s)
+
+            thetas0 = tuple(
+                jnp.asarray(t0, dtype=jnp.result_type(float))
+                for _, t0, _ in channels
+            )
+            # K forward passes, one per channel (tangent basis vectors)
+            jac = {}
+            d_irr = {}
+            radiance = m2 = None
+            for k, (name, _, _) in enumerate(channels):
+                tangents = tuple(
+                    jnp.ones_like(t) if j == k else jnp.zeros_like(t)
+                    for j, t in enumerate(thetas0)
+                )
+                (val, val_m2, _), (tan, _, tan_irr) = jax.jvp(
+                    f, (thetas0,), (tangents,)
+                )
+                if radiance is None:
+                    radiance, m2 = np.asarray(val), np.asarray(val_m2)
+                jac[name] = {"radiance": np.asarray(tan)}
+                d_irr[name] = np.asarray(tan_irr)
+            if not channels:
+                radiance, m2, _ = (np.asarray(x) for x in f(()))
+
+            entry = {"radiance": radiance, "jac": jac}
+            entry["radiance_var"] = np.maximum(
+                m2 - radiance**2, 0.0
+            ) / max(n, 1)
+
+            # BRF for distant-type measures: brf = pi L / (E mu0).
+            # Channel tangents follow the quotient rule — channels that
+            # scale the irradiance (dE != 0) leave BRF invariant up to
+            # transport nonlinearity, which the second term captures.
+            mu0 = float(abs(np.asarray(scene.illumination.direction)[2]))
+            irr = np.asarray(scene.illumination.irradiance)
+            if mu0 > 0 and np.all(irr > 0) and _is_distant(measure):
+                factor = (np.pi / (irr * mu0))[:, None]
+                brf = radiance * factor
+                entry["brf"] = brf
+                for name in jac:
+                    rel_de = (d_irr[name] / irr)[:, None]
+                    jac[name]["brf"] = (
+                        jac[name]["radiance"] * factor - brf * rel_de
+                    )
+            out[measure.id] = entry
+    finally:
+        if prev is None:
+            os.environ.pop("ERADIATE_NO_PALLAS", None)
+        else:
+            os.environ["ERADIATE_NO_PALLAS"] = prev
+    return out
+
+
+def _is_distant(measure) -> bool:
+    return "distant" in type(measure).__name__.lower()

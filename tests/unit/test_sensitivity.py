@@ -1,0 +1,190 @@
+"""Forward-mode sensitivity module (eradiate_tpu.sensitivity).
+
+Pins the estimator contract: detached JVP == common-random-number
+finite differences for throughput channels (with RR disabled both
+ways), exact linearity/invariance identities, and the documented
+refusal of the biased extinction channel.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import eradiate_tpu as ert
+from eradiate_tpu.experiments import AtmosphereExperiment
+from eradiate_tpu.sensitivity import channel_names, sensitivities
+
+
+def _make(rho=0.5, spp=512, surface=None):
+    return AtmosphereExperiment(
+        illumination={"type": "directional", "zenith": 30.0, "azimuth": 0.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": np.linspace(-60, 60, 3),
+            "azimuth": 0.0,
+            "spp": spp,
+        },
+        surface=surface or {"type": "lambertian", "reflectance": rho},
+        atmosphere={"type": "molecular"},
+    )
+
+
+def _render_norr(exp, scene, sensor, config, spp, seed):
+    config = dataclasses.replace(config, rr_depth=config.max_depth)
+    return np.asarray(
+        exp._render_one(scene, sensor, config, spp, seed, mesh=None)[
+            "radiance"
+        ]
+    )
+
+
+@pytest.fixture(autouse=True)
+def _mode():
+    ert.set_mode("mono_single")
+
+
+class TestThroughputChannels:
+    def test_reflectance_matches_crn_fd(self):
+        """With RR off and parameter-free direction sampling the
+        per-sample estimator is smooth in rho, so a small-eps CRN
+        centered difference must match the JVP tightly even at low
+        spp."""
+        import jax.numpy as jnp
+
+        exp = _make(spp=512)
+        res = sensitivities(exp, wrt=["surface.reflectance"], seed=7)
+        jvp = res[exp.measures[0].id]["jac"]["surface.reflectance"][
+            "radiance"
+        ]
+
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        scene, sensor, config = exp.compile_scene(m, ctx)
+        eps = 1e-3
+
+        def at(drho):
+            params = dict(scene.surface.params)
+            params["reflectance"] = params["reflectance"] + drho
+            s = dataclasses.replace(
+                scene, surface=dataclasses.replace(scene.surface,
+                                                   params=params)
+            )
+            return _render_norr(exp, s, sensor, config, 512, 7)
+
+        fd = (at(+eps) - at(-eps)) / (2 * eps)
+        np.testing.assert_allclose(jvp, fd, rtol=5e-3, atol=5e-4)
+
+    def test_rpv_shape_parameter(self):
+        """BSDF shape parameters (here RPV k) differentiate cleanly."""
+        exp = _make(
+            surface={"type": "rpv", "rho_0": 0.18, "k": 0.75, "g": -0.1}
+        )
+        res = sensitivities(exp, wrt=["surface.k", "surface.rho_0"], seed=3)
+        e = res[exp.measures[0].id]
+        assert np.all(np.isfinite(e["jac"]["surface.k"]["radiance"]))
+        # brighter rho_0 -> brighter signal, everywhere
+        assert np.all(e["jac"]["surface.rho_0"]["radiance"] > 0)
+
+    def test_albedo_channel_sign(self):
+        exp = _make()
+        res = sensitivities(exp, wrt=["medium.albedo"], seed=1)
+        d = res[exp.measures[0].id]["jac"]["medium.albedo"]["radiance"]
+        # more scattering albedo over a rho=0.5 surface cannot darken the
+        # TOA signal at 550 nm (Rayleigh albedo is already ~1; the
+        # derivative is small but positive)
+        assert np.all(d > 0)
+
+
+class TestExactIdentities:
+    def test_irradiance_scale_linearity_and_brf_invariance(self):
+        exp = _make(spp=256)
+        res = sensitivities(
+            exp, wrt=["illumination.irradiance_scale"], seed=0
+        )
+        e = res[exp.measures[0].id]
+        # radiance is exactly linear in the emitter scale
+        np.testing.assert_allclose(
+            e["jac"]["illumination.irradiance_scale"]["radiance"],
+            e["radiance"],
+            rtol=1e-6,
+        )
+        # BRF is exactly invariant (quotient rule cancels)
+        np.testing.assert_allclose(
+            e["jac"]["illumination.irradiance_scale"]["brf"], 0.0,
+            atol=1e-7,
+        )
+
+    def test_value_matches_plain_render(self):
+        """The sensitivity primal equals a plain (RR-off) render at the
+        same seed."""
+        exp = _make(spp=256)
+        res = sensitivities(exp, wrt=["surface.reflectance"], seed=5)
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        scene, sensor, config = exp.compile_scene(m, ctx)
+        import os
+
+        prev = os.environ.get("ERADIATE_NO_PALLAS")
+        os.environ["ERADIATE_NO_PALLAS"] = "1"
+        try:
+            plain = _render_norr(exp, scene, sensor, config, 256, 5)
+        finally:
+            if prev is None:
+                os.environ.pop("ERADIATE_NO_PALLAS", None)
+            else:
+                os.environ["ERADIATE_NO_PALLAS"] = prev
+        np.testing.assert_allclose(res[m.id]["radiance"], plain, rtol=1e-6)
+
+
+class TestScopeAndErrors:
+    def test_tau_scale_is_refused(self):
+        exp = _make(spp=64)
+        with pytest.raises(ValueError, match="biased"):
+            sensitivities(exp, wrt=["medium.tau_scale"])
+
+    def test_unknown_channel(self):
+        exp = _make(spp=64)
+        with pytest.raises(ValueError, match="unknown sensitivity channel"):
+            sensitivities(exp, wrt=["medium.banana"])
+
+    def test_unknown_surface_param(self):
+        exp = _make(spp=64)
+        with pytest.raises(KeyError, match="not in compiled scene"):
+            sensitivities(exp, wrt=["surface.banana"])
+
+    def test_channel_names(self):
+        exp = _make(spp=64)
+        m = exp.measures[0]
+        scene, _, _ = exp.compile_scene(m, exp.spectral_context(m))
+        names = channel_names(scene)
+        assert "surface.reflectance" in names
+        assert "medium.albedo" in names
+        assert "medium.tau_scale" not in names
+
+
+class TestSphericalGeometry:
+    def test_jvp_through_spherical_tracer(self):
+        """The spherical path differentiates through the XLA (no-Pallas)
+        kernels; sensitivities() forces that branch itself."""
+        exp = AtmosphereExperiment(
+            geometry={"type": "spherical_shell"},
+            illumination={"type": "directional", "zenith": 50.0,
+                          "azimuth": 0.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": np.linspace(-40, 40, 3),
+                "azimuth": 0.0,
+                "spp": 128,
+            },
+            surface={"type": "lambertian", "reflectance": 0.4},
+            atmosphere={"type": "molecular"},
+        )
+        res = sensitivities(exp, wrt=["surface.reflectance"], seed=2)
+        e = res[exp.measures[0].id]
+        d = e["jac"]["surface.reflectance"]["brf"]
+        assert np.all(np.isfinite(d))
+        # direct two-way transmittance bounds the reflectance derivative
+        assert np.all(d > 0.2) and np.all(d < 1.2)
