@@ -138,6 +138,13 @@ class SceneConfig:
     toa_altitude: float = 120.0
     #: whether a surface exists (False -> rays exiting at the bottom die)
     has_surface: bool = True
+    #: likelihood-ratio free flight: detach the sampling geometry and
+    #: carry smooth medium-ratio weights, making forward-mode derivatives
+    #: w.r.t. extinction parameters unbiased (eradiate_tpu.sensitivity).
+    #: Primal output is BIT-IDENTICAL either way; the flag only controls
+    #: whether the extra tangent plumbing (one fetch column + a tau(z)
+    #: interpolation per bounce, ~7% on c1-class scenes) is built.
+    lr_flight: bool = False
     #: whether the sensor measures at TOA looking down (True) or is placed
     #: inside the medium via ray_offset
     sensor_at_toa: bool = True

@@ -101,11 +101,16 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
     param_tables, param_slots = layer_param_slots(
         config.phase_kinds, medium_row.phase_params
     )
+    # per-layer vertical depth increments, fetched ATTACHED (their tangent
+    # carries d log sigma for the likelihood-ratio weights; lr_flight only)
+    _lr = bool(getattr(config, "lr_flight", False))
     fetch_tables = (
-        [medium_row.albedo]
+        ([jnp.diff(tau_levels)] if _lr else [])
+        + [medium_row.albedo]
         + [medium_row.phase_weights[c] for c in range(C)]
         + param_tables
     )
+    _off = 1 if _lr else 0
 
     def bounce(depth_b, z, tau_here, xy, d, beta, keys, u0_dist=None, ld=None):
         # ONE batched threefry draw per bounce: per-purpose key splits +
@@ -147,15 +152,47 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         collide = tau_s < tau_exit
 
         # ---- volume collision ------------------------------------------
-        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
+        # lr_flight: sampling geometry is DETACHED (stop_gradient) —
+        # collision altitudes and event choices come from the primal
+        # medium, and the medium's parameter dependence re-enters through
+        # smooth likelihood-ratio weights (r_col / r_bnd). This makes
+        # forward-mode derivatives w.r.t. extinction parameters unbiased
+        # (the attached-inversion "reparameterized" tangent drops the
+        # collide-vs-boundary flip term — measured sign-level bias, see
+        # eradiate_tpu/sensitivity.py). All correction factors are
+        # primal-neutral (exp(g - sg(g)) == 1.0, x + (a - sg(a)) == x
+        # exactly), so the two flag settings render bit-identically;
+        # production (flag off) skips the extra tangent plumbing (~7%
+        # on c1-class scenes: one fetch column + a tau(z) interpolation
+        # per bounce).
+        sg = jax.lax.stop_gradient if _lr else (lambda x: x)
+        tau_new_smp = jnp.clip(sg(tau_here) + mu * tau_s, 0.0, sg(tau_top))
         z_col, layer, fetched = collision_fetch(
-            tau_new, z_levels, tau_levels, fetch_tables
+            tau_new_smp, z_levels, sg(tau_levels), fetch_tables
         )
-        albedo_col = fetched[0]
-        weights_at = jnp.stack(fetched[1 : 1 + C], axis=-1)  # [B, C]
+        albedo_col = fetched[_off]
+        weights_at = jnp.stack(
+            fetched[_off + 1 : _off + 1 + C], axis=-1
+        )  # [B, C]
         params_at = rebuild_fetched(
-            config.phase_kinds, param_slots, fetched[1 + C :]
+            config.phase_kinds, param_slots, fetched[_off + 1 + C :]
         )
+        if _lr:
+            # attached tau at the FIXED collision altitude; primal equals
+            # the sampled tau exactly via the primal-neutral form
+            tau_new_att = tau_at_z(z_col, z_levels, tau_levels)
+            tau_new = tau_new_smp + (tau_new_att - sg(tau_new_att))
+            # log-likelihood ratio of the attached vs sampling medium:
+            # collision density  sigma(z) exp(-tau_path)  at fixed z
+            # (sigma ratio via the layer's dtau: dz is theta-independent);
+            # boundary probability  exp(-tau_exit).
+            tau_path = jnp.abs(tau_new - tau_here) / jnp.abs(mu)
+            g_col = jnp.log(jnp.maximum(fetched[0], 1e-30)) - tau_path
+            r_col = jnp.exp(g_col - sg(g_col))  # primal exactly 1.0
+            r_bnd = jnp.exp(-(tau_exit - sg(tau_exit)))  # primal 1.0
+        else:
+            tau_new = tau_new_smp
+            r_col = r_bnd = 1.0
         s_col = (z_col - z) / mu
         xy_col = xy + d[:, :2] * s_col[:, None]
 
@@ -169,7 +206,7 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
             )
         )(weights_at, params_at, cos_nee)
         T_sun_col = jnp.exp(-(tau_top - tau_new) / mu_nee)
-        L_col = beta * albedo_col * p_nee * T_sun_col * E_sun
+        L_col = beta * r_col * albedo_col * p_nee * T_sun_col * E_sun
 
         def _sample_one(w_at, p_at, dd, us, uc, up):
             return phase_sample_at(
@@ -186,7 +223,7 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         d_col = jax.vmap(_sample_one)(
             weights_at, params_at, d, u_ph_sel, u_ph_cos, u_ph_phi
         )
-        beta_col = beta * albedo_col
+        beta_col = beta * r_col * albedo_col
 
         # ---- surface hit ------------------------------------------------
         hit_surface = (~collide) & (mu < 0.0) & config.has_surface
@@ -197,18 +234,18 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
         f_nee = bsdf_eval(
             config.surface_kind, surface_row.params, w_nee, wo, xy_surf
         )
-        L_surf = beta * f_nee * mu_nee * T_sun_bottom * E_sun
+        L_surf = beta * r_bnd * f_nee * mu_nee * T_sun_bottom * E_sun
         d_surf, w_surf = bsdf_sample_from_uniforms(
             config.surface_kind, surface_row.params, wo, u_srf, xy_surf
         )
-        beta_surf = beta * w_surf
+        beta_surf = beta * r_bnd * w_surf
 
         # ---- combine ----------------------------------------------------
         contribution = jnp.where(
             collide,
             L_col,
             # escaping paths collect the uniform sky radiance
-            jnp.where(hit_surface, L_surf, beta * L_sky),
+            jnp.where(hit_surface, L_surf, beta * r_bnd * L_sky),
         )
         z2 = jnp.where(collide, z_col, z_bottom)
         tau2 = jnp.where(collide, tau_new, 0.0)

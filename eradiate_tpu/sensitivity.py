@@ -22,21 +22,29 @@ dependence from the tangent), so sensitivity renders run with RR
 disabled (``rr_depth = max_depth``). Agreement with common-random-
 number finite differences is pinned by ``tests/unit/test_sensitivity.py``.
 
-**Known limitation — extinction/optical-depth parameters.** A channel
-scaling ``tau_levels`` is NOT offered as a built-in: differentiating
-through the closed-form tau inversion moves collision positions
-smoothly, but the collide-vs-boundary event *type* flips at
-``tau_draw == tau_max`` and the detached estimator drops that boundary
-term. Measured (c1-class scene, rho 0.5, SZA 30, spp 65k, seed-averaged
-centered FD at eps 0.05): true d L / d (relative tau) is ~0 to +0.011
-across the hplane while the detached JVP reports a smooth -0.026 — a
-sign-level bias, because for conservative Rayleigh scattering added tau
-mostly redistributes radiance. The fix is an estimator change (forced-
-collision splitting, which makes every segment's theta-dependence
-smooth, or a score-function term for the event choice), not a tangent
-plumbing change; until the tracers grow that estimator, optical-depth
-Jacobians should use seed-averaged common-random-number finite
-differences over :func:`eradiate_tpu.run`.
+**Extinction/optical-depth parameters** (the ``medium.tau_scale``
+channel) need one more ingredient: naively differentiating through the
+closed-form tau inversion moves collision positions smoothly, but the
+collide-vs-boundary event *type* flips at ``tau_draw == tau_max`` and
+the detached estimator drops that boundary term — a sign-level bias
+(measured on a c1-class scene, rho 0.5, SZA 30: true d L / d(relative
+tau) is ~0 to +0.011 across the hplane by 65k-spp seed-averaged
+centered FD, while the naive JVP reports a smooth -0.026; for
+conservative Rayleigh scattering added tau mostly redistributes
+radiance). The plane-parallel tracer therefore offers a
+**likelihood-ratio flight estimator** (``SceneConfig.lr_flight``,
+enabled by this module): sampling geometry is detached (collision
+altitudes and event choices come from the primal medium) and the
+medium's parameter dependence re-enters through smooth per-segment
+ratio weights ``sigma(z) exp(-tau_path)`` / ``exp(-tau_exit)`` — an
+importance-sampling identity, unbiased, and validated against the same
+high-spp FD (agreement within MC noise). The correction factors are
+primal-neutral (``exp(g - stop_gradient(g)) == 1`` exactly), so the
+flag changes production output by zero bits; it is off by default
+because the extra tangent plumbing costs ~7% on c1-class scenes.
+``medium.tau_scale`` is accepted only for plane-parallel unpolarized
+experiments (the other tracer families have not grown the estimator);
+elsewhere use seed-averaged common-random-number finite differences.
 
 Implementation notes:
 
@@ -109,10 +117,9 @@ def _chan_medium_albedo():
 
 
 def _chan_tau_scale():
-    """NOT a built-in channel (see the module docstring's known-
-    limitation note): the detached JVP is biased for extinction
-    parameters. Kept for experimentation via the callable interface."""
-
+    # Requires the likelihood-ratio flight estimator (lr_flight), which
+    # sensitivities() enables; only the plane-parallel unpolarized
+    # tracer implements it (see _check_tau_support).
     def apply(scene, theta):
         med = _replace(
             scene.medium, tau_levels=scene.medium.tau_levels * (1.0 + theta)
@@ -142,27 +149,37 @@ def _resolve_channel(name):
     if name == "medium.albedo":
         return _chan_medium_albedo()
     if name == "medium.tau_scale":
-        raise ValueError(
-            "'medium.tau_scale' is not offered: the detached JVP is "
-            "biased for extinction parameters (see the module docstring "
-            "known-limitation note). Use seed-averaged common-random-"
-            "number finite differences, or pass _chan_tau_scale()[1] as "
-            "a callable channel if you accept the bias."
-        )
+        return _chan_tau_scale()
     if name == "illumination.irradiance_scale":
         return _chan_irradiance_scale()
     raise ValueError(
         f"unknown sensitivity channel '{name}'; use 'surface.<param>', "
-        "'medium.albedo', 'illumination.irradiance_scale', or pass a "
-        "callable apply(scene, theta)"
+        "'medium.albedo', 'medium.tau_scale', "
+        "'illumination.irradiance_scale', or pass a callable "
+        "apply(scene, theta)"
     )
 
 
 def channel_names(scene) -> list:
     """Built-in channel names valid for a compiled scene."""
     names = [f"surface.{k}" for k in sorted(scene.surface.params)]
-    names += ["medium.albedo", "illumination.irradiance_scale"]
+    names += ["medium.albedo", "medium.tau_scale",
+              "illumination.irradiance_scale"]
     return names
+
+
+def _check_tau_support(config, wrt):
+    if "medium.tau_scale" in wrt and (
+        config.geometry != "plane_parallel" or config.polarized
+    ):
+        raise ValueError(
+            "'medium.tau_scale' requires the likelihood-ratio flight "
+            "estimator, implemented only by the plane-parallel "
+            "unpolarized tracer (got geometry="
+            f"'{config.geometry}', polarized={config.polarized}); use "
+            "seed-averaged common-random-number finite differences for "
+            "this configuration."
+        )
 
 
 def sensitivities(exp, wrt, spp=None, seed=0):
@@ -225,8 +242,14 @@ def sensitivities(exp, wrt, spp=None, seed=0):
             # continuation value of paths at the survival threshold (the
             # compensating weight beta/q == 1 hides the dependence). With
             # RR off, throughput channels are exactly differentiable;
-            # max_depth still bounds the loop.
-            config = dataclasses.replace(config, rr_depth=config.max_depth)
+            # max_depth still bounds the loop. lr_flight switches the
+            # plane-parallel tracer to detached-sampling likelihood-ratio
+            # free flight (bit-identical primal), which additionally makes
+            # extinction channels unbiased.
+            _check_tau_support(config, [c[0] for c in channels])
+            config = dataclasses.replace(
+                config, rr_depth=config.max_depth, lr_flight=True
+            )
             n = int(spp) if spp is not None else int(measure.spp)
 
             def run(scene_p):

@@ -138,11 +138,134 @@ class TestExactIdentities:
         np.testing.assert_allclose(res[m.id]["radiance"], plain, rtol=1e-6)
 
 
-class TestScopeAndErrors:
-    def test_tau_scale_is_refused(self):
-        exp = _make(spp=64)
-        with pytest.raises(ValueError, match="biased"):
+class TestTauChannel:
+    def test_tau_scale_matches_analytic_absorber(self):
+        """Pure absorber over a Lambertian surface: the direct signal is
+        L = (rho/pi) mu0 E exp(-tau/mu0 - tau/mu), so the relative
+        derivative w.r.t. a tau scale is exactly -tau (1/mu0 + 1/mu).
+        Under the likelihood-ratio estimator every surviving sample
+        carries the same tangent ratio, so the JVP is zero-variance and
+        must hit the closed form to float precision. (A CRN finite
+        difference cannot validate this channel: stop_gradient detaches
+        tangents, not primal evaluation, so FD still resamples the
+        perturbed medium — use this analytic gate instead.)"""
+        tau = 0.4
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 30.0,
+                          "azimuth": 0.0},
+            measures={"type": "mdistant", "construct": "hplane",
+                      "zeniths": np.array([-45.0, 0.0, 45.0]),
+                      "azimuth": 0.0, "spp": 4096},
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere={"type": "homogeneous", "top": 10.0,
+                        "sigma_s": 0.0, "sigma_a": tau / 10.0},
+        )
+        res = sensitivities(exp, wrt=["medium.tau_scale"], seed=4)
+        e = res[exp.measures[0].id]
+        mu0 = np.cos(np.radians(30.0))
+        mus = np.cos(np.radians([45.0, 0.0, 45.0]))
+        rel = (
+            e["jac"]["medium.tau_scale"]["radiance"] / e["radiance"]
+        ).ravel()
+        np.testing.assert_allclose(
+            rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=1e-4
+        )
+
+    def test_tau_scale_sign_with_scattering(self):
+        """Conservative Rayleigh over a bright surface: the naive
+        (attached-inversion) estimator reported a spurious smooth
+        -0.026; the likelihood-ratio estimator must NOT reproduce that
+        sign-level bias (true value is ~0 to slightly positive at
+        forward angles — bounded well above the biased value)."""
+        exp = _make(spp=8192)
+        res = sensitivities(exp, wrt=["medium.tau_scale"], seed=9)
+        d = res[exp.measures[0].id]["jac"]["medium.tau_scale"][
+            "radiance"
+        ].ravel()
+        assert np.all(d > -0.015), d
+
+    def test_lr_flight_primal_bit_identical(self):
+        """The lr_flight estimator changes production output by ZERO
+        bits — the correction factors are primal-neutral."""
+        exp = _make(spp=256)
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        scene, sensor, config = exp.compile_scene(m, ctx)
+        off = np.asarray(
+            exp._render_one(scene, sensor, config, 256, 3, mesh=None)[
+                "radiance"
+            ]
+        )
+        config_lr = dataclasses.replace(config, lr_flight=True)
+        on = np.asarray(
+            exp._render_one(scene, sensor, config_lr, 256, 3, mesh=None)[
+                "radiance"
+            ]
+        )
+        assert np.array_equal(off, on)
+
+    def test_layer_channels_sum_to_total(self):
+        """The per-layer weighting-function decomposition (custom
+        channels, docs example) must sum exactly to the tau_scale
+        channel — linearity of the JVP in the tangent."""
+        import jax.numpy as jnp
+
+        exp = AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 30.0,
+                          "azimuth": 0.0},
+            measures={"type": "mdistant", "construct": "hplane",
+                      "zeniths": np.array([0.0]), "azimuth": 0.0,
+                      "spp": 1024},
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere={"type": "homogeneous", "top": 10.0,
+                        "sigma_s": 0.0, "sigma_a": 0.04},
+        )
+        m = exp.measures[0]
+        scene, _, _ = exp.compile_scene(m, exp.spectral_context(m))
+        L = scene.medium.tau_levels.shape[-1] - 1
+
+        def tau_layer_channel(i):
+            def apply(scene, theta):
+                tl = scene.medium.tau_levels
+                dtau = jnp.diff(tl, axis=-1)
+                bump = dtau.at[..., i].mul(theta)
+                tl2 = tl.at[..., 1:].add(jnp.cumsum(bump, axis=-1))
+                med = dataclasses.replace(scene.medium, tau_levels=tl2)
+                return dataclasses.replace(scene, medium=med)
+
+            apply.__name__ = f"tau_layer_{i}"
+            return apply
+
+        res = sensitivities(
+            exp,
+            wrt=[tau_layer_channel(i) for i in range(L)]
+            + ["medium.tau_scale"],
+            seed=2,
+        )
+        e = res[m.id]
+        per_layer = sum(
+            e["jac"][f"tau_layer_{i}"]["radiance"] for i in range(L)
+        )
+        np.testing.assert_allclose(
+            per_layer, e["jac"]["medium.tau_scale"]["radiance"], rtol=1e-4
+        )
+
+    def test_tau_scale_refused_off_plane_parallel(self):
+        exp = AtmosphereExperiment(
+            geometry={"type": "spherical_shell"},
+            illumination={"type": "directional", "zenith": 50.0,
+                          "azimuth": 0.0},
+            measures={"type": "mdistant", "construct": "hplane",
+                      "zeniths": np.linspace(-40, 40, 3), "azimuth": 0.0,
+                      "spp": 64},
+            surface={"type": "lambertian", "reflectance": 0.4},
+            atmosphere={"type": "molecular"},
+        )
+        with pytest.raises(ValueError, match="plane-parallel"):
             sensitivities(exp, wrt=["medium.tau_scale"])
+
+
+class TestScopeAndErrors:
 
     def test_unknown_channel(self):
         exp = _make(spp=64)
@@ -161,7 +284,7 @@ class TestScopeAndErrors:
         names = channel_names(scene)
         assert "surface.reflectance" in names
         assert "medium.albedo" in names
-        assert "medium.tau_scale" not in names
+        assert "medium.tau_scale" in names
 
 
 class TestSphericalGeometry:
