@@ -287,6 +287,45 @@ class TestScopeAndErrors:
         assert "medium.tau_scale" in names
 
 
+class TestOtherModes:
+    def test_ckd_mode(self):
+        """CKD spectral batching differentiates per (band, g) row."""
+        ert.set_mode("ckd_single")
+        try:
+            exp = AtmosphereExperiment(
+                illumination={"type": "directional", "zenith": 30.0,
+                              "azimuth": 0.0},
+                measures={"type": "mdistant", "construct": "hplane",
+                          "zeniths": np.array([0.0, 45.0]),
+                          "azimuth": 0.0, "spp": 128,
+                          "srf": "sentinel_2a-msi-4"},
+                surface={"type": "lambertian", "reflectance": 0.5},
+                atmosphere={"type": "molecular"},
+            )
+            res = sensitivities(exp, wrt=["surface.reflectance"], seed=1)
+            d = res[exp.measures[0].id]["jac"]["surface.reflectance"][
+                "radiance"
+            ]
+            assert d.shape[0] > 1 and np.all(np.isfinite(d))
+            assert np.all(d > 0)
+        finally:
+            ert.set_mode("mono_single")
+
+    def test_polarized_mode(self):
+        """Polarized transport differentiates (intensity channel);
+        surface channels are throughput-type there too."""
+        ert.set_mode("mono_polarized_single")
+        try:
+            exp = _make(spp=128)
+            res = sensitivities(exp, wrt=["surface.reflectance"], seed=1)
+            d = res[exp.measures[0].id]["jac"]["surface.reflectance"][
+                "radiance"
+            ]
+            assert np.all(np.isfinite(d)) and np.all(d > 0.3)
+        finally:
+            ert.set_mode("mono_single")
+
+
 class TestSphericalGeometry:
     def test_jvp_through_spherical_tracer(self):
         """The spherical path differentiates through the XLA (no-Pallas)
