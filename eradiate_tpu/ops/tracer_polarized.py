@@ -147,8 +147,24 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         tau_s = -jnp.log1p(-u_dist)
         collide = tau_s < tau_exit
 
-        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
-        z_col, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        # lr_flight (see ops/tracer.py): detach the sampling geometry and
+        # restore the medium's parameter dependence via smooth
+        # likelihood-ratio weights — unbiased extinction tangents. The
+        # z-space state here makes it direct: z is a fixed position, so
+        # tau_z(z_col)/tau_here are the attached values already. All
+        # corrections are primal-neutral (bit-identical rendering).
+        _lr = bool(getattr(config, "lr_flight", False))
+        sg = jax.lax.stop_gradient if _lr else (lambda x: x)
+        tau_new = jnp.clip(sg(tau_here) + mu * tau_s, 0.0, sg(tau_top))
+        z_col, layer = z_at_tau(tau_new, z_levels, sg(tau_levels))
+        if _lr:
+            tau_path = jnp.abs(tau_z(z_col) - tau_here) / jnp.abs(mu)
+            dtau_col = take_1d(jnp.diff(tau_levels), layer)
+            g_col = jnp.log(jnp.maximum(dtau_col, 1e-30)) - tau_path
+            r_col = jnp.exp(g_col - sg(g_col))  # primal exactly 1.0
+            r_bnd = jnp.exp(-(tau_exit - sg(tau_exit)))  # primal 1.0
+        else:
+            r_col = r_bnd = 1.0
         xy_col = xy + d[:, :2] * ((z_col - z) / mu)[:, None]
         albedo_col = take_1d(medium_row.albedo, layer)
 
@@ -171,7 +187,7 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         alpha_out = rotate_basis_angle(l_out, h_out_nee, b)
         R_out = rotator(alpha_out)
         S_sun = jnp.zeros((B, 4)).at[:, 0].set(
-            E_sun * sun_transmittance(z_col) * albedo_col * beta
+            E_sun * sun_transmittance(z_col) * albedo_col * beta * r_col
         )
         S_col = jnp.einsum(
             "bij,bjk,bkl,bl->bi", P, R_out, M_nee, S_sun
@@ -217,7 +233,7 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         )[:, None, None]
         P_col = jnp.einsum("bij,bjk->bik", P, M_full)
         b_col = h_in_s
-        beta_col = beta * albedo_col
+        beta_col = beta * albedo_col * r_col
 
         # ---- surface hit ------------------------------------------------
         # Mueller-general: polarized kinds (maignan, ocean_mishchenko) get
@@ -235,7 +251,7 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         _, h_out_srf = _scatter_frames(jnp.broadcast_to(d_sun, d.shape), wo)
         R_out_srf = rotator(rotate_basis_angle(wo, h_out_srf, b))
         S_sun_srf = jnp.zeros((B, 4)).at[:, 0].set(
-            beta * mu_sun * T_sun_bottom * E_sun
+            beta * r_bnd * mu_sun * T_sun_bottom * E_sun
         )
         S_surf = jnp.einsum(
             "bij,bjk,bkl,bl->bi", P, R_out_srf, M_nee_srf, S_sun_srf
@@ -256,7 +272,7 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
             "bij,bjk,bkl->bil", P, R_out_c, M_cont / f_scalar[:, None, None]
         )
         b_surf = h_in_c
-        beta_surf = beta * w_srf
+        beta_surf = beta * r_bnd * w_srf
 
         # ---- combine ----------------------------------------------------
         S_add = jnp.where(

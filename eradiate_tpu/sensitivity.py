@@ -42,9 +42,10 @@ high-spp FD (agreement within MC noise). The correction factors are
 primal-neutral (``exp(g - stop_gradient(g)) == 1`` exactly), so the
 flag changes production output by zero bits; it is off by default
 because the extra tangent plumbing costs ~7% on c1-class scenes.
-``medium.tau_scale`` is accepted only for plane-parallel unpolarized
-experiments (the other tracer families have not grown the estimator);
-elsewhere use seed-averaged common-random-number finite differences.
+``medium.tau_scale`` is accepted for plane-parallel experiments
+(unpolarized and polarized tracers both implement the estimator);
+for spherical/canopy geometries use seed-averaged common-random-number
+finite differences.
 
 Implementation notes:
 
@@ -118,8 +119,8 @@ def _chan_medium_albedo():
 
 def _chan_tau_scale():
     # Requires the likelihood-ratio flight estimator (lr_flight), which
-    # sensitivities() enables; only the plane-parallel unpolarized
-    # tracer implements it (see _check_tau_support).
+    # sensitivities() enables; the plane-parallel tracers (unpolarized
+    # and polarized) implement it (see _check_tau_support).
     def apply(scene, theta):
         med = _replace(
             scene.medium, tau_levels=scene.medium.tau_levels * (1.0 + theta)
@@ -169,16 +170,13 @@ def channel_names(scene) -> list:
 
 
 def _check_tau_support(config, wrt):
-    if "medium.tau_scale" in wrt and (
-        config.geometry != "plane_parallel" or config.polarized
-    ):
+    if "medium.tau_scale" in wrt and config.geometry != "plane_parallel":
         raise ValueError(
             "'medium.tau_scale' requires the likelihood-ratio flight "
-            "estimator, implemented only by the plane-parallel "
-            "unpolarized tracer (got geometry="
-            f"'{config.geometry}', polarized={config.polarized}); use "
-            "seed-averaged common-random-number finite differences for "
-            "this configuration."
+            "estimator, implemented only by the plane-parallel tracers "
+            f"(got geometry='{config.geometry}'); use seed-averaged "
+            "common-random-number finite differences for this "
+            "configuration."
         )
 
 

@@ -325,6 +325,36 @@ class TestOtherModes:
         finally:
             ert.set_mode("mono_single")
 
+    def test_polarized_tau_scale_analytic(self):
+        """The polarized tracer's likelihood-ratio flight hits the same
+        closed-form absorber derivative (and the flag is bit-identical
+        in primal, checked by the polarized parity tests)."""
+        ert.set_mode("mono_polarized_single")
+        try:
+            tau = 0.4
+            exp = AtmosphereExperiment(
+                illumination={"type": "directional", "zenith": 30.0,
+                              "azimuth": 0.0},
+                measures={"type": "mdistant", "construct": "hplane",
+                          "zeniths": np.array([-45.0, 0.0, 45.0]),
+                          "azimuth": 0.0, "spp": 2048},
+                surface={"type": "lambertian", "reflectance": 0.5},
+                atmosphere={"type": "homogeneous", "top": 10.0,
+                            "sigma_s": 0.0, "sigma_a": tau / 10.0},
+            )
+            res = sensitivities(exp, wrt=["medium.tau_scale"], seed=4)
+            e = res[exp.measures[0].id]
+            mu0 = np.cos(np.radians(30.0))
+            mus = np.cos(np.radians([45.0, 0.0, 45.0]))
+            rel = (
+                e["jac"]["medium.tau_scale"]["radiance"] / e["radiance"]
+            ).ravel()
+            np.testing.assert_allclose(
+                rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=1e-4
+            )
+        finally:
+            ert.set_mode("mono_single")
+
 
 class TestSphericalGeometry:
     def test_jvp_through_spherical_tracer(self):
