@@ -180,7 +180,7 @@ def _check_tau_support(config, wrt):
         )
 
 
-def sensitivities(exp, wrt, spp=None, seed=0):
+def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
     """Radiance/BRF values and parameter sensitivities for an experiment.
 
     Parameters
@@ -198,6 +198,13 @@ def sensitivities(exp, wrt, spp=None, seed=0):
         Base RNG seed; measure ``i`` renders with ``seed + i``. The same
         sample paths evaluate value and all tangents (common random
         numbers by construction).
+    mesh
+        ``None`` (default) renders single-device; ``"auto"`` or a
+        ``jax.sharding.Mesh`` shards the sensitivity renders exactly like
+        :func:`eradiate_tpu.run` — the tangent rides the same
+        ``shard_map``/collectives, and because sample RNG keys derive
+        from global sample ids, sharded Jacobians equal single-device
+        ones (pinned by a test on the virtual 8-device mesh).
 
     Returns
     -------
@@ -221,6 +228,9 @@ def sensitivities(exp, wrt, spp=None, seed=0):
     import jax
     import jax.numpy as jnp
 
+    from .experiments._core import resolve_mesh
+
+    mesh = resolve_mesh(mesh)
     channels = []
     for name in wrt:
         theta0, apply = _resolve_channel(name)
@@ -252,7 +262,7 @@ def sensitivities(exp, wrt, spp=None, seed=0):
 
             def run(scene_p):
                 raw = exp._render_one(
-                    scene_p, sensor, config, n, seed + i, mesh=None
+                    scene_p, sensor, config, n, seed + i, mesh=mesh
                 )
                 return (
                     jnp.asarray(raw["radiance"]),

@@ -356,6 +356,34 @@ class TestOtherModes:
             ert.set_mode("mono_single")
 
 
+class TestShardedSensitivities:
+    def test_sharded_jacobian_equals_single_device(self):
+        """The tangent rides the sharded render's shard_map/collectives;
+        global-sample-id seeding makes sharded Jacobians EQUAL
+        single-device ones (same contract as values)."""
+        from eradiate_tpu.parallel import make_render_mesh
+
+        exp = _make(spp=1024)
+        mesh = make_render_mesh(1, 8)
+        res_m = sensitivities(
+            exp, wrt=["surface.reflectance", "medium.tau_scale"],
+            seed=6, mesh=mesh,
+        )
+        res_1 = sensitivities(
+            exp, wrt=["surface.reflectance", "medium.tau_scale"], seed=6
+        )
+        e_m = res_m[exp.measures[0].id]
+        e_1 = res_1[exp.measures[0].id]
+        np.testing.assert_allclose(
+            e_m["radiance"], e_1["radiance"], rtol=1e-5
+        )
+        for ch in ("surface.reflectance", "medium.tau_scale"):
+            np.testing.assert_allclose(
+                e_m["jac"][ch]["radiance"], e_1["jac"][ch]["radiance"],
+                rtol=1e-4, atol=1e-7,
+            )
+
+
 class TestSphericalGeometry:
     def test_jvp_through_spherical_tracer(self):
         """The spherical path differentiates through the XLA (no-Pallas)
