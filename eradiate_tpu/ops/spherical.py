@@ -260,6 +260,26 @@ def shell_event(p, d, t_max, radii, sigma, tau_s, w_sun):
     return collide, t_col, layer, tau_sun
 
 
+def shell_flight_lr(p, d, t_max, radii, sigma, tau_s):
+    """Likelihood-ratio variant of :func:`shell_flight` (sensitivity
+    path): samples from the detached (stop_gradient) medium and returns
+    the attached-medium ratio ingredients. XLA-only (the sensitivity
+    module forces ``ERADIATE_NO_PALLAS``); primal values equal
+    :func:`shell_flight` bit for bit.
+
+    Returns (collide, t_col, layer, g_col, tau_max_att) where
+    ``exp(g_col - sg(g_col))`` is the collision-branch importance weight
+    and ``exp(-(tau_max_att - sg(tau_max_att)))`` the boundary-branch
+    one.
+    """
+    import jax
+
+    return _shell_flight_xla(
+        p, d, t_max, radii, jax.lax.stop_gradient(sigma), tau_s,
+        sigma_attached=sigma,
+    )
+
+
 def shell_flight(p, d, t_max, radii, sigma, tau_s):
     """Dispatch: fused Pallas kernel on TPU/f32, XLA formulation (MXU
     triangular-matmul prefix) otherwise. See :func:`_shell_flight_xla`."""
@@ -278,7 +298,7 @@ def shell_flight(p, d, t_max, radii, sigma, tau_s):
     return _shell_flight_xla(p, d, t_max, radii, sigma, tau_s)
 
 
-def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s):
+def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s, sigma_attached=None):
     """Exact free-flight sampling through concentric shells.
 
     The spherical analog of the plane-parallel closed-form sampler
@@ -374,7 +394,55 @@ def _shell_flight_xla(p, d, t_max, radii, sigma, tau_s):
     y, layer = G_inv(v)
     x_col = jnp.where(on_desc, -y, y)
     t_col = jnp.clip(x_col - x0, 0.0, t_max)
-    return collide, t_col, layer
+
+    if sigma_attached is None:
+        return collide, t_col, layer
+
+    # --- likelihood-ratio extras (sensitivity path only) ----------------
+    # Attached-medium path depths AT THE FIXED sampled geometry: the
+    # shell geometry X is theta-free, so a second prefix with the
+    # attached sigma evaluated at the detached coordinates (|x0|, |x_max|,
+    # y) gives tau_path/tau_max under the attached medium. Combined with
+    # the attached sigma at the detached collision layer these form the
+    # smooth per-segment importance weights of the likelihood-ratio
+    # flight estimator (see ops/tracer.py).
+    sig_a = sigma_attached
+    c_a = sig_a[None, :] * jnp.diff(X, axis=1)
+    ca_hi = c_a.astype(jnp.bfloat16)
+    ca_lo = (c_a - ca_hi.astype(dtype)).astype(jnp.bfloat16)
+    G_a = jnp.matmul(
+        ca_hi, tri, preferred_element_type=dtype
+    ) + jnp.matmul(ca_lo, tri, preferred_element_type=dtype)
+
+    def G_a_eval(yy):
+        k = jnp.clip(
+            jnp.sum((X <= yy[:, None]).astype(jnp.int32), axis=1) - 1,
+            0,
+            L - 1,
+        )
+        iota = jnp.arange(Lp1, dtype=jnp.int32)
+        m = iota[None, :] == k[:, None]
+        Gk = jnp.sum(jnp.where(m, G_a, 0.0), axis=1)
+        Xk = jnp.sum(jnp.where(m, X, 0.0), axis=1)
+        sk = jnp.sum(jnp.where(m[:, :L], sig_a[None, :], 0.0), axis=1)
+        return Gk + sk * jnp.maximum(yy - Xk, 0.0)
+
+    A_a = G_a_eval(jnp.abs(x0))
+    Gm_a = G_a_eval(jnp.abs(x_max))
+    tau_max_att = jnp.where(
+        desc, jnp.where(x_max < 0.0, A_a - Gm_a, A_a + Gm_a), Gm_a - A_a
+    )
+    Gy_a = G_a_eval(y)
+    tau_path_att = jnp.where(
+        on_desc, A_a - Gy_a, jnp.where(desc, A_a + Gy_a, Gy_a - A_a)
+    )
+    iota_l = jnp.arange(L, dtype=jnp.int32)
+    sig_at = jnp.sum(
+        jnp.where(iota_l[None, :] == layer[:, None], sig_a[None, :], 0.0),
+        axis=1,
+    )
+    g_col = jnp.log(jnp.maximum(sig_at, 1e-30)) - tau_path_att
+    return collide, t_col, layer, g_col, tau_max_att
 
 
 def sun_mu_grid(n_fine: int = 160, n_coarse: int = 64):

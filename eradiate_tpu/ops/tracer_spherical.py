@@ -140,11 +140,33 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         # kernels are launch-bound once the shell merge shrinks W, so one
         # fused launch per event beats flight + slant separately
         tau_s = -jnp.log1p(-u_dist)
-        accept, t_col, layer, tau_sun = shell_event(
-            p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
-        )
-        t_step = jnp.where(accept, t_col, t_max)
-        p_new = p + d * t_step[:, None]
+        _lr = bool(getattr(config, "lr_flight", False))
+        if _lr:
+            # likelihood-ratio flight (sensitivity path, XLA-only): sample
+            # from the detached medium, restore parameter dependence via
+            # primal-neutral importance weights — unbiased extinction
+            # tangents (see ops/tracer.py). Slant NEE tau stays attached
+            # (smooth at the fixed event point).
+            from .spherical import shell_flight_lr, slant_tau_exact
+
+            sg = jax.lax.stop_gradient
+            accept, t_col, layer, g_col, tau_max_att = shell_flight_lr(
+                p, d, t_max, radii, medium_row.sigma_t, tau_s
+            )
+            r_col = jnp.exp(g_col - sg(g_col))  # primal exactly 1.0
+            r_bnd = jnp.exp(-(tau_max_att - sg(tau_max_att)))  # primal 1.0
+            t_step = jnp.where(accept, t_col, t_max)
+            p_new = p + d * t_step[:, None]
+            tau_sun = slant_tau_exact(
+                p_new, w_sun, radii, medium_row.sigma_t
+            )
+        else:
+            accept, t_col, layer, tau_sun = shell_event(
+                p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
+            )
+            r_col = r_bnd = 1.0
+            t_step = jnp.where(accept, t_col, t_max)
+            p_new = p + d * t_step[:, None]
 
         hit_surface = (~accept) & (t_ground <= t_exit) & config.has_surface
 
@@ -176,7 +198,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
                 config.phase_kinds, medium_row.phase_params, w_at, p_at, c
             )
         )(weights_at, params_at, cos_nee)
-        L_col = beta * albedo_col * p_nee * T_sun * E_sun
+        L_col = beta * r_col * albedo_col * p_nee * T_sun * E_sun
 
         def _sample_one(w_at, p_at, dd, us, uc, up):
             return phase_sample_at(
@@ -193,7 +215,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         d_col = jax.vmap(_sample_one)(
             weights_at, params_at, d, u_ph_sel, u_ph_cos, u_ph_phi
         )
-        beta_col = beta * albedo_col
+        beta_col = beta * r_col * albedo_col
 
         # ---- surface interaction ---------------------------------------
         r_new = jnp.linalg.norm(p_new, axis=-1)
@@ -207,6 +229,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
         )
         L_srf = (
             beta
+            * r_bnd
             * f_nee
             * jnp.maximum(mu_sun_srf, 0.0)
             * T_sun
@@ -216,7 +239,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
             config.surface_kind, surface_row.params, wo_local, u_srf
         )
         d_srf = _to_world(n_srf, d_srf_local)
-        beta_srf = beta * w_srf
+        beta_srf = beta * r_bnd * w_srf
         # lift off the surface to avoid re-intersection
         p_srf = p_new + n_srf * eps_t
 

@@ -31,7 +31,8 @@ the detached estimator drops that boundary term — a sign-level bias
 tau) is ~0 to +0.011 across the hplane by 65k-spp seed-averaged
 centered FD, while the naive JVP reports a smooth -0.026; for
 conservative Rayleigh scattering added tau mostly redistributes
-radiance). The plane-parallel tracer therefore offers a
+radiance). The plane-parallel tracers (both polarizations) and the
+unpolarized spherical tracer therefore offer a
 **likelihood-ratio flight estimator** (``SceneConfig.lr_flight``,
 enabled by this module): sampling geometry is detached (collision
 altitudes and event choices come from the primal medium) and the
@@ -43,9 +44,9 @@ primal-neutral (``exp(g - stop_gradient(g)) == 1`` exactly), so the
 flag changes production output by zero bits; it is off by default
 because the extra tangent plumbing costs ~7% on c1-class scenes.
 ``medium.tau_scale`` is accepted for plane-parallel experiments
-(unpolarized and polarized tracers both implement the estimator);
-for spherical/canopy geometries use seed-averaged common-random-number
-finite differences.
+(both polarizations) and unpolarized spherical-shell experiments; the
+spherical polarized tracer has not grown the estimator — use
+seed-averaged common-random-number finite differences there.
 
 Implementation notes:
 
@@ -62,6 +63,10 @@ Implementation notes:
   (:class:`~eradiate_tpu.ops.scene_state.SceneArrays`), not experiment
   constructor arguments — scene compilation is host-side Python and is
   not traced.
+- Canopy/DEM experiments are refused (NotImplementedError): they render
+  through a dedicated dispatch whose extra scene arrays (leaves,
+  heightfields) the base ``_render_one`` drops — a silent wrong-result
+  trap rather than a differentiation limitation.
 
 Reference context: retrieval users of the reference compute BRF
 Jacobians by re-running ``eradiate.run`` per parameter offset
@@ -120,11 +125,16 @@ def _chan_medium_albedo():
 def _chan_tau_scale():
     # Requires the likelihood-ratio flight estimator (lr_flight), which
     # sensitivities() enables; the plane-parallel tracers (unpolarized
-    # and polarized) implement it (see _check_tau_support).
+    # and polarized) and the unpolarized spherical tracer implement it
+    # (see _check_tau_support). Plane-parallel media carry cumulative
+    # tau_levels; spherical media carry per-shell sigma_t — scaling
+    # either scales the optical depth field.
     def apply(scene, theta):
-        med = _replace(
-            scene.medium, tau_levels=scene.medium.tau_levels * (1.0 + theta)
-        )
+        med = scene.medium
+        if getattr(med, "tau_levels", None) is not None:
+            med = _replace(med, tau_levels=med.tau_levels * (1.0 + theta))
+        else:
+            med = _replace(med, sigma_t=med.sigma_t * (1.0 + theta))
         return _replace(scene, medium=med)
 
     return 0.0, apply
@@ -170,13 +180,17 @@ def channel_names(scene) -> list:
 
 
 def _check_tau_support(config, wrt):
-    if "medium.tau_scale" in wrt and config.geometry != "plane_parallel":
+    supported = config.geometry == "plane_parallel" or (
+        config.geometry == "spherical_shell" and not config.polarized
+    )
+    if "medium.tau_scale" in wrt and not supported:
         raise ValueError(
             "'medium.tau_scale' requires the likelihood-ratio flight "
-            "estimator, implemented only by the plane-parallel tracers "
-            f"(got geometry='{config.geometry}'); use seed-averaged "
-            "common-random-number finite differences for this "
-            "configuration."
+            "estimator, implemented by the plane-parallel tracers and "
+            "the unpolarized spherical tracer (got geometry="
+            f"'{config.geometry}', polarized={config.polarized}); use "
+            "seed-averaged common-random-number finite differences for "
+            "this configuration."
         )
 
 
@@ -186,9 +200,10 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
     Parameters
     ----------
     exp
-        A constructed experiment (any family whose local render path the
-        channels' scene structure applies to: atmosphere, canopy, DEM,
-        spherical).
+        A constructed experiment rendering through the base dispatch
+        (atmosphere experiments, plane-parallel or spherical). Canopy
+        and DEM experiments are refused (their dedicated render dispatch
+        is not reflected here — see the raise below).
     wrt
         Sequence of channel names (see :func:`channel_names`) and/or
         callables ``apply(scene, theta)``.
@@ -228,7 +243,20 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    from .experiments._core import resolve_mesh
+    from .experiments._core import EarthObservationExperiment, resolve_mesh
+
+    # Experiments that override process() (canopy, DEM) render through a
+    # dedicated dispatch that _render_one does not reflect — silently
+    # rendering their scene WITHOUT the canopy/terrain here would produce
+    # plausible-looking wrong Jacobians, so refuse loudly.
+    if type(exp).process is not EarthObservationExperiment.process:
+        raise NotImplementedError(
+            f"sensitivities() does not support {type(exp).__name__}: its "
+            "render dispatch bypasses the base _render_one (the compiled "
+            "scene's canopy/terrain arrays would be dropped). Use "
+            "seed-averaged common-random-number finite differences over "
+            "eradiate_tpu.run for this experiment family."
+        )
 
     mesh = resolve_mesh(mesh)
     channels = []

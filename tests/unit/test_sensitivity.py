@@ -250,22 +250,74 @@ class TestTauChannel:
             per_layer, e["jac"]["medium.tau_scale"]["radiance"], rtol=1e-4
         )
 
-    def test_tau_scale_refused_off_plane_parallel(self):
+    def test_spherical_tau_scale_analytic(self):
+        """The unpolarized spherical tracer's likelihood-ratio flight
+        matches the absorber closed form (plane-parallel formula holds
+        to ~1e-3 for a 10 km shell on an Earth-sized planet at these
+        angles)."""
+        tau = 0.4
         exp = AtmosphereExperiment(
             geometry={"type": "spherical_shell"},
-            illumination={"type": "directional", "zenith": 50.0,
+            illumination={"type": "directional", "zenith": 30.0,
                           "azimuth": 0.0},
             measures={"type": "mdistant", "construct": "hplane",
-                      "zeniths": np.linspace(-40, 40, 3), "azimuth": 0.0,
-                      "spp": 64},
-            surface={"type": "lambertian", "reflectance": 0.4},
-            atmosphere={"type": "molecular"},
+                      "zeniths": np.array([-45.0, 0.0, 45.0]),
+                      "azimuth": 0.0, "spp": 2048},
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere={"type": "homogeneous", "top": 10.0,
+                        "sigma_s": 0.0, "sigma_a": tau / 10.0},
         )
-        with pytest.raises(ValueError, match="plane-parallel"):
-            sensitivities(exp, wrt=["medium.tau_scale"])
+        res = sensitivities(exp, wrt=["medium.tau_scale"], seed=4)
+        e = res[exp.measures[0].id]
+        mu0 = np.cos(np.radians(30.0))
+        mus = np.cos(np.radians([45.0, 0.0, 45.0]))
+        rel = (
+            e["jac"]["medium.tau_scale"]["radiance"] / e["radiance"]
+        ).ravel()
+        np.testing.assert_allclose(
+            rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=3e-3
+        )
+
+    def test_tau_scale_refused_spherical_polarized(self):
+        ert.set_mode("mono_polarized_single")
+        try:
+            exp = AtmosphereExperiment(
+                geometry={"type": "spherical_shell"},
+                illumination={"type": "directional", "zenith": 50.0,
+                              "azimuth": 0.0},
+                measures={"type": "mdistant", "construct": "hplane",
+                          "zeniths": np.linspace(-40, 40, 3),
+                          "azimuth": 0.0, "spp": 64},
+                surface={"type": "lambertian", "reflectance": 0.4},
+                atmosphere={"type": "molecular"},
+            )
+            with pytest.raises(ValueError, match="likelihood-ratio"):
+                sensitivities(exp, wrt=["medium.tau_scale"])
+        finally:
+            ert.set_mode("mono_single")
 
 
 class TestScopeAndErrors:
+
+    def test_canopy_experiment_refused(self):
+        """Canopy experiments bypass the base render dispatch; silently
+        rendering without the canopy would give plausible wrong
+        Jacobians — refuse loudly instead."""
+        from eradiate_tpu.experiments import CanopyExperiment
+
+        exp = CanopyExperiment(
+            canopy={"type": "leaf_cloud", "construct": "cuboid",
+                    "n_leaves": 50, "leaf_radius": 0.1,
+                    "l_horizontal": 10.0, "l_vertical": 1.0},
+            illumination={"type": "directional", "zenith": 30.0,
+                          "azimuth": 0.0},
+            measures={"type": "mdistant", "construct": "hplane",
+                      "zeniths": np.array([0.0]), "azimuth": 0.0,
+                      "spp": 16},
+            surface={"type": "lambertian", "reflectance": 0.3},
+        )
+        with pytest.raises(NotImplementedError, match="CanopyExperiment"):
+            sensitivities(exp, wrt=["surface.reflectance"])
 
     def test_unknown_channel(self):
         exp = _make(spp=64)
