@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 N_VZA = 76
-SPP_C1 = 1048576
+SPP_C1 = 4194304
 
 #: stop starting new configs past this point so the final summary (and
 #: any CPU-reference run) still lands inside a ~1200 s driver budget
@@ -100,6 +100,11 @@ def _experiment_rate_noise(
         raw = exp.measures[0].results["raw"]
         rad = np.asarray(raw["radiance"])
         m2 = np.asarray(raw["m2"])
+        # polarized raws carry a trailing Stokes axis on radiance while
+        # m2 tracks the I component only — reduce to I for the noise
+        # estimate (the BRF users quote is I)
+        if rad.ndim == m2.ndim + 1 and rad.shape[-1] == 4:
+            rad = rad[..., 0]
         var = np.maximum(m2 - rad * rad, 0.0) / raw["spp"]
         rel = np.sqrt(var) / np.maximum(np.abs(rad), 1e-30)
         return float(rel.max()), rad, raw["spp"]
@@ -219,29 +224,39 @@ def _c5():
 CONFIGS = [
     # (key, builder, spp, mode).  spp is chosen so each config runs at
     # sustained production scale: at small budgets the measurement is
-    # dominated by per-render fixed cost (dispatch + host fetch), not
-    # engine throughput — measured round 4: c5 at spp 8k ran 8.9 ms/render
-    # (17 M samples/s) vs 50 M samples/s at spp >= 32k; c4 scaled 7.4 ->
-    # 12.2 M from spp 131k -> 524k (rate-vs-spp table in
-    # docs/developer_guide/performance.md).
+    # dominated by per-render fixed cost (dispatch + host fetch through
+    # the device tunnel), not engine throughput.  Round-5 measurements
+    # (min of 5-7 reps, same scenes): c5 262k -> 2M spp moved 75.8 ->
+    # 114.5 M samples/s (plateau; 1M already gives 112.9 M), c1 1M -> 4M
+    # moved 131 -> 143 M, c2 524k -> 2M moved 61.5 -> 67.6 M, c4 786k ->
+    # 2M moved 13.1 -> 15.0 M.  This also resolves the round-4 c5
+    # driver-vs-sweep gap (58.6 vs 79.9 M): at spp 262k a c5 rep is only
+    # ~70 ms of device work, so tunnel-latency jitter dominates min-of-3
+    # (two back-to-back HEAD runs measured 64.7 and 75.8 M with no code
+    # change); the code at HEAD is not slower than at the sweep commit.
     ("c1_rayleigh_lambert", _c1, SPP_C1, "mono_single"),
-    ("c2_rpv_continental", _c2, 524288, "mono_single"),
+    ("c2_rpv_continental", _c2, 2097152, "mono_single"),
     ("c3_ckd_sentinel2", _c3, 65536, "ckd"),
-    ("c4_spherical_hapke_sza75", _c4, 786432, "mono_single"),
-    ("c5_canopy_atm_polarized", _c5, 262144, "mono_polarized"),
+    ("c4_spherical_hapke_sza75", _c4, 2097152, "mono_single"),
+    ("c5_canopy_atm_polarized", _c5, 2097152, "mono_polarized"),
 ]
 
-#: configs that also run the fixed-noise mode (key, builder, mode)
+#: configs that also run the fixed-noise mode (key, builder, mode,
+#: probe_spp).  All five run it (VERDICT r4 task #3): BASELINE's metric
+#: is samples/s at fixed worst-pixel BRF noise, not at fixed spp.
 NOISE_CONFIGS = [
-    ("c1_rayleigh_lambert", _c1, "mono_single"),
-    ("c2_rpv_continental", _c2, "mono_single"),
+    ("c1_rayleigh_lambert", _c1, "mono_single", 8192),
+    ("c2_rpv_continental", _c2, "mono_single", 8192),
+    ("c3_ckd_sentinel2", _c3, "ckd", 8192),
+    ("c4_spherical_hapke_sza75", _c4, "mono_single", 32768),
+    ("c5_canopy_atm_polarized", _c5, "mono_polarized", 16384),
 ]
 
 _T0 = time.monotonic()
 _STATE = {
     "rates": {k: None for k, _, _, _ in CONFIGS},
     "noise": {},
-    "cpu_rate": None,
+    "cpu_rates": {},
     "note": "startup",
     "emitted_final": False,
 }
@@ -252,11 +267,17 @@ def _summary_line():
     headline = rates.get("c1_rayleigh_lambert") or next(
         (v for v in rates.values() if v), 0.0
     )
-    cpu_rate = _STATE["cpu_rate"]
+    cpu_rates = _STATE["cpu_rates"]
+    cpu_rate = cpu_rates.get("c1_rayleigh_lambert")
     if cpu_rate:
         vs = headline / (20.0 * cpu_rate)
     else:
         vs = headline / 1e8  # fallback normalization: 1.0 == 100 M samples/s
+    vs_per_config = {
+        k: round(rates[k] / (20.0 * cpu_rates[k]), 4)
+        for k in rates
+        if rates.get(k) and cpu_rates.get(k)
+    }
     return json.dumps(
         {
             "metric": "path_samples_per_s_per_chip",
@@ -268,7 +289,9 @@ def _summary_line():
             # noise): per-config dicts with spp/wall_s/samples_per_s at
             # the stated worst-pixel relative-sigma target
             "noise_target": _STATE["noise"],
+            "cpu_reference": cpu_rates,
             "cpu_reference_c1": cpu_rate,
+            "vs_baseline_per_config": vs_per_config,
             # honesty label (VERDICT r1, Weak #2): the reference publishes
             # no numbers and Mitsuba is not installed, so the "CPU
             # reference" is THIS ENGINE on the CPU backend — vs_baseline
@@ -315,30 +338,62 @@ def _child_env():
     return env
 
 
-def cpu_reference_rate(timeout):
-    """CPU-backend samples/s of config 1 (reference proxy), in a
-    subprocess so the platform choice is clean."""
+#: CPU-reference spp per config: small enough that a 2-core host
+#: finishes inside the budget, large enough that the rep wall time is
+#: not dominated by per-render fixed cost on CPU (walls are 0.1-10 s)
+CPU_REF_CONFIGS = [
+    ("c1_rayleigh_lambert", "_c1", 4096, "mono_single"),
+    ("c2_rpv_continental", "_c2", 4096, "mono_single"),
+    ("c3_ckd_sentinel2", "_c3", 1024, "ckd"),
+    ("c4_spherical_hapke_sza75", "_c4", 4096, "mono_single"),
+    ("c5_canopy_atm_polarized", "_c5", 4096, "mono_polarized"),
+]
+
+
+def cpu_reference_rates(timeout):
+    """CPU-backend samples/s of every config (reference proxy), in one
+    subprocess so the platform choice is clean.  Streams one line per
+    config into a temp file so a timeout kill still salvages whatever
+    finished (VERDICT r4 task #3: per-config cpu_reference, not just c1).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = ", ".join(
+        "(%r, bench.%s, %d, %r)" % (k, fn, spp, mode)
+        for k, fn, spp, mode in CPU_REF_CONFIGS
+    )
     code = (
-        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import sys; sys.path.insert(0, %r)\n"
         "import bench\n"
-        "print('CPURATE', bench._experiment_rate(bench._c1, 256, reps=1))\n"
-    ) % os.path.dirname(os.path.abspath(__file__))
-    try:
-        out = subprocess.run(
+        "for key, builder, spp, mode in [%s]:\n"
+        "    try:\n"
+        "        r = bench._experiment_rate(builder, spp, reps=1, mode=mode)\n"
+        "        print('CPURATE', key, r, flush=True)\n"
+        "    except Exception as e:\n"
+        "        print('CPUFAIL', key, type(e).__name__, flush=True)\n"
+    ) % (here, rows)
+    rates = {}
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out:
+        proc = subprocess.Popen(
             [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=out,
+            stderr=subprocess.DEVNULL,
+            cwd=here,
             env=_child_env(),
         )
-        for line in out.stdout.splitlines():
-            if line.startswith("CPURATE"):
-                return float(line.split()[1])
-    except Exception as e:
-        print(f"cpu reference failed: {e}", file=sys.stderr)
-    return None
+        try:
+            proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        out.seek(0)
+        for line in out:
+            parts = line.split()
+            if parts and parts[0] == "CPURATE":
+                rates[parts[1]] = float(parts[2])
+    return rates
 
 
 def _run_sweep(only=None):
@@ -362,9 +417,9 @@ def _run_sweep(only=None):
             rates[key] = None
         _STATE["note"] = f"after_{key}"
         _emit()
-    # fixed-noise mode on c1/c2 (skipped when a config subset was
+    # fixed-noise mode on every config (skipped when a config subset was
     # requested or the budget is already spent)
-    for key, builder, mode in NOISE_CONFIGS:
+    for key, builder, mode, probe_spp in NOISE_CONFIGS:
         if only and key not in only:
             continue
         if rates.get(key) is None:
@@ -372,7 +427,9 @@ def _run_sweep(only=None):
         if time.monotonic() - _T0 > SWEEP_BUDGET_S:
             break
         try:
-            _STATE["noise"][key] = _experiment_rate_noise(builder, mode=mode)
+            _STATE["noise"][key] = _experiment_rate_noise(
+                builder, mode=mode, probe_spp=probe_spp
+            )
         except Exception as e:
             print(f"noise mode {key} failed: {e}", file=sys.stderr)
         _STATE["note"] = f"after_noise_{key}"
@@ -385,7 +442,7 @@ def _run_sweep(only=None):
         and rates.get("c1_rayleigh_lambert") is not None
         and remaining > 60
     ):
-        _STATE["cpu_rate"] = cpu_reference_rate(timeout=int(remaining))
+        _STATE["cpu_rates"] = cpu_reference_rates(timeout=int(remaining))
     _STATE["note"] = "complete"
 
 

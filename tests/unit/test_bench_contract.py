@@ -57,7 +57,8 @@ class TestSummaryContract:
             "bench._experiment_rate = lambda *a, **k: 123.0\n"
             "bench._experiment_rate_noise = "
             "lambda *a, **k: {'samples_per_s': 99.0, 'wall_s': 1.0}\n"
-            "bench.cpu_reference_rate = lambda timeout: 10.0\n"
+            "bench.cpu_reference_rates = lambda timeout: "
+            "{k: 10.0 for k, _, _, _ in bench.CPU_REF_CONFIGS}\n"
         )
         assert rc == 0, err[-1000:]
         parsed = _parse_lines(out)
@@ -68,14 +69,15 @@ class TestSummaryContract:
         assert all(v is None for v in first["configs"].values())
         assert last["note"] == "complete"
         assert all(v == 123.0 for v in last["configs"].values())
-        # fixed-noise mode results ride along for c1/c2
-        assert set(last["noise_target"]) == {
-            "c1_rayleigh_lambert",
-            "c2_rpv_continental",
-        }
+        # fixed-noise mode results ride along for all five configs
+        assert set(last["noise_target"]) == set(last["configs"])
         assert last["noise_target"]["c1_rayleigh_lambert"][
             "samples_per_s"
         ] == 99.0
+        # per-config cpu references and engine-relative ratios
+        assert set(last["cpu_reference"]) == set(last["configs"])
+        assert last["cpu_reference_c1"] == 10.0
+        assert set(last["vs_baseline_per_config"]) == set(last["configs"])
         # every intermediate line is itself a valid full summary
         for p in parsed:
             assert set(p) >= {"metric", "value", "unit", "vs_baseline",
@@ -91,7 +93,7 @@ class TestSummaryContract:
             "    return 55.0\n"
             "bench._experiment_rate = rate\n"
             "bench._experiment_rate_noise = lambda *a, **k: {}\n"
-            "bench.cpu_reference_rate = lambda timeout: None\n"
+            "bench.cpu_reference_rates = lambda timeout: {}\n"
         )
         assert rc == 0, err[-1000:]
         last = _parse_lines(out)[-1]
