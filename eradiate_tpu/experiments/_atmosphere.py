@@ -196,8 +196,28 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 {k: jnp.asarray(v, dtype=dtype) for k, v in p.items()}
                 for p in params
             )
-            # sun transmittance is computed in closed form per event
-            # (ops/spherical.slant_tau_exact) — no precomputed slant table
+            # NEE sun transmittance: precomputed (radius, local cosine)
+            # slant-tau table fetched per event via the two-hot MXU
+            # bilinear (ops/spherical.sun_tau_fetch) — the round-5
+            # ablation measured the exact per-event slant recomputation
+            # at 47% of the c4 per-event cost for a max 7.6e-4 relative
+            # radiance error from the table (grids: shell levels x
+            # horizon-focused sun_mu_grid). f64 modes and disabled-table
+            # geometries keep the exact closed form
+            # (ops/spherical.slant_tau_exact); sensitivity renders
+            # (lr_flight) always use the exact attached slant.
+            sun_tau = mu_grid_dev = None
+            if (
+                getattr(self.geometry, "sun_tau_table", True)
+                and np.dtype(dtype) == np.float32
+            ):
+                from ..ops.spherical import sun_mu_grid, sun_tau_table
+
+                mu_grid_dev = jnp.asarray(sun_mu_grid(), dtype=dtype)
+                # r_ground=0: blockage is NOT baked into the table (it
+                # would poison the bilinear near the terminator); the
+                # tracers apply the exact cross-product blocked test
+                sun_tau = sun_tau_table(sig, radii, mu_grid_dev, r_ground=0.0)
             medium = SphericalMediumArrays(
                 radii=radii,
                 sigma_t=sig,
@@ -207,6 +227,8 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 albedo=jnp.asarray(albedo, dtype=dtype),
                 phase_weights=jnp.asarray(weights, dtype=dtype),
                 phase_params=phase_params_dev,
+                sun_tau=sun_tau,
+                mu_grid=mu_grid_dev,
             )
         else:
             # host-side cumulative tau: under a remote-device tunnel every

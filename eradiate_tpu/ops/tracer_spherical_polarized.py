@@ -82,13 +82,67 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         t_max = jnp.minimum(t_ground, t_exit)
 
         # exact free flight fused with the event-point sun slant tau
-        # (ops/spherical.shell_event): one Mosaic launch per event
+        # (ops/spherical.shell_event): one Mosaic launch per event.
+        # With a precomputed sun-tau table on the medium, NEE
+        # transmittance fetches from it instead (two-hot MXU bilinear;
+        # see SphericalMediumArrays.sun_tau for cost/accuracy numbers).
         tau_s = -jnp.log1p(-u_dist)
-        accept, t_col, layer, tau_sun = shell_event(
-            p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
-        )
-        t_step = jnp.where(accept, t_col, t_max)
-        p_new = p + d * t_step[:, None]
+        _lr = bool(getattr(config, "lr_flight", False))
+        if _lr:
+            # likelihood-ratio flight (sensitivity path, XLA-only):
+            # sample from the detached medium, restore parameter
+            # dependence via primal-neutral importance weights —
+            # unbiased extinction tangents (see ops/tracer.py and the
+            # scalar spherical twin, ops/tracer_spherical._make_event).
+            # Slant NEE tau stays attached (smooth at the fixed event
+            # point); the table path is never taken here.
+            from .spherical import shell_flight_lr, slant_tau_exact
+
+            sg = jax.lax.stop_gradient
+            accept, t_col, layer, g_col, tau_max_att = shell_flight_lr(
+                p, d, t_max, radii, medium_row.sigma_t, tau_s
+            )
+            r_col = jnp.exp(g_col - sg(g_col))  # primal exactly 1.0
+            r_bnd = jnp.exp(-(tau_max_att - sg(tau_max_att)))  # primal 1.0
+            t_step = jnp.where(accept, t_col, t_max)
+            p_new = p + d * t_step[:, None]
+            tau_sun = slant_tau_exact(p_new, w_sun, radii, medium_row.sigma_t)
+        elif medium_row.sun_tau is not None:
+            from .spherical import TAU_BLOCKED, shell_flight, sun_tau_fetch
+
+            accept, t_col, layer = shell_flight(
+                p, d, t_max, radii, medium_row.sigma_t, tau_s
+            )
+            r_col = r_bnd = 1.0
+            t_step = jnp.where(accept, t_col, t_max)
+            p_new = p + d * t_step[:, None]
+            r_ev = jnp.sqrt(jnp.sum(p_new * p_new, axis=-1))
+            mu_ev = jnp.sum(p_new * w_sun, axis=-1) / jnp.maximum(
+                r_ev, 1e-12
+            )
+            b2w = jnp.sum(
+                jnp.cross(p_new, jnp.broadcast_to(w_sun, p_new.shape)) ** 2,
+                axis=-1,
+            )
+            blocked = (mu_ev < 0.0) & (b2w <= r_ground * r_ground)
+            tau_sun = jnp.where(
+                blocked,
+                TAU_BLOCKED,
+                sun_tau_fetch(
+                    medium_row.sun_tau,
+                    radii,
+                    medium_row.mu_grid,
+                    r_ev,
+                    mu_ev,
+                ),
+            )
+        else:
+            accept, t_col, layer, tau_sun = shell_event(
+                p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
+            )
+            r_col = r_bnd = 1.0
+            t_step = jnp.where(accept, t_col, t_max)
+            p_new = p + d * t_step[:, None]
 
         hit_surface = (~accept) & (t_ground <= t_exit) & config.has_surface
 
@@ -115,7 +169,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         # both NEE branches
         T_sun = jnp.exp(-jnp.minimum(tau_sun, 80.0))
         S_sun = jnp.zeros((B, 4)).at[:, 0].set(
-            E_sun * T_sun * albedo_col * beta
+            E_sun * T_sun * albedo_col * beta * r_col
         )
         S_col = jnp.einsum("bij,bjk,bkl,bl->bi", P, R_out, M_nee, S_sun)
 
@@ -158,7 +212,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         ) / jnp.maximum(p_scalar, 1e-30)[:, None, None]
         P_col = jnp.einsum("bij,bjk->bik", P, M_full)
         b_col = h_in_s
-        beta_col = beta * albedo_col
+        beta_col = beta * albedo_col * r_col
 
         # ---- surface interaction (Mueller-general) ---------------------
         n_srf = p_new / jnp.maximum(r_new[:, None], 1e-12)
@@ -171,7 +225,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         R_out_srf = rotator(rotate_basis_angle(l_out, h_out_srf, b))
         mu_sun_srf = jnp.maximum(jnp.sum(n_srf * w_sun, axis=-1), 0.0)
         S_sun_srf = jnp.zeros((B, 4)).at[:, 0].set(
-            beta * mu_sun_srf * T_sun * E_sun
+            beta * r_bnd * mu_sun_srf * T_sun * E_sun
         )
         S_srf = jnp.einsum(
             "bij,bjk,bkl,bl->bi", P, R_out_srf, M_srf, S_sun_srf
@@ -191,7 +245,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
             "bij,bjk,bkl->bil", P, R_out_c, M_cont / f_scalar[:, None, None]
         )
         b_srf = h_in_c
-        beta_srf = beta * w_srf
+        beta_srf = beta * r_bnd * w_srf
         p_srf = p_new + n_srf * eps_t
 
         # ---- combine ----------------------------------------------------
@@ -402,6 +456,8 @@ def render_batch_impl(
             albedo=mr_part[2],
             phase_weights=mr_part[3],
             phase_params=mr_part[4],
+            sun_tau=mr_part[5] if len(mr_part) > 5 else None,
+            mu_grid=medium.mu_grid,
         )
         ir = IlluminationArrays(
             direction=illum.direction,
@@ -421,6 +477,8 @@ def render_batch_impl(
         medium.phase_weights,
         medium.phase_params,
     )
+    if medium.sun_tau is not None:
+        med_part = med_part + (medium.sun_tau,)
     return jax.lax.map(
         one_row, (med_part, surface, illum.irradiance, illum.sky_radiance, keys)
     )

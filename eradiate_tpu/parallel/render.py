@@ -102,7 +102,7 @@ def _medium_specs(medium):
     vals = {}
     for f in dataclasses.fields(type(medium)):
         v = getattr(medium, f.name)
-        if f.name in ("z_levels", "radii"):
+        if f.name in ("z_levels", "radii", "mu_grid"):
             vals[f.name] = P()
         else:
             vals[f.name] = _spectral_specs(v)

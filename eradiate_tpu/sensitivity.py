@@ -43,10 +43,9 @@ high-spp FD (agreement within MC noise). The correction factors are
 primal-neutral (``exp(g - stop_gradient(g)) == 1`` exactly), so the
 flag changes production output by zero bits; it is off by default
 because the extra tangent plumbing costs ~7% on c1-class scenes.
-``medium.tau_scale`` is accepted for plane-parallel experiments
-(both polarizations) and unpolarized spherical-shell experiments; the
-spherical polarized tracer has not grown the estimator — use
-seed-averaged common-random-number finite differences there.
+``medium.tau_scale`` is accepted for every base-dispatch geometry:
+plane-parallel and spherical-shell experiments, both polarizations
+(the spherical polarized tracer grew the estimator in round 5).
 
 Implementation notes:
 
@@ -180,17 +179,17 @@ def channel_names(scene) -> list:
 
 
 def _check_tau_support(config, wrt):
-    supported = config.geometry == "plane_parallel" or (
-        config.geometry == "spherical_shell" and not config.polarized
-    )
+    # round 5: all four atmosphere tracer families (plane-parallel and
+    # spherical shell, both polarizations) implement the likelihood-ratio
+    # flight, so every base-dispatch geometry supports tau channels
+    supported = config.geometry in ("plane_parallel", "spherical_shell")
     if "medium.tau_scale" in wrt and not supported:
         raise ValueError(
             "'medium.tau_scale' requires the likelihood-ratio flight "
-            "estimator, implemented by the plane-parallel tracers and "
-            "the unpolarized spherical tracer (got geometry="
-            f"'{config.geometry}', polarized={config.polarized}); use "
-            "seed-averaged common-random-number finite differences for "
-            "this configuration."
+            "estimator, implemented by the plane-parallel and "
+            "spherical-shell tracers (got geometry="
+            f"'{config.geometry}'); use seed-averaged common-random-"
+            "number finite differences for this configuration."
         )
 
 

@@ -139,6 +139,53 @@ class TestSphericalExperiment:
         ) / float(r_pp["irradiance"].values[0])
         assert np.all(np.abs(bp - bs) < 5 * sig + 0.01 * bp), (bp, bs, sig)
 
+    def test_sun_tau_table_matches_exact(self, mode_mono):
+        """The default NEE sun-tau table (round 5, SphericalShellGeometry
+        .sun_tau_table) must agree with the exact per-event slant
+        recomputation to the documented bound. Same seed => identical
+        sample trajectories (the table only enters NEE transmittance),
+        so the diff is PURE interpolation error — gate it
+        deterministically, far below MC noise scales. Measured on
+        BASELINE c4 on TPU: max 7.6e-4; allow 2e-3 here."""
+
+        def render(table):
+            from eradiate_tpu.core.rng import SeedState
+
+            exp = AtmosphereExperiment(
+                geometry={"type": "spherical_shell",
+                          "sun_tau_table": table},
+                illumination={"type": "directional", "zenith": 75.0},
+                measures={
+                    "type": "mdistant",
+                    "construct": "hplane",
+                    "zeniths": [-60.0, -20.0, 20.0, 60.0],
+                    "azimuth": 0.0,
+                    "spp": 4096,
+                    "id": "m",
+                },
+                surface={"type": "hapke"},
+                atmosphere={"type": "molecular"},
+            )
+            exp.init()
+            exp.process(seed_state=SeedState(3), mesh=None)
+            m = exp.measures[0]
+            scene, _, _ = exp.compile_scene(
+                m, exp.spectral_context(m)
+            )
+            has_table = scene.medium.sun_tau is not None
+            return (
+                np.asarray(m.results["raw"]["radiance"]), has_table
+            )
+
+        with_table, on = render(True)
+        exact, off = render(False)
+        assert on and not off
+        rel = np.abs(with_table - exact) / np.maximum(np.abs(exact), 1e-30)
+        assert rel.max() < 2e-3, rel.max()
+        # and the table path must differ at all (guard against the flag
+        # silently not taking effect)
+        assert rel.max() > 0.0
+
     def test_high_sza_hapke(self, mode_mono):
         """BASELINE config 4: spherical shell, SZA 80, Hapke surface."""
         exp = AtmosphereExperiment(

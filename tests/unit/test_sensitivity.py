@@ -278,7 +278,45 @@ class TestTauChannel:
             rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=3e-3
         )
 
-    def test_tau_scale_refused_spherical_polarized(self):
+    def test_spherical_polarized_tau_scale_analytic(self):
+        """Round 5 (VERDICT r4 task #5a): the spherical POLARIZED tracer
+        grew the likelihood-ratio flight — the last tracer family
+        without it. Same absorber closed form as the scalar twin (a pure
+        absorber leaves light unpolarized, so the I component obeys the
+        scalar formula exactly)."""
+        ert.set_mode("mono_polarized_single")
+        try:
+            tau = 0.4
+            exp = AtmosphereExperiment(
+                geometry={"type": "spherical_shell"},
+                illumination={"type": "directional", "zenith": 30.0,
+                              "azimuth": 0.0},
+                measures={"type": "mdistant", "construct": "hplane",
+                          "zeniths": np.array([-45.0, 0.0, 45.0]),
+                          "azimuth": 0.0, "spp": 2048},
+                surface={"type": "lambertian", "reflectance": 0.5},
+                atmosphere={"type": "homogeneous", "top": 10.0,
+                            "sigma_s": 0.0, "sigma_a": tau / 10.0},
+            )
+            res = sensitivities(exp, wrt=["medium.tau_scale"], seed=4)
+            e = res[exp.measures[0].id]
+            mu0 = np.cos(np.radians(30.0))
+            mus = np.cos(np.radians([45.0, 0.0, 45.0]))
+            # radiance is the Stokes I component for polarized measures
+            rad = e["radiance"]
+            jac = e["jac"]["medium.tau_scale"]["radiance"]
+            if rad.ndim == 3:  # [S, P, 4] Stokes layout
+                rad, jac = rad[..., 0], jac[..., 0]
+            rel = (jac / rad).ravel()
+            np.testing.assert_allclose(
+                rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=3e-3
+            )
+        finally:
+            ert.set_mode("mono_single")
+
+    def test_spherical_polarized_lr_primal_bit_identical(self):
+        """lr_flight must change spherical-polarized production output
+        by ZERO bits (primal-neutral correction factors)."""
         ert.set_mode("mono_polarized_single")
         try:
             exp = AtmosphereExperiment(
@@ -287,12 +325,35 @@ class TestTauChannel:
                               "azimuth": 0.0},
                 measures={"type": "mdistant", "construct": "hplane",
                           "zeniths": np.linspace(-40, 40, 3),
-                          "azimuth": 0.0, "spp": 64},
+                          "azimuth": 0.0, "spp": 256},
                 surface={"type": "lambertian", "reflectance": 0.4},
                 atmosphere={"type": "molecular"},
             )
-            with pytest.raises(ValueError, match="likelihood-ratio"):
-                sensitivities(exp, wrt=["medium.tau_scale"])
+            m = exp.measures[0]
+            ctx = exp.spectral_context(m)
+            scene, sensor, config = exp.compile_scene(m, ctx)
+            # the lr path skips the sun-tau table — compare against the
+            # exact-slant config so only lr_flight differs
+            import os as _os
+
+            _os.environ["ERADIATE_NO_PALLAS"] = "1"
+            try:
+                med = dataclasses.replace(
+                    scene.medium, sun_tau=None, mu_grid=None
+                )
+                scene = dataclasses.replace(scene, medium=med)
+                off = np.asarray(
+                    exp._render_one(scene, sensor, config, 256, 3,
+                                    mesh=None)["radiance"]
+                )
+                config_lr = dataclasses.replace(config, lr_flight=True)
+                on = np.asarray(
+                    exp._render_one(scene, sensor, config_lr, 256, 3,
+                                    mesh=None)["radiance"]
+                )
+            finally:
+                _os.environ.pop("ERADIATE_NO_PALLAS", None)
+            assert np.array_equal(off, on)
         finally:
             ert.set_mode("mono_single")
 
