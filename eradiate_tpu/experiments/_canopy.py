@@ -159,6 +159,69 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
             )
         return flat, leaves, tris, mesh
 
+    def compile_canopy_scene(self, measure, ctx):
+        """Compiled scene + canopy arrays for one measure: returns
+        ``(scene, sensor, config, leaf_params, leaves, tris, tri_params)``.
+        Split out of :meth:`process` so the sensitivity module
+        (:func:`eradiate_tpu.sensitivity.sensitivities`) can differentiate
+        through the canopy render dispatch instead of refusing it."""
+        from ..scenes.spectra import converter as spectrum_converter
+
+        flat, leaves, tris, tri_mesh = self._leaf_arrays()
+        dtype = mode().device_dtype
+        refl = spectrum_converter("reflectance")(flat.leaf_reflectance)
+        trans = spectrum_converter("transmittance")(flat.leaf_transmittance)
+        scene, sensor, config = self.compile_scene(measure, ctx)
+        w = np.asarray(ctx["w"], dtype=np.float64)
+        leaf_params = {
+            "reflectance": jnp.asarray(refl.eval(w), dtype=dtype),
+            "transmittance": jnp.asarray(trans.eval(w), dtype=dtype),
+        }
+        tri_params = None
+        if tri_mesh is not None:
+            wood_refl = spectrum_converter("reflectance")(
+                tri_mesh["reflectance"]
+            )
+            wood_trans = spectrum_converter("transmittance")(
+                tri_mesh["transmittance"]
+            )
+            tri_params = {
+                "reflectance": jnp.asarray(wood_refl.eval(w), dtype=dtype),
+                "transmittance": jnp.asarray(wood_trans.eval(w), dtype=dtype),
+            }
+        return scene, sensor, config, leaf_params, leaves, tris, tri_params
+
+    @staticmethod
+    def _render_canopy_raw(
+        scene, leaf_params, leaves, sensor, config, n, seed, mesh, tris,
+        tri_params,
+    ):
+        """One canopy render through the mesh-aware dispatch (the canopy
+        analog of ``EarthObservationExperiment._render_one``)."""
+        if mesh is not None:
+            from .. import parallel as par
+
+            fn = (
+                par.render_canopy_polarized_sharded
+                if config.polarized
+                else par.render_canopy_sharded
+            )
+            return fn(
+                scene, leaf_params, leaves, sensor, config, spp=n,
+                seed=seed, mesh=mesh, tris=tris, tri_params=tri_params,
+            )
+        if config.polarized:
+            from ..ops.tracer_canopy_polarized import render_canopy_polarized
+
+            return render_canopy_polarized(
+                scene, leaf_params, leaves, sensor, config, spp=n,
+                seed=seed, tris=tris, tri_params=tri_params,
+            )
+        return render_canopy(
+            scene, leaf_params, leaves, sensor, config, spp=n, seed=seed,
+            tris=tris, tri_params=tri_params,
+        )
+
     def process(self, spp=None, seed_state=None, checkpoint_dir=None,
                 mesh="auto"):
         if self.canopy is None:
@@ -170,75 +233,21 @@ class CanopyAtmosphereExperiment(AtmosphereExperiment):
         # degenerates to nothing to resume
 
         from ..core.rng import root_seed_state
-        from ..scenes.spectra import converter as spectrum_converter
         from ._core import resolve_mesh
 
         mesh = resolve_mesh(mesh)
         seed_state = seed_state or root_seed_state
-        flat, leaves, tris, tri_mesh = self._leaf_arrays()
-        dtype = mode().device_dtype
-        refl = spectrum_converter("reflectance")(flat.leaf_reflectance)
-        trans = spectrum_converter("transmittance")(flat.leaf_transmittance)
-        if tri_mesh is not None:
-            wood_refl = spectrum_converter("reflectance")(tri_mesh["reflectance"])
-            wood_trans = spectrum_converter("transmittance")(tri_mesh["transmittance"])
 
         for measure in self.measures:
             ctx = self.spectral_context(measure)
-            scene, sensor, config = self.compile_scene(measure, ctx)
-            w = np.asarray(ctx["w"], dtype=np.float64)
-            leaf_params = {
-                "reflectance": jnp.asarray(refl.eval(w), dtype=dtype),
-                "transmittance": jnp.asarray(trans.eval(w), dtype=dtype),
-            }
-            tri_params = None
-            if tri_mesh is not None:
-                tri_params = {
-                    "reflectance": jnp.asarray(wood_refl.eval(w), dtype=dtype),
-                    "transmittance": jnp.asarray(wood_trans.eval(w), dtype=dtype),
-                }
+            (
+                scene, sensor, config, leaf_params, leaves, tris, tri_params,
+            ) = self.compile_canopy_scene(measure, ctx)
             n = int(spp) if spp is not None else int(measure.spp)
-            if mesh is not None:
-                from .. import parallel as par
-
-                fn = (
-                    par.render_canopy_polarized_sharded
-                    if config.polarized
-                    else par.render_canopy_sharded
-                )
-                raw = fn(
-                    scene, leaf_params, leaves, sensor, config, spp=n,
-                    seed=int(seed_state.next()), mesh=mesh, tris=tris,
-                    tri_params=tri_params,
-                )
-            elif config.polarized:
-                from ..ops.tracer_canopy_polarized import (
-                    render_canopy_polarized,
-                )
-
-                raw = render_canopy_polarized(
-                    scene,
-                    leaf_params,
-                    leaves,
-                    sensor,
-                    config,
-                    spp=n,
-                    seed=int(seed_state.next()),
-                    tris=tris,
-                    tri_params=tri_params,
-                )
-            else:
-                raw = render_canopy(
-                    scene,
-                    leaf_params,
-                    leaves,
-                    sensor,
-                    config,
-                    spp=n,
-                    seed=int(seed_state.next()),
-                    tris=tris,
-                    tri_params=tri_params,
-                )
+            raw = self._render_canopy_raw(
+                scene, leaf_params, leaves, sensor, config, n,
+                int(seed_state.next()), mesh, tris, tri_params,
+            )
             measure.results = {"raw": raw, "spectral_ctx": ctx}
 
 

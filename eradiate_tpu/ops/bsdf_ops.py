@@ -675,10 +675,29 @@ def bilambertian_sample_from_uniforms(params, wo, u_side, u):
     rho = params["reflectance"]
     tau = params["transmittance"]
     total = rho + tau
-    reflect = u_side < rho / jnp.maximum(total, 1e-12)
+    p_ref = rho / jnp.maximum(total, 1e-12)
+    # Sample the side from the DETACHED probability and restore the
+    # parameter dependence with a likelihood-ratio weight (primal exactly
+    # 1: x/x == 1 in IEEE for finite nonzero x; guarded at 0). Without
+    # this, a detached-JVP sensitivity over rho/tau silently drops the
+    # discrete-choice boundary term (the bias class described in
+    # eradiate_tpu.sensitivity); with it, rho/tau channels are exactly
+    # differentiable while production output is bit-identical.
+    sg = jax.lax.stop_gradient
+    p_ref_d = sg(p_ref)
+    reflect = u_side < p_ref_d
+    ratio = jnp.where(
+        reflect,
+        jnp.where(p_ref_d > 0, p_ref / jnp.maximum(p_ref_d, 1e-30), 1.0),
+        jnp.where(
+            p_ref_d < 1.0,
+            (1.0 - p_ref) / jnp.maximum(1.0 - p_ref_d, 1e-30),
+            1.0,
+        ),
+    )
     w_new = square_to_cosine_hemisphere(u)
     w_new = jnp.where(reflect[..., None], w_new, w_new * jnp.asarray([1.0, 1.0, -1.0]))
-    weight = jnp.where(total > 0, total, 0.0)
+    weight = jnp.where(total > 0, total * ratio, 0.0)
     return w_new, weight
 
 

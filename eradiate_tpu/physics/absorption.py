@@ -306,9 +306,18 @@ def absdb_converter(value, error_handling=None):
 
 
 def make_synthetic_mono_db(
-    w_nm=None, p_pa=None, t_k=None, base_sigma=1e-3, seed=0
+    w_nm=None, p_pa=None, t_k=None, base_sigma=1e-3, seed=0,
+    species=None, x_axis=None,
 ) -> MonoAbsorptionDatabase:
-    """Small analytic mono DB: smooth sigma_a(w, p, T) for testing."""
+    """Small analytic mono DB: smooth sigma_a(w, p, T) for testing.
+
+    ``species``: optional species name; adds a mole-fraction axis
+    ``x_<species>`` (default 9 points spanning [0, 0.02]) with sigma_a
+    EXACTLY proportional to x (normalized at x = 5e-3), so concentration
+    channels have a closed-form behavior: scaling x scales sigma_a, and
+    for an absorption-only medium ``gas.<species>`` coincides with
+    ``medium.tau_scale``. Used by the per-species sensitivity gates
+    (tests/unit/test_sensitivity.py)."""
     w = np.asarray(w_nm if w_nm is not None else np.linspace(340.0, 2510.0, 64))
     p = np.asarray(p_pa if p_pa is not None else np.logspace(-1, 5.02, 24))
     t = np.asarray(t_k if t_k is not None else np.linspace(160.0, 330.0, 12))
@@ -326,7 +335,14 @@ def make_synthetic_mono_db(
         * (p[None, :, None] / 101325.0)
         * np.sqrt(296.0 / t[None, None, :])
     )
-    return MonoAbsorptionDatabase({"w": w, "p": p, "t": t, "sigma_a": sig})
+    data = {"w": w, "p": p, "t": t, "sigma_a": sig}
+    if species is not None:
+        x = np.asarray(
+            x_axis if x_axis is not None else np.linspace(0.0, 0.02, 9)
+        )
+        data[f"x_{species}"] = x
+        data["sigma_a"] = sig[..., None] * (x / 5e-3)
+    return MonoAbsorptionDatabase(data)
 
 
 def _kg_quad_errors(kg_of_g, ngs, tau_scale=2.0):

@@ -62,10 +62,14 @@ Implementation notes:
   (:class:`~eradiate_tpu.ops.scene_state.SceneArrays`), not experiment
   constructor arguments — scene compilation is host-side Python and is
   not traced.
-- Canopy/DEM experiments are refused (NotImplementedError): they render
-  through a dedicated dispatch whose extra scene arrays (leaves,
-  heightfields) the base ``_render_one`` drops — a silent wrong-result
-  trap rather than a differentiation limitation.
+- Canopy experiments differentiate through their dedicated dispatch
+  (``compile_canopy_scene`` / ``_render_canopy_raw``), adding
+  ``canopy.reflectance`` / ``canopy.transmittance`` leaf channels (round
+  5); their extinction channel stays refused (no likelihood-ratio
+  flight in the canopy tracers). DEM experiments are refused
+  (NotImplementedError): their render dispatch drops the heightfield
+  arrays from the base ``_render_one`` — a silent wrong-result trap
+  rather than a differentiation limitation.
 
 Reference context: retrieval users of the reference compute BRF
 Jacobians by re-running ``eradiate.run`` per parameter offset
@@ -97,9 +101,10 @@ def _chan_surface(name):
     # Exact for every BSDF whose direction sampling is parameter-free
     # (all one-sided kinds: cosine-hemisphere sampling with weight f*pi,
     # ops/bsdf_ops.bsdf_sample_from_uniforms). The bilambertian
-    # reflect-vs-transmit branch chooses by rho/(rho+tau), so its rho/tau
-    # channels carry the discrete-choice bias class described in the
-    # module docstring.
+    # reflect-vs-transmit branch chooses by rho/(rho+tau) — since round 5
+    # that choice samples from the DETACHED probability with a primal-
+    # neutral likelihood-ratio weight (bilambertian_sample_from_uniforms),
+    # so its rho/tau channels are exactly differentiable too.
     def apply(scene, theta):
         params = dict(scene.surface.params)
         if name not in params:
@@ -150,47 +155,195 @@ def _chan_irradiance_scale():
     return 0.0, apply
 
 
+def _chan_leaf(pname):
+    # Canopy leaf optics (additive). Exact under the likelihood-ratio-
+    # corrected bilambertian side sampling (ops/bsdf_ops.
+    # bilambertian_sample_from_uniforms): the reflect-vs-transmit choice
+    # samples from the detached probability and re-enters the parameter
+    # dependence through a primal-neutral ratio weight, so rho/tau
+    # tangents carry the full discrete-choice boundary term.
+    def apply(leaf_params, theta):
+        if pname not in leaf_params:
+            raise KeyError(
+                f"leaf parameter '{pname}' not in canopy leaf params "
+                f"(available: {sorted(leaf_params)})"
+            )
+        out = dict(leaf_params)
+        out[pname] = out[pname] + theta
+        return out
+
+    return 0.0, apply
+
+
 def _resolve_channel(name):
+    """Channel name -> (theta0, apply, target) with target in
+    {"scene", "leaf"}."""
     if callable(name):
         # custom channel: apply(scene, theta) evaluated at theta = 0
-        return 0.0, name
+        return 0.0, name, "scene"
     if name.startswith("surface."):
-        return _chan_surface(name.split(".", 1)[1])
+        return _chan_surface(name.split(".", 1)[1]) + ("scene",)
+    if name.startswith("canopy."):
+        return _chan_leaf(name.split(".", 1)[1]) + ("leaf",)
+    if name.startswith("gas."):
+        # resolved per measure (needs the experiment + spectral context);
+        # sensitivities() swaps in the real apply inside its loop
+        return 0.0, name.split(".", 1)[1], "gas"
     if name == "medium.albedo":
-        return _chan_medium_albedo()
+        return _chan_medium_albedo() + ("scene",)
     if name == "medium.tau_scale":
-        return _chan_tau_scale()
+        return _chan_tau_scale() + ("scene",)
     if name == "illumination.irradiance_scale":
-        return _chan_irradiance_scale()
+        return _chan_irradiance_scale() + ("scene",)
     raise ValueError(
         f"unknown sensitivity channel '{name}'; use 'surface.<param>', "
-        "'medium.albedo', 'medium.tau_scale', "
-        "'illumination.irradiance_scale', or pass a callable "
-        "apply(scene, theta)"
+        "'canopy.<reflectance|transmittance>', 'medium.albedo', "
+        "'medium.tau_scale', 'illumination.irradiance_scale', or pass a "
+        "callable apply(scene, theta)"
     )
 
 
-def channel_names(scene) -> list:
+def channel_names(scene, canopy: bool = False) -> list:
     """Built-in channel names valid for a compiled scene."""
     names = [f"surface.{k}" for k in sorted(scene.surface.params)]
     names += ["medium.albedo", "medium.tau_scale",
               "illumination.irradiance_scale"]
+    if canopy:
+        names += ["canopy.reflectance", "canopy.transmittance"]
     return names
 
 
-def _check_tau_support(config, wrt):
+def _check_tau_support(config, wrt, is_canopy=False):
     # round 5: all four atmosphere tracer families (plane-parallel and
     # spherical shell, both polarizations) implement the likelihood-ratio
-    # flight, so every base-dispatch geometry supports tau channels
-    supported = config.geometry in ("plane_parallel", "spherical_shell")
-    if "medium.tau_scale" in wrt and not supported:
+    # flight, so every base-dispatch geometry supports tau channels. The
+    # canopy tracers have no likelihood-ratio flight plumbing (their
+    # atmospheric free flight is the exact 1D closed form with an
+    # attached inversion), so extinction channels stay refused there.
+    supported = (
+        config.geometry in ("plane_parallel", "spherical_shell")
+        and not is_canopy
+    )
+    extinction = [
+        n for n in wrt
+        if n == "medium.tau_scale" or str(n).startswith("gas.")
+    ]
+    if extinction and not supported:
         raise ValueError(
-            "'medium.tau_scale' requires the likelihood-ratio flight "
-            "estimator, implemented by the plane-parallel and "
-            "spherical-shell tracers (got geometry="
-            f"'{config.geometry}'); use seed-averaged common-random-"
+            f"extinction channels {extinction} require the likelihood-"
+            "ratio flight estimator, implemented by the plane-parallel "
+            "and spherical-shell atmosphere tracers but not the canopy "
+            f"dispatch (got geometry='{config.geometry}', "
+            f"canopy={is_canopy}); use seed-averaged common-random-"
             "number finite differences for this configuration."
         )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _scaled_species(exp, species, factor):
+    """Temporarily scale one species' mole-fraction profile on the
+    experiment's radprofile thermoprops (interp caches cleared)."""
+    atm = exp.atmosphere
+    rp = getattr(atm, "radprofile", None)
+    tp = getattr(rp, "thermoprops", None)
+    if tp is None or species not in getattr(tp, "x", {}):
+        have = sorted(getattr(tp, "x", {}) or {})
+        raise ValueError(
+            f"gas channel species '{species}' not in the thermophysical "
+            f"profile (available: {have})"
+        )
+    db = getattr(rp, "absorption_data", None)
+    if db is None or species not in getattr(db, "species", []):
+        have = list(getattr(db, "species", []) or [])
+        raise ValueError(
+            f"gas channel species '{species}' is not resolvable by the "
+            f"absorption database (species axes present: {have}); a "
+            "fixed-composition table cannot attribute absorption to one "
+            "species"
+        )
+    old = tp.x[species]
+    cache = dict(getattr(rp, "_interp_cache", {}) or {})
+    tp.x[species] = np.asarray(old) * factor
+    if hasattr(rp, "_interp_cache"):
+        rp._interp_cache.clear()
+    try:
+        yield
+    finally:
+        tp.x[species] = old
+        if hasattr(rp, "_interp_cache"):
+            rp._interp_cache.clear()
+            rp._interp_cache.update(cache)
+
+
+#: relative concentration step for the host-side compile linearization
+#: of gas channels; the DB interpolation is piecewise linear in x, so
+#: within a knot interval the difference quotient is exact in f64
+_GAS_REL_STEP = 1e-3
+
+#: medium fields never perturbed by the compiled-scene difference
+#: (geometry grids; the sun-tau table is unused on the lr sensitivity
+#: path and would otherwise need rebuilding)
+_GAS_SKIP_FIELDS = ("radii", "z_levels", "mu_grid", "sun_tau",
+                    "phase_params")
+
+
+def _gas_channel(exp, measure, ctx, scene0, species):
+    """Per-species concentration channel x_s -> x_s (1 + theta).
+
+    Host-side linearization of scene COMPILATION (the compile is numpy,
+    not traced): the scene is compiled once more with the species
+    scaled by (1 + h) and the medium-array difference quotient becomes
+    the perturbation direction, so the compiled-scene dependence on
+    theta is linear by construction and jax.jvp propagates it through
+    the renderer. An extinction-type channel: requires the
+    likelihood-ratio flight (enabled by sensitivities()) exactly like
+    ``medium.tau_scale``; layer/shell merging is disabled during gas-
+    channel runs so base and perturbed compiles share one grid."""
+    import jax.numpy as jnp
+
+    with _scaled_species(exp, species, 1.0 + _GAS_REL_STEP):
+        scene_h, _, _ = exp.compile_scene(measure, ctx)
+    med0, medh = scene0.medium, scene_h.medium
+    dirs = {}
+    for fld in dataclasses.fields(type(med0)):
+        if fld.name in _GAS_SKIP_FIELDS:
+            continue
+        a = getattr(med0, fld.name)
+        b = getattr(medh, fld.name)
+        if a is None or not hasattr(a, "shape"):
+            continue
+        d = (np.asarray(b, dtype=np.float64)
+             - np.asarray(a, dtype=np.float64)) / _GAS_REL_STEP
+        if np.any(d != 0.0):
+            dirs[fld.name] = jnp.asarray(d, dtype=np.asarray(a).dtype)
+    if not dirs:
+        raise ValueError(
+            f"gas channel '{species}' has zero effect on the compiled "
+            "medium — the absorption database does not respond to this "
+            "species' concentration at the profile state"
+        )
+
+    def apply(scene, theta):
+        med = scene.medium
+        kw = {k: getattr(med, k) + theta * d for k, d in dirs.items()}
+        return _replace(scene, medium=_replace(med, **kw))
+
+    return apply
+
+
+def _delegates_to_base(exp):
+    """Canopy-class experiments with ``canopy=None`` delegate process()
+    to the base dispatch, so the base sensitivity path is valid."""
+    try:
+        from .experiments import CanopyAtmosphereExperiment
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        isinstance(exp, CanopyAtmosphereExperiment) and exp.canopy is None
+    )
 
 
 def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
@@ -244,33 +397,65 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
 
     from .experiments._core import EarthObservationExperiment, resolve_mesh
 
-    # Experiments that override process() (canopy, DEM) render through a
-    # dedicated dispatch that _render_one does not reflect — silently
-    # rendering their scene WITHOUT the canopy/terrain here would produce
-    # plausible-looking wrong Jacobians, so refuse loudly.
-    if type(exp).process is not EarthObservationExperiment.process:
+    is_canopy = getattr(exp, "canopy", None) is not None
+    # Experiments that override process() with a dispatch this module
+    # does not reflect (DEM) would silently render WITHOUT their terrain
+    # arrays — plausible-looking wrong Jacobians — so refuse loudly.
+    # Canopy experiments render through compile_canopy_scene /
+    # _render_canopy_raw below (round 5, VERDICT r4 task #5b).
+    if (
+        not is_canopy
+        and type(exp).process is not EarthObservationExperiment.process
+        and not _delegates_to_base(exp)
+    ):
         raise NotImplementedError(
             f"sensitivities() does not support {type(exp).__name__}: its "
             "render dispatch bypasses the base _render_one (the compiled "
-            "scene's canopy/terrain arrays would be dropped). Use "
-            "seed-averaged common-random-number finite differences over "
+            "scene's terrain arrays would be dropped). Use seed-averaged "
+            "common-random-number finite differences over "
             "eradiate_tpu.run for this experiment family."
         )
 
     mesh = resolve_mesh(mesh)
     channels = []
     for name in wrt:
-        theta0, apply = _resolve_channel(name)
+        theta0, apply, target = _resolve_channel(name)
+        if target == "leaf" and not is_canopy:
+            raise ValueError(
+                f"channel '{name}' requires a canopy experiment"
+            )
         channels.append((name if not callable(name) else getattr(
-            name, "__name__", "custom"), theta0, apply))
+            name, "__name__", "custom"), theta0, apply, target))
+    has_gas = any(c[3] == "gas" for c in channels)
 
     out = {}
     prev = os.environ.get("ERADIATE_NO_PALLAS")
     os.environ["ERADIATE_NO_PALLAS"] = "1"
+    # gas channels linearize scene COMPILATION by differencing two
+    # compiles (base vs species-scaled); adaptive layer/shell merging
+    # could regroup between them, so disable it for the duration
+    merge_saved = None
+    if has_gas:
+        geo = exp.geometry
+        merge_saved = (
+            getattr(geo, "layer_merge_tol", None),
+            getattr(geo, "shell_merge_tol", None),
+        )
+        if hasattr(geo, "layer_merge_tol"):
+            geo.layer_merge_tol = None
+        if hasattr(geo, "shell_merge_tol"):
+            geo.shell_merge_tol = None
     try:
         for i, measure in enumerate(exp.measures):
             ctx = exp.spectral_context(measure)
-            scene, sensor, config = exp.compile_scene(measure, ctx)
+            leaf_params = leaves = tris = tri_params = None
+            if is_canopy:
+                (
+                    scene, sensor, config, leaf_params, leaves, tris,
+                    tri_params,
+                ) = exp.compile_canopy_scene(measure, ctx)
+            else:
+                scene, sensor, config = exp.compile_scene(measure, ctx)
             # Disable Russian roulette: RR survival is a discrete decision
             # whose probability tracks the path weight, so under a weight-
             # perturbing channel the detached JVP would silently drop the
@@ -281,16 +466,32 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
             # plane-parallel tracer to detached-sampling likelihood-ratio
             # free flight (bit-identical primal), which additionally makes
             # extinction channels unbiased.
-            _check_tau_support(config, [c[0] for c in channels])
+            _check_tau_support(config, [c[0] for c in channels],
+                               is_canopy=is_canopy)
+            # resolve gas channels against THIS measure's compiled scene
+            # (the apply slot held the species name until now)
+            chans = [
+                (nm, t0,
+                 _gas_channel(exp, measure, ctx, scene, ap)
+                 if tg == "gas" else ap,
+                 tg)
+                for nm, t0, ap, tg in channels
+            ]
             config = dataclasses.replace(
                 config, rr_depth=config.max_depth, lr_flight=True
             )
             n = int(spp) if spp is not None else int(measure.spp)
 
-            def run(scene_p):
-                raw = exp._render_one(
-                    scene_p, sensor, config, n, seed + i, mesh=mesh
-                )
+            def run(scene_p, leaf_p):
+                if is_canopy:
+                    raw = exp._render_canopy_raw(
+                        scene_p, leaf_p, leaves, sensor, config, n,
+                        seed + i, mesh, tris, tri_params,
+                    )
+                else:
+                    raw = exp._render_one(
+                        scene_p, sensor, config, n, seed + i, mesh=mesh
+                    )
                 return (
                     jnp.asarray(raw["radiance"]),
                     jnp.asarray(raw["m2"]),
@@ -301,19 +502,23 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
 
             def f(thetas):
                 s = scene
-                for (_, _, apply), th in zip(channels, thetas):
-                    s = apply(s, th)
-                return run(s)
+                lp = leaf_params
+                for (_, _, apply, target), th in zip(chans, thetas):
+                    if target == "leaf":
+                        lp = apply(lp, th)
+                    else:
+                        s = apply(s, th)
+                return run(s, lp)
 
             thetas0 = tuple(
                 jnp.asarray(t0, dtype=jnp.result_type(float))
-                for _, t0, _ in channels
+                for _, t0, _, _ in chans
             )
             # K forward passes, one per channel (tangent basis vectors)
             jac = {}
             d_irr = {}
             radiance = m2 = None
-            for k, (name, _, _) in enumerate(channels):
+            for k, (name, _, _, _) in enumerate(chans):
                 tangents = tuple(
                     jnp.ones_like(t) if j == k else jnp.zeros_like(t)
                     for j, t in enumerate(thetas0)
@@ -325,7 +530,7 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
                     radiance, m2 = np.asarray(val), np.asarray(val_m2)
                 jac[name] = {"radiance": np.asarray(tan)}
                 d_irr[name] = np.asarray(tan_irr)
-            if not channels:
+            if not chans:
                 radiance, m2, _ = (np.asarray(x) for x in f(()))
 
             entry = {"radiance": radiance, "jac": jac}
@@ -354,6 +559,12 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
             os.environ.pop("ERADIATE_NO_PALLAS", None)
         else:
             os.environ["ERADIATE_NO_PALLAS"] = prev
+        if merge_saved is not None:
+            geo = exp.geometry
+            if hasattr(geo, "layer_merge_tol"):
+                geo.layer_merge_tol = merge_saved[0]
+            if hasattr(geo, "shell_merge_tol"):
+                geo.shell_merge_tol = merge_saved[1]
     return out
 
 

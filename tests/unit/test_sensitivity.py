@@ -358,26 +358,204 @@ class TestTauChannel:
             ert.set_mode("mono_single")
 
 
+def _make_canopy(spp=512, leaf_refl=0.45, leaf_trans=0.25):
+    from eradiate_tpu.experiments import CanopyExperiment
+
+    return CanopyExperiment(
+        canopy={"type": "leaf_cloud", "construct": "cuboid",
+                "n_leaves": 200, "leaf_radius": 0.12,
+                "l_horizontal": 10.0, "l_vertical": 2.0,
+                "leaf_reflectance": leaf_refl,
+                "leaf_transmittance": leaf_trans, "seed": 5},
+        illumination={"type": "directional", "zenith": 30.0,
+                      "azimuth": 0.0},
+        measures={"type": "mdistant", "construct": "hplane",
+                  "zeniths": np.array([-30.0, 0.0, 30.0]),
+                  "azimuth": 0.0, "spp": spp},
+        surface={"type": "lambertian", "reflectance": 0.3},
+    )
+
+
+class TestCanopyChannels:
+    """Round 5 (VERDICT r4 task #5b): canopy experiments differentiate
+    through their dedicated render dispatch instead of being refused."""
+
+    def test_leaf_reflectance_matches_crn_fd(self):
+        """canopy.reflectance JVP vs a CRN centered difference through
+        the SAME compiled path (perturbing the compiled leaf_params
+        directly). The likelihood-ratio side sampling makes the JVP the
+        expectation-correct estimator; CRN-FD at a moderate eps carries
+        the same smooth part plus rare-flip terms, so agreement is
+        asserted at FD-noise tolerance."""
+        exp = _make_canopy(spp=4096)
+        res = sensitivities(exp, wrt=["canopy.reflectance"], seed=11)
+        m = exp.measures[0]
+        jvp = res[m.id]["jac"]["canopy.reflectance"]["radiance"]
+        assert np.all(np.isfinite(jvp))
+        # brighter leaves cannot darken the TOA signal
+        assert np.all(jvp > 0)
+
+        ctx = exp.spectral_context(m)
+        (scene, sensor, config, leaf_params, leaves, tris,
+         tri_params) = exp.compile_canopy_scene(m, ctx)
+        config = dataclasses.replace(config, rr_depth=config.max_depth)
+        import os as _os
+
+        eps = 0.02
+        _os.environ["ERADIATE_NO_PALLAS"] = "1"
+        try:
+            def at(d):
+                lp = dict(leaf_params)
+                lp["reflectance"] = lp["reflectance"] + d
+                raw = exp._render_canopy_raw(
+                    scene, lp, leaves, sensor, config, 4096, 11, None,
+                    tris, tri_params,
+                )
+                return np.asarray(raw["radiance"])
+
+            fd = (at(+eps) - at(-eps)) / (2 * eps)
+        finally:
+            _os.environ.pop("ERADIATE_NO_PALLAS", None)
+        np.testing.assert_allclose(jvp, fd, rtol=0.15, atol=2e-3)
+
+    def test_leaf_channels_primal_matches_plain_render(self):
+        """The sensitivity primal equals a plain RR-off canopy render at
+        the same seed (the LR side-sampling correction is bit-neutral)."""
+        exp = _make_canopy(spp=256)
+        res = sensitivities(exp, wrt=["canopy.transmittance"], seed=3)
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        (scene, sensor, config, leaf_params, leaves, tris,
+         tri_params) = exp.compile_canopy_scene(m, ctx)
+        config = dataclasses.replace(config, rr_depth=config.max_depth,
+                                     lr_flight=True)
+        import os as _os
+
+        _os.environ["ERADIATE_NO_PALLAS"] = "1"
+        try:
+            raw = exp._render_canopy_raw(
+                scene, leaf_params, leaves, sensor, config, 256, 3, None,
+                tris, tri_params,
+            )
+        finally:
+            _os.environ.pop("ERADIATE_NO_PALLAS", None)
+        np.testing.assert_allclose(
+            res[m.id]["radiance"], np.asarray(raw["radiance"]), rtol=1e-6
+        )
+
+    def test_surface_channel_through_canopy(self):
+        """Ground reflectance differentiates under the canopy dispatch."""
+        exp = _make_canopy(spp=1024)
+        res = sensitivities(exp, wrt=["surface.reflectance"], seed=2)
+        d = res[exp.measures[0].id]["jac"]["surface.reflectance"][
+            "radiance"
+        ]
+        assert np.all(np.isfinite(d))
+        assert np.all(d > 0)
+
+    def test_canopy_tau_scale_refused(self):
+        exp = _make_canopy(spp=64)
+        with pytest.raises(ValueError, match="likelihood-ratio"):
+            sensitivities(exp, wrt=["medium.tau_scale"])
+
+    def test_leaf_channel_requires_canopy(self):
+        exp = _make(spp=64)
+        with pytest.raises(ValueError, match="requires a canopy"):
+            sensitivities(exp, wrt=["canopy.reflectance"])
+
+
+class TestGasChannels:
+    """Round 5 (VERDICT r4 task #5c): per-species gas concentration
+    channels (gas.<species>), linearizing scene compilation host-side
+    and riding the likelihood-ratio flight like medium.tau_scale."""
+
+    @staticmethod
+    def _absorber_exp(spp=2048, scattering=False):
+        from eradiate_tpu.physics.absorption import make_synthetic_mono_db
+
+        db = make_synthetic_mono_db(
+            w_nm=np.linspace(500.0, 600.0, 8), base_sigma=5e-3,
+            species="H2O",
+        )
+        return AtmosphereExperiment(
+            illumination={"type": "directional", "zenith": 30.0,
+                          "azimuth": 0.0},
+            measures={"type": "mdistant", "construct": "hplane",
+                      "zeniths": np.array([-45.0, 0.0, 45.0]),
+                      "azimuth": 0.0, "spp": spp},
+            surface={"type": "lambertian", "reflectance": 0.5},
+            atmosphere={"type": "molecular", "absorption_data": db,
+                        "has_scattering": scattering},
+        )
+
+    def test_gas_equals_tau_scale_for_single_absorber(self):
+        """With absorption the ONLY extinction and sigma_a exactly
+        proportional to x_H2O (the synthetic DB's species axis), scaling
+        the H2O column IS scaling tau — the two channels must produce
+        the same Jacobian through the same lr-flight machinery."""
+        exp = self._absorber_exp()
+        res = sensitivities(
+            exp, wrt=["gas.H2O", "medium.tau_scale"], seed=6
+        )
+        e = res[exp.measures[0].id]
+        g = e["jac"]["gas.H2O"]["radiance"]
+        t = e["jac"]["medium.tau_scale"]["radiance"]
+        assert np.all(np.isfinite(g))
+        assert np.any(g != 0.0)
+        np.testing.assert_allclose(g, t, rtol=1e-4, atol=1e-9)
+
+    def test_gas_channel_with_scattering_sign(self):
+        """Against a Rayleigh background, more absorber darkens the TOA
+        signal at absorbing wavelengths (throughput + flight terms both
+        ride the lr estimator; the derivative must be <= 0 everywhere
+        for a rho=0.5 scene dominated by direct transmission)."""
+        exp = self._absorber_exp(spp=4096, scattering=True)
+        res = sensitivities(exp, wrt=["gas.H2O"], seed=2)
+        d = res[exp.measures[0].id]["jac"]["gas.H2O"]["radiance"]
+        assert np.all(np.isfinite(d))
+        assert np.all(d <= 1e-6)
+
+    def test_gas_channel_unknown_species(self):
+        exp = self._absorber_exp(spp=64)
+        with pytest.raises(ValueError, match="not in the thermophysical"):
+            sensitivities(exp, wrt=["gas.XYZ"], seed=0)
+
+    def test_gas_channel_species_not_in_db(self):
+        """AFGL thermoprops carry O3, but the synthetic DB has only an
+        H2O axis — attribution to O3 is impossible and must refuse."""
+        exp = self._absorber_exp(spp=64)
+        with pytest.raises(ValueError, match="not resolvable"):
+            sensitivities(exp, wrt=["gas.O3"], seed=0)
+
+    def test_merge_tolerances_restored(self):
+        exp = self._absorber_exp(spp=64)
+        before = exp.geometry.layer_merge_tol
+        sensitivities(exp, wrt=["gas.H2O"], seed=0)
+        assert exp.geometry.layer_merge_tol == before
+
+
 class TestScopeAndErrors:
 
-    def test_canopy_experiment_refused(self):
-        """Canopy experiments bypass the base render dispatch; silently
-        rendering without the canopy would give plausible wrong
+    def test_dem_experiment_refused(self):
+        """DEM experiments bypass the base render dispatch; silently
+        rendering without the terrain would give plausible wrong
         Jacobians — refuse loudly instead."""
-        from eradiate_tpu.experiments import CanopyExperiment
+        from eradiate_tpu.experiments import DEMExperiment
+        from eradiate_tpu.scenes.surface import DEMSurface
 
-        exp = CanopyExperiment(
-            canopy={"type": "leaf_cloud", "construct": "cuboid",
-                    "n_leaves": 50, "leaf_radius": 0.1,
-                    "l_horizontal": 10.0, "l_vertical": 1.0},
+        exp = DEMExperiment(
             illumination={"type": "directional", "zenith": 30.0,
                           "azimuth": 0.0},
             measures={"type": "mdistant", "construct": "hplane",
                       "zeniths": np.array([0.0]), "azimuth": 0.0,
                       "spp": 16},
-            surface={"type": "lambertian", "reflectance": 0.3},
+            surface=DEMSurface(
+                elevation=np.zeros((8, 8)), x0=-1.0, y0=-1.0,
+                bsdf={"type": "lambertian", "reflectance": 0.3},
+            ),
+            atmosphere=None,
         )
-        with pytest.raises(NotImplementedError, match="CanopyExperiment"):
+        with pytest.raises(NotImplementedError, match="DEMExperiment"):
             sensitivities(exp, wrt=["surface.reflectance"])
 
     def test_unknown_channel(self):
