@@ -118,6 +118,27 @@ def apply_settings():
     _enable_compilation_cache()
 
 
+def _host_fingerprint() -> str:
+    """Short stable id for the host microarchitecture: hash of the CPU
+    flags (the feature set XLA:CPU AOT-compiles against) + machine type.
+    Hosts with identical flags share cache entries; any difference —
+    e.g. a VM generation change between driver rounds — lands in a
+    separate directory instead of loading foreign machine code."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        ident += " " + platform.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache():
     """Point JAX's persistent compilation cache at a user-level directory.
 
@@ -138,7 +159,17 @@ def _enable_compilation_cache():
         base = settings.get("CACHE_DIR") or os.path.join(
             os.path.expanduser("~"), ".cache", "eradiate_tpu"
         )
-        cache_dir = os.path.join(base, "jax_cache")
+        # Segment the cache by a host-CPU fingerprint: XLA:CPU cache
+        # entries embed AOT machine code compiled for the features the
+        # compiling host detected, and LOADING them on a host with a
+        # different CPU is undefined behavior ("could lead to execution
+        # errors such as SIGILL" per cpu_aot_loader) — observed here as
+        # reproducible full-test-suite segfaults inside
+        # backend_compile_and_load / get_executable_and_time after a
+        # round of entries written on a different VM generation shared
+        # the same cache directory. JAX's cache key does not cover the
+        # host microarchitecture, so the directory name must.
+        cache_dir = os.path.join(base, "jax_cache", _host_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -35,7 +35,22 @@ class DEMExperiment(AtmosphereExperiment):
 
         mesh = resolve_mesh(mesh)
         seed_state = seed_state or root_seed_state
-        dem = self.surface.dem_arrays(dtype=mode().device_dtype)
+        dtype = mode().device_dtype
+        dem = self.surface.dem_arrays(dtype=dtype)
+        tris = None
+        if getattr(self.surface, "triangulate", False):
+            from ..ops.dem import mesh_from_dem
+
+            tris = mesh_from_dem(
+                self.surface.elevation, self.surface.x0, self.surface.y0,
+                self.surface.dx, self.surface.dy, dtype=dtype,
+            )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "triangulated DEM rendering is single-device only "
+                    "(pass mesh=None); the marched heightfield path "
+                    "shards"
+                )
         for measure in self.measures:
             ctx = self.spectral_context(measure)
             scene, sensor, config = self.compile_scene(measure, ctx)
@@ -50,6 +65,8 @@ class DEMExperiment(AtmosphereExperiment):
             else:
                 raw = render_dem(
                     scene, dem, sensor, config, spp=n,
-                    seed=int(seed_state.next()),
+                    seed=int(seed_state.next()), tris=tris,
+                    n_march=getattr(self.surface, "march_steps", 128),
+                    n_bisect=getattr(self.surface, "bisect_steps", 16),
                 )
             measure.results = {"raw": raw, "spectral_ctx": ctx}

@@ -246,6 +246,13 @@ def _advance_to_aabb(p, d, t_max, lo, hi):
     # ~2e-4 of the box at t ~ 20 km — far below the disk/leaf scale the
     # advance exists to protect.
     t_enter = t_enter - 1e-5 * jnp.abs(t_enter) - 1e-6
+    # ... and pad the exit symmetrically: geometry lying ON the far box
+    # face (a flat DEM mesh whose floor IS the box's low-z plane) would
+    # otherwise see its hit at t_loc == t_cap, rejected by the sweeps'
+    # strict t < t_max gate (found by the triangulated-DEM cross-gate:
+    # every floor hit silently lost). The sliver this admits contains
+    # only real geometry on the face itself.
+    t_exit = t_exit + 1e-5 * jnp.abs(t_exit) + 1e-6
     t0 = jnp.clip(t_enter, 0.0, t_max)
     t_cap = jnp.maximum(jnp.minimum(t_exit, t_max) - t0, 0.0)
     return p + t0[:, None] * d, t0, t_cap

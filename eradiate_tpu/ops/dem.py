@@ -15,7 +15,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DemArrays", "dem_height", "dem_normal", "dem_intersect"]
+__all__ = [
+    "DemArrays",
+    "dem_height",
+    "dem_normal",
+    "dem_intersect",
+    "mesh_from_dem",
+]
 
 from .scene_state import _pytree_dataclass
 from typing import Any
@@ -109,3 +115,43 @@ def dem_intersect(dem: DemArrays, p, d, t_max, n_march: int = 128, n_bisect: int
     t_lo, t_hi = jax.lax.fori_loop(0, n_bisect, bisect_body, (t_lo, t_hi))
     t_hit = 0.5 * (t_lo + t_hi)
     return jnp.where(found, t_hit, t_max), found
+
+
+def mesh_from_dem(heights, x0, y0, dx, dy, dtype=None):
+    """Triangulate a heightfield into a
+    :class:`~eradiate_tpu.ops.mesh.TriangleMeshArrays` (two triangles per
+    grid cell, consistent diagonal).
+
+    The reference's approach to DEM rendering
+    (``/root/reference/src/eradiate/scenes/surface/_dem.py:475``,
+    ``mesh_from_dem``): the exact triangle intersector replaces the
+    marched bilinear surface. Used as the exactness cross-gate for the
+    marcher (``tests/system/test_dem.py``): the two surfaces differ only
+    by the bilinear-vs-planar in-cell deviation, bounded by
+    ``|h00 - h01 - h10 + h11| / 4`` per cell, so their BRFs must agree
+    within MC noise on grids resolving the terrain.
+    """
+    import numpy as np
+
+    h = np.asarray(heights, dtype=np.float64)
+    ny, nx = h.shape
+    xs = np.asarray(x0, dtype=np.float64) + np.arange(nx) * float(dx)
+    ys = np.asarray(y0, dtype=np.float64) + np.arange(ny) * float(dy)
+    X, Y = np.meshgrid(xs, ys)  # [Ny, Nx]
+    verts = np.stack([X.ravel(), Y.ravel(), h.ravel()], axis=-1)
+
+    idx = np.arange(ny * nx).reshape(ny, nx)
+    a = idx[:-1, :-1].ravel()  # (j, i)
+    b = idx[:-1, 1:].ravel()  # (j, i+1)
+    c = idx[1:, :-1].ravel()  # (j+1, i)
+    e = idx[1:, 1:].ravel()  # (j+1, i+1)
+    faces = np.concatenate(
+        [np.stack([a, b, c], axis=-1), np.stack([e, c, b], axis=-1)],
+        axis=0,
+    )
+
+    from .mesh import mesh_from_vertices
+
+    if dtype is None:
+        dtype = jnp.result_type(float)
+    return mesh_from_vertices(jnp.asarray(verts, dtype=dtype), faces)

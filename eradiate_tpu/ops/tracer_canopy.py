@@ -288,7 +288,14 @@ def _make_bounce_canopy(
         wi_leaf_sign = jnp.sign(
             jnp.einsum("ij,ij->i", n_shade, w_nee_leaf_dir)
         )[:, None]
-        pos_leaf_off = pos_leaf + n_shade * wi_leaf_sign * eps
+        # distance-scaled lift-off: pos + t d at t ~ 100 km (TOA camera
+        # starts) rounds by ~ulp(t) ~ 1e-5 km in f32 — the hit can land
+        # BELOW the surface it hit, and a fixed 1e-6 offset then leaves
+        # the shadow origin self-occluded by its own triangle/disk
+        # (found by the trunk-cap forest going black once the AABB exit
+        # pad stopped masking the self-hit). 2.4e-7 = 2 f32 ulp.
+        eps_lane = (eps + t_leaf * 2.4e-7)[:, None]
+        pos_leaf_off = pos_leaf + n_shade * wi_leaf_sign * eps_lane
         pos_ground_off = pos_ground + jnp.asarray([0.0, 0.0, eps])
         pos_nee = jnp.where(
             event_leaf[:, None],
@@ -351,7 +358,7 @@ def _make_bounce_canopy(
         )(lp["reflectance"], lp["transmittance"], wo_leaf, u_sel, u_cos)
         d_leaf = _to_world(n_shade, d_leaf_local)
         beta_leaf = beta * w_leaf
-        pos_leaf_new = pos_leaf + d_leaf * eps
+        pos_leaf_new = pos_leaf + d_leaf * eps_lane
 
         # ---- ground -----------------------------------------------------
         wo = -d

@@ -123,7 +123,11 @@ def _make_bounce_canopy_polarized(
         wi_leaf_sign = jnp.sign(
             jnp.einsum("ij,ij->i", n_shade, w_nee_leaf_dir)
         )[:, None]
-        pos_leaf_off = pos_leaf + n_shade * wi_leaf_sign * eps
+        # distance-scaled lift-off (see ops/tracer_canopy: f32 rounding
+        # of pos + t d at TOA-scale t can land the hit below its own
+        # surface; 2.4e-7 = 2 f32 ulp)
+        eps_lane = (eps + t_leaf * 2.4e-7)[:, None]
+        pos_leaf_off = pos_leaf + n_shade * wi_leaf_sign * eps_lane
         pos_ground_off = pos_ground + jnp.asarray([0.0, 0.0, eps])
         pos_nee = jnp.where(
             event_leaf[:, None],
@@ -234,7 +238,7 @@ def _make_bounce_canopy_polarized(
         )
         b_leaf = default_basis(-d_leaf)
         beta_leaf = beta * w_leaf
-        pos_leaf_new = pos_leaf + d_leaf * eps
+        pos_leaf_new = pos_leaf + d_leaf * eps_lane
 
         # ---- ground (Mueller-general surface) ----------------------------
         wo = -d

@@ -39,9 +39,19 @@ def _to_local(n, v):
     )
 
 
-def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_row):
+def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_row,
+                     tris=None, n_march=128, n_bisect=16):
     """Per-bounce transition closure shared by the one-shot and
-    regenerative DEM loops (see ops/tracer._make_bounce)."""
+    regenerative DEM loops (see ops/tracer._make_bounce).
+
+    ``tris``: optional triangulated terrain
+    (:func:`eradiate_tpu.ops.dem.mesh_from_dem`) — the reference's exact
+    triangle-mesh DEM path (``scenes/surface/_dem.py:475``). When given,
+    surface intersections and shadow rays run through the Moeller-
+    Trumbore engine (:mod:`eradiate_tpu.ops.mesh`) instead of the
+    marched bilinear heightfield; normals come from the hit triangle.
+    The A/B of the two intersectors inside one estimator is the
+    marcher's exactness cross-gate (tests/system/test_dem.py)."""
     z_levels = medium_row.z_levels
     tau_levels = medium_row.tau_levels
     tau_top = tau_levels[-1]
@@ -57,14 +67,33 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
     def tau_z(z):
         return tau_at_z(z, z_levels, tau_levels)
 
+    if tris is not None:
+        from .mesh import tri_accel, tri_nearest, tri_occluded
+
+        # acceleration data is loop-invariant: build it once here rather
+        # than inside the while_loop body (XLA does not reliably hoist it)
+        _accel_probe = jnp.zeros((1, 3), dtype=z_levels.dtype)
+        accel = tri_accel(_accel_probe, tris)
+
     def sun_T(pos):
         T_atm = jnp.exp(-(tau_top - tau_z(pos[:, 2])) / mu_sun)
-        _, hit = dem_intersect(
-            dem,
-            pos,
-            jnp.broadcast_to(w_sun, pos.shape),
-            jnp.full(pos.shape[0], shadow_range),
-        )
+        if tris is not None:
+            hit = tri_occluded(
+                pos,
+                jnp.broadcast_to(w_sun, pos.shape),
+                jnp.full(pos.shape[0], shadow_range),
+                tris,
+                accel=accel,
+            )
+        else:
+            _, hit = dem_intersect(
+                dem,
+                pos,
+                jnp.broadcast_to(w_sun, pos.shape),
+                jnp.full(pos.shape[0], shadow_range),
+                n_march=n_march,
+                n_bisect=n_bisect,
+            )
         return T_atm * jnp.where(hit, 0.0, 1.0)
 
     eps = 1e-5
@@ -91,7 +120,17 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         t_cand = jnp.where(collide_med, (z_med - z) / mu, (z_edge - z) / mu)
         t_cand = jnp.maximum(t_cand, eps)
 
-        t_dem, hit_dem = dem_intersect(dem, pos, d, t_cand)
+        if tris is not None:
+            # same overshoot as the marcher (dem_intersect): the f32
+            # candidate endpoint can land marginally short of a grazed
+            # or boundary-coincident surface
+            t_dem, n_tri, hit_dem = tri_nearest(
+                pos, d, t_cand * 1.02 + 1e-4, tris, accel=accel
+            )
+        else:
+            t_dem, hit_dem = dem_intersect(
+                dem, pos, d, t_cand, n_march=n_march, n_bisect=n_bisect
+            )
 
         event_dem = hit_dem & config.has_surface
         event_med = collide_med & ~event_dem
@@ -118,7 +157,13 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         beta_med = beta * albedo_col
 
         # ---- terrain hit ------------------------------------------------
-        n_srf = dem_normal(dem, pos_dem[:, 0], pos_dem[:, 1])
+        if tris is not None:
+            # orient the geometric triangle normal upward-facing toward
+            # the incoming ray (terrain is single-sided from above)
+            flip = jnp.sum(n_tri * d, axis=-1) > 0.0
+            n_srf = jnp.where(flip[:, None], -n_tri, n_tri)
+        else:
+            n_srf = dem_normal(dem, pos_dem[:, 0], pos_dem[:, 1])
         wo_l = _to_local(n_srf, -d)
         wi_sun_l = _to_local(n_srf, jnp.broadcast_to(w_sun, d.shape))
         f_nee = bsdf_eval(config.surface_kind, surface_row.params, wi_sun_l, wo_l, pos_dem[:, :2])
@@ -203,12 +248,16 @@ def trace_paths_dem_regen(
     lane_first,
     quota,
     ext=None,
+    tris=None,
+    n_march=128,
+    n_bisect=16,
 ):
     """Regenerative DEM trace (see ops/tracer.trace_paths_regen)."""
     B = init_pos.shape[0]
     dtype = init_pos.dtype
     bounce = _make_bounce_dem(
-        config, medium_row, surface_row, dem, illum_row
+        config, medium_row, surface_row, dem, illum_row, tris=tris,
+        n_march=n_march, n_bisect=n_bisect,
     )
     row_keys_b = jnp.broadcast_to(row_key, (B,))
 
@@ -276,7 +325,7 @@ def trace_paths_dem_regen(
 def _render_row_dem(
     config, n_pix, spp, medium_row, surface_row, dem, illum_row, directions,
     target, ray_offset, key, target_extent=None, sample_offset=None,
-    spp_stride=None,
+    spp_stride=None, tris=None, n_march=128, n_bisect=16,
 ):
     from .tracer import _per_path_targets, lane_partition
 
@@ -305,7 +354,8 @@ def _render_row_dem(
     init_d = -w_v
     L_sum, m2_sum = trace_paths_dem_regen(
         config, medium_row, surface_row, dem, illum_row, init_pos, init_d,
-        key, lane_first, quota, ext=ext,
+        key, lane_first, quota, ext=ext, tris=tris, n_march=n_march,
+        n_bisect=n_bisect,
     )
     radiance = jnp.sum(L_sum.reshape(n_pix, lp), axis=1) / spp
     m2 = jnp.sum(m2_sum.reshape(n_pix, lp), axis=1) / spp
@@ -315,6 +365,7 @@ def _render_row_dem(
 def render_batch_dem_impl(
     config, n_pix, spp, medium, surface, dem, illum, directions, target,
     ray_offset, keys, target_extent=None, sample_offset=None, spp_stride=None,
+    tris=None, n_march=128, n_bisect=16,
 ):
     # lax.map, not vmap: vmapping the while_loop defeats XLA's fusion of
     # the masked table lookups (see ops/tracer.render_batch_impl)
@@ -338,7 +389,8 @@ def render_batch_dem_impl(
         return _render_row_dem(
             config, n_pix, spp, mr, sr, dem, ir, directions, target,
             ray_offset, k, target_extent, sample_offset=sample_offset,
-            spp_stride=spp_stride,
+            spp_stride=spp_stride, tris=tris, n_march=n_march,
+            n_bisect=n_bisect,
         )
 
     med_part = (
@@ -352,11 +404,16 @@ def render_batch_dem_impl(
     )
 
 
-_render_batch_dem = jax.jit(render_batch_dem_impl, static_argnums=(0, 1, 2))
+_render_batch_dem = jax.jit(
+    render_batch_dem_impl,
+    static_argnums=(0, 1, 2),
+    static_argnames=("n_march", "n_bisect"),
+)
 
 
 def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
-               spp: int, seed: int = 0, spp_chunk: int | None = None):
+               spp: int, seed: int = 0, spp_chunk: int | None = None,
+               tris=None, n_march=128, n_bisect=16):
     from .tracer import MAX_PATHS_PER_DISPATCH
 
     directions = jnp.asarray(sensor.directions)
@@ -393,6 +450,11 @@ def render_dem(scene, dem: DemArrays, sensor: SensorArrays, config: SceneConfig,
             None
             if sensor.target_extent is None
             else jnp.asarray(sensor.target_extent),
+            None,
+            None,
+            tris,
+            n_march=int(n_march),
+            n_bisect=int(n_bisect),
         )
         rad_sum = rad_sum + rad * n
         m2_sum = m2_sum + m2 * n

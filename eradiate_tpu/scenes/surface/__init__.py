@@ -97,6 +97,25 @@ class DEMSurface(Surface):
     dx: float = None
     dy: float = None
     bsdf: BSDF = attrs.field(factory=LambertianBSDF, converter=_bsdf_converter)
+    #: render through the exact triangulated mesh (two triangles per
+    #: cell, the reference's ``mesh_from_dem`` approach,
+    #: ``scenes/surface/_dem.py:475``) instead of the marched bilinear
+    #: heightfield. The mesh costs O(cells) per intersection vs the
+    #: marcher's fixed step count — prefer the marcher for large grids;
+    #: use the mesh as the exactness cross-gate, or for steep terrain
+    #: where marching silhouettes need step-count tuning (see
+    #: ops/dem.dem_intersect).
+    triangulate: bool = False
+    #: marcher accuracy knobs (``ops/dem.dem_intersect``): fixed-step
+    #: count over each candidate segment + bisection refinements. Steep
+    #: terrain at grazing sun needs enough steps that a step is shorter
+    #: than the silhouette features — guidance from the triangulated
+    #: cross-gate (tests/system/test_dem.py): keep
+    #: ``march_steps >= 2 * t_max / min(dx, dy)`` worth of resolution on
+    #: shadow rays, i.e. raise to 256+ when ``height / sigma`` exceeds
+    #: ~1.5 at SZA >= 70.
+    march_steps: int = 128
+    bisect_steps: int = 16
 
     def __attrs_post_init__(self):
         self.elevation = np.atleast_2d(np.asarray(self.elevation, dtype=np.float64))

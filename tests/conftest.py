@@ -13,6 +13,18 @@ import os
 # (which pass mesh=... or clear this env var).
 os.environ.setdefault("ERADIATE_TPU_MESH", "none")
 
+# Disable the persistent JAX compilation cache for the suite: at
+# full-suite scale (~550 tests, hundreds of XLA:CPU executables) the
+# cache machinery itself crashed the process reproducibly in three
+# distinct places across rounds 3-5 — AOT deserialization
+# (get_executable_and_time, SIGSEGV), compile-and-write
+# (backend_compile_and_load, SIGSEGV), and executable serialization
+# (put_executable_and_time, SIGABRT) — while every test passes in
+# isolation. CPU test compiles are small, so the cache buys little
+# here; production/bench runs keep it (segmented by host fingerprint —
+# see eradiate_tpu/config.py and docs/developer_guide/testing.md).
+os.environ.setdefault("ERADIATE_TPU_COMPILATION_CACHE", "0")
+
 # Force CPU with 8 virtual devices. The ambient environment pins JAX to a
 # tunneled TPU platform via sitecustomize (env vars are overridden there),
 # so the config API — which wins over both — is used instead.

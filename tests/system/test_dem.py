@@ -61,3 +61,91 @@ def test_hill_shadowing(mode_mono):
     result = eradiate_tpu.run(exp)
     brf = float(result["brf"].values[0, 0])
     assert 0.0 <= brf < 0.45  # darker than the flat-surface value 0.5
+
+
+def test_marcher_cross_gates_triangulated_mesh(mode_mono):
+    """VERDICT r4 task #7: cross-gate the SDF marcher against the exact
+    triangulated mesh intersector (the reference's ``mesh_from_dem``
+    approach, ``scenes/surface/_dem.py:475``) on steep terrain at
+    grazing sun. Same estimator, same RNG; only the surface intersector
+    differs, so the BRFs must agree within 3 sigma of the combined MC
+    noise plus the documented bilinear-vs-planar in-cell deviation.
+
+    Step-count guidance this gate produced (see DEMSurface.march_steps):
+    at the default 128 march steps the grazing-sun shadow rays MISS
+    silhouettes of this steep hill (the +45-degree pixel read BRF 0.519
+    vs the exact mesh's 0.457); raising to 512 converges the marcher to
+    within ~2.5% (measured sweep: 128 -> 0.519, 256 -> 0.485,
+    512 -> 0.446 against tri 0.457)."""
+
+    def render(triangulate):
+        surface = DEMSurface.gaussian_hill(
+            height_km=1.5, sigma_km=0.8, extent_km=8.0, n=81,
+            bsdf={"type": "lambertian", "reflectance": 0.5},
+        )
+        surface.triangulate = triangulate
+        surface.march_steps = 512
+        exp = DEMExperiment(
+            illumination={"type": "directional", "zenith": 75.0,
+                          "azimuth": 0.0},
+            measures={
+                "type": "mdistant",
+                "construct": "hplane",
+                "zeniths": [-45.0, 0.0, 45.0],
+                "azimuth": 0.0,
+                "spp": 2048,
+                "id": "m",
+                "target": {"type": "rectangle", "xmin": -2.0, "xmax": 2.0,
+                           "ymin": -2.0, "ymax": 2.0, "z": 1.6},
+            },
+            surface=surface,
+            atmosphere=None,
+        )
+        eradiate_tpu.root_seed_state.reset(44)
+        res = eradiate_tpu.run(exp)
+        m = exp.measures[0]
+        raw = m.results["raw"]
+        rad = np.asarray(raw["radiance"])
+        var = np.maximum(
+            np.asarray(raw["m2"]) - rad * rad, 0.0
+        ) / raw["spp"]
+        return np.asarray(res["brf"].values).ravel(), rad, var
+
+    brf_m, rad_m, var_m = render(False)
+    brf_t, rad_t, var_t = render(True)
+    # both physical
+    assert np.all(np.isfinite(brf_m)) and np.all(np.isfinite(brf_t))
+    assert np.all(brf_t > 0.0) and np.all(brf_t < 1.0)
+    sigma = np.sqrt(var_m + var_t)
+    diff = np.abs(rad_m - rad_t)
+    # 3 sigma + 2.5% surface-deviation allowance (bilinear vs planar
+    # cells, silhouette shift amplified ~tan(SZA) on shadow boundaries)
+    assert np.all(diff <= 3.0 * sigma + 0.025 * np.abs(rad_t)), (
+        rad_m, rad_t, sigma
+    )
+
+
+def test_triangulated_flat_reduces_to_lambertian(mode_mono):
+    """Flat triangulated terrain must reproduce the analytic Lambertian
+    BRF exactly like the marched path does."""
+    surface = DEMSurface(
+        elevation=np.zeros((17, 17)),
+        x0=-5.0, y0=-5.0, dx=0.625, dy=0.625,
+        bsdf={"type": "lambertian", "reflectance": 0.4},
+        triangulate=True,
+    )
+    exp = DEMExperiment(
+        illumination={"type": "directional", "zenith": 30.0},
+        measures={
+            "type": "mdistant",
+            "construct": "hplane",
+            "zeniths": [-30.0, 0.0, 30.0],
+            "azimuth": 0.0,
+            "spp": 16,
+            "id": "m",
+        },
+        surface=surface,
+        atmosphere=None,
+    )
+    result = eradiate_tpu.run(exp)
+    np.testing.assert_allclose(result["brf"].values, 0.4, atol=1e-3)
