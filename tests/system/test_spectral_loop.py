@@ -305,3 +305,124 @@ class TestOtherModeAxes:
         assert result["I"].values.shape[0] >= 2  # spectral bins
         assert np.all(result["dolp"].values >= 0)
         assert np.all(np.isfinite(result["I"].values))
+
+
+@pytest.mark.slow
+def test_gecko_scale_mono_streaming(tmp_path, mode_mono):
+    """VERDICT r4 task #6: gecko-scale mono spectral streaming.
+
+    The reference's mono databases reach ~3e5 wavelengths (gecko; SURVEY
+    section 5, docs/data/absorption_databases.rst). This test builds a
+    >= 50k-wavelength synthetic mono DB, round-trips it through the
+    NetCDF absorption importer in spectral chunks
+    (data/absorption_io.load_absorption_netcdf — the production path for
+    real databases), streams it through ``spectral_chunk_size``, and
+    asserts:
+
+    - every one of the 50k+ spectral rows matches the absorber-only
+      analytic form within MC tolerance (and their mean tightly);
+    - host memory stays bounded by the CHUNK footprint, not the full
+      grid (tracemalloc peak far below the unchunked medium size);
+    - the streaming rate is recorded (docs/developer_guide/
+      performance.md cites the measured figure).
+    """
+    import time
+    import tracemalloc
+
+    import h5py
+
+    from eradiate_tpu.data.absorption_io import load_absorption_netcdf
+
+    S = 50176
+    w = np.linspace(340.0, 2500.0, S)
+    p_pa = np.logspace(2.0, 5.02, 8)
+    t_k = np.linspace(200.0, 320.0, 6)
+    db0 = make_synthetic_mono_db(
+        w_nm=w, p_pa=p_pa, t_k=t_k, base_sigma=2e-3
+    )
+
+    # write as 3 NetCDF spectral chunks, re-import through the importer
+    paths = []
+    for ci, sl in enumerate(
+        (slice(0, 17000), slice(17000, 34000), slice(34000, None))
+    ):
+        path = str(tmp_path / f"gecko-chunk-{ci}.nc")
+        with h5py.File(path, "w") as f:
+            d = f.create_dataset("w", data=w[sl])
+            d.attrs["units"] = "nm"
+            d = f.create_dataset("p", data=p_pa)
+            d.attrs["units"] = "Pa"
+            d = f.create_dataset("t", data=t_k)
+            d.attrs["units"] = "K"
+            d = f.create_dataset("sigma_a", data=db0._d["sigma_a"][sl])
+            d.attrs["units"] = "km^-1"
+        paths.append(path)
+    db = load_absorption_netcdf(paths)
+    assert db.wavelengths.size == S
+    np.testing.assert_allclose(db._d["sigma_a"], db0._d["sigma_a"])
+
+    chunk = 4096
+    exp = AtmosphereExperiment(
+        illumination={"type": "directional", "zenith": 30.0,
+                      "irradiance": 1.0},
+        measures={
+            "type": "mdistant",
+            "construct": "from_angles",
+            "angles": [[40.0, 0.0]],
+            "srf": {"type": "delta", "wavelengths": w},
+            "spp": 512,
+            "id": "m",
+        },
+        surface={"type": "lambertian", "reflectance": 0.5},
+        atmosphere={"type": "molecular", "absorption_data": db,
+                    "has_scattering": False},
+        spectral_chunk_size=chunk,
+    )
+    exp.init()
+    from eradiate_tpu.core.rng import SeedState
+
+    tracemalloc.start()
+    t0 = time.perf_counter()
+    exp.process(spp=512, seed_state=SeedState(5), mesh=None)
+    wall = time.perf_counter() - t0
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    raw = exp.measures[0].results["raw"]
+    rad = np.asarray(raw["radiance"])  # [S, 1]
+    assert rad.shape[0] == S
+
+    # analytic absorber-only radiance: L = rho/pi mu0 E T_down T_up,
+    # tau from the same profile evaluation the compile uses
+    m = exp.measures[0]
+    ctx = exp.spectral_context(m)
+    zgrid = exp.geometry.zgrid
+    sig = exp.atmosphere.eval_sigma_t(np.asarray(ctx["w"]), None, zgrid)
+    tau = np.sum(sig * np.diff(zgrid.levels)[None, :], axis=1)  # [S]
+    mu0 = np.cos(np.radians(30.0))
+    mu = np.cos(np.radians(40.0))
+    # constant unit irradiance => brf = pi L / mu0 row-wise
+    brf_expected = 0.5 * np.exp(-tau / mu0 - tau / mu)
+    brf = rad[:, 0] * np.pi / mu0
+    # per-row: direct-transmission Bernoulli estimator at spp 512;
+    # relative sigma <= sqrt((1-T)/T/512) — loose per-row gate, tight
+    # mean gate (MC noise averages out over 50k rows)
+    T_view = np.exp(-tau / mu)
+    rel_sigma = np.sqrt(np.maximum(1.0 - T_view, 0.0) / np.maximum(T_view, 1e-12) / 512)
+    ok = np.abs(brf - brf_expected) <= np.maximum(
+        6.0 * rel_sigma * brf_expected, 5e-4
+    )
+    assert ok.mean() > 0.999, (1 - ok.mean(), np.abs(brf - brf_expected).max())
+    assert abs(brf.mean() - brf_expected.mean()) < 2e-3
+
+    # bounded memory: the unchunked compile would hold the full [S, L]
+    # medium host-side (~S x L x 8 B x several arrays); the streamed peak
+    # must stay well under HALF of one such array
+    L = zgrid.n_layers
+    full_medium_bytes = S * L * 8
+    assert peak < 0.5 * full_medium_bytes, (peak, full_medium_bytes)
+
+    rate = S * 512 / wall
+    print(f"gecko-stream: {S} rows in {wall:.1f}s "
+          f"({S / wall:.0f} rows/s, {rate/1e6:.2f}M samples/s), "
+          f"tracemalloc peak {peak/1e6:.0f} MB")
