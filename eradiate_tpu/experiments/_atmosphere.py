@@ -207,10 +207,15 @@ class AtmosphereExperiment(EarthObservationExperiment):
             # (ops/spherical.slant_tau_exact); sensitivity renders
             # (lr_flight) always use the exact attached slant.
             sun_tau = mu_grid_dev = None
-            if (
-                getattr(self.geometry, "sun_tau_table", True)
-                and np.dtype(dtype) == np.float32
-            ):
+            table_flag = getattr(self.geometry, "sun_tau_table", "auto")
+            if table_flag == "auto":
+                # terminator-cusp guardrail (see SphericalShellGeometry
+                # .sun_tau_table): exact slant at high sun zenith where
+                # limb-grazing NEE events carry weight
+                table_flag = (
+                    getattr(self.illumination, "zenith", 0.0) <= 80.0
+                )
+            if table_flag and np.dtype(dtype) == np.float32:
                 from ..ops.spherical import sun_mu_grid, sun_tau_table
 
                 mu_grid_dev = jnp.asarray(sun_mu_grid(), dtype=dtype)

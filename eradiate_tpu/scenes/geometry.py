@@ -109,10 +109,19 @@ class SphericalShellGeometry(SceneGeometry):
     #: cosine) slant-tau table instead of the exact per-event closed-form
     #: recomputation. f32 modes only; measured max 7.6e-4 relative
     #: radiance error on BASELINE c4 (SZA 75) for a ~30% end-to-end
-    #: speedup (the exact slant is 47% of the per-event cost). False
-    #: forces the exact path; f64 modes and sensitivity renders ignore
-    #: the flag and stay exact.
-    sun_tau_table: bool = True
+    #: speedup (the exact slant is 47% of the per-event cost).
+    #:
+    #: Accuracy caveat (the round-4 negative result,
+    #: ``docs/developer_guide/performance.md`` item 6): tau(r, mu) has a
+    #: square-root cusp along the terminator curve mu_h(r), where
+    #: bilinear error (~5e-3 |dT| worst case) does NOT vanish with grid
+    #: resolution. At moderate sun zenith few NEE events graze the
+    #: terminator and the end-to-end error stays under ~1e-3; at high
+    #: zenith the grazing band carries weight. Hence the default
+    #: ``"auto"``: table when the sun zenith is <= 80 deg, exact
+    #: otherwise. ``True``/``False`` force; f64 modes and sensitivity
+    #: renders always stay exact.
+    sun_tau_table: object = "auto"
 
     def __attrs_post_init__(self):
         super().__attrs_post_init__()

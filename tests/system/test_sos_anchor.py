@@ -22,6 +22,19 @@ The MC tracer is gated against the doubling solver in
 ``test_doubling_anchor.py``; this file closes the remaining loophole
 (both oracles agreeing because they share structure) to the extent
 possible without network access to the published tables.
+
+Round-5 note (VERDICT r4 task #8): transcribing a dozen canonical
+Coulson/Dave/Sekera or Natraj (2009) I/Q/U entries from memory was
+attempted and declined for integrity — multi-digit table values cannot
+be recalled with the certainty an oracle requires, and committing
+fabricated digits labeled as published data would be strictly worse
+than the documented gap (a wrong anchor either fails good code or
+"validates" by construction). When network access exists, drop the
+published entries into ``tests/regression_references/coulson_natraj/``
+and extend this file; until then the evidence stack is: two disjoint
+deterministic solvers agreeing at 1e-4, both pinned to closed forms in
+their single-scattering limits, plus the Rayleigh-limit/optical-theorem
+anchors of the Mie module feeding the polarized phase inputs.
 """
 
 import numpy as np

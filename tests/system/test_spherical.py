@@ -186,6 +186,48 @@ class TestSphericalExperiment:
         # silently not taking effect)
         assert rel.max() > 0.0
 
+    def test_sun_tau_table_auto_guardrail(self, mode_mono):
+        """The "auto" default takes the table at moderate sun zenith and
+        the exact slant at high zenith (the terminator-cusp negative
+        result, performance.md item 6); forcing True at SZA 85 must
+        still stay within a documented envelope (the cusp band is ~5e-3
+        |dT| worst case; end-to-end radiance error allowed to 1e-2)."""
+
+        def compile_medium(zenith, flag):
+            exp = AtmosphereExperiment(
+                geometry={"type": "spherical_shell",
+                          "sun_tau_table": flag},
+                illumination={"type": "directional", "zenith": zenith},
+                measures={"type": "mdistant", "construct": "hplane",
+                          "zeniths": [0.0], "azimuth": 0.0, "spp": 16,
+                          "id": "m"},
+                surface={"type": "hapke"},
+                atmosphere={"type": "molecular"},
+            )
+            exp.init()
+            m = exp.measures[0]
+            scene, _, _ = exp.compile_scene(m, exp.spectral_context(m))
+            return exp, scene
+
+        _, s_lo = compile_medium(60.0, "auto")
+        assert s_lo.medium.sun_tau is not None
+        _, s_hi = compile_medium(85.0, "auto")
+        assert s_hi.medium.sun_tau is None
+
+        # forced table at SZA 85: same-seed diff vs exact is pure
+        # interpolation error; gate the high-zenith envelope
+        def render(flag):
+            from eradiate_tpu.core.rng import SeedState
+
+            exp, _ = compile_medium(85.0, flag)
+            exp.process(spp=4096, seed_state=SeedState(9), mesh=None)
+            return np.asarray(exp.measures[0].results["raw"]["radiance"])
+
+        forced = render(True)
+        exact = render(False)
+        rel = np.abs(forced - exact) / np.maximum(np.abs(exact), 1e-30)
+        assert rel.max() < 1e-2, rel.max()
+
     def test_high_sza_hapke(self, mode_mono):
         """BASELINE config 4: spherical shell, SZA 80, Hapke surface."""
         exp = AtmosphereExperiment(
