@@ -175,7 +175,10 @@ def _component_eval(kind, params, layer, cos_theta):
         return hg_eval(params["g"], cos_theta)
     if kind == "isotropic":
         return iso_eval(cos_theta)
-    if kind == "tab":
+    if kind in ("tab", "tab_polarized"):
+        # tab_polarized carries the scalar phase in "values" plus the
+        # Mueller rows (m12..m44) consumed by the polarized tracers;
+        # scalar transport sees the m11 row only
         return tab_eval(params, cos_theta)
     raise ValueError(f"unknown phase kind '{kind}'")
 
@@ -189,7 +192,7 @@ def _component_sample_cos(kind, params, layer, u):
         return hg_sample_cos(params["g"], u)
     if kind == "isotropic":
         return 2.0 * u[..., 0] - 1.0
-    if kind == "tab":
+    if kind in ("tab", "tab_polarized"):
         return tab_sample_cos(params, u)
     raise ValueError(f"unknown phase kind '{kind}'")
 
@@ -291,7 +294,7 @@ def _component_eval_at(kind, params, at, cos_theta):
         return hg_eval(params["g"], cos_theta)
     if kind == "isotropic":
         return iso_eval(cos_theta)
-    if kind == "tab":
+    if kind in ("tab", "tab_polarized"):
         return tab_eval(params, cos_theta)
     raise ValueError(f"unknown phase kind '{kind}'")
 
@@ -303,7 +306,7 @@ def _component_sample_cos_at(kind, params, at, u):
         return hg_sample_cos(params["g"], u)
     if kind == "isotropic":
         return 2.0 * u[..., 0] - 1.0
-    if kind == "tab":
+    if kind in ("tab", "tab_polarized"):
         return tab_sample_cos(params, u)
     raise ValueError(f"unknown phase kind '{kind}'")
 

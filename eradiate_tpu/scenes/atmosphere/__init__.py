@@ -257,12 +257,28 @@ class ParticleLayer(Atmosphere):
         return np.broadcast_to(alb[:, None], (w.size, zgrid.n_layers)).copy()
 
     def eval_phase(self, w_nm, zgrid: ZGrid):
+        from ...core.modes import mode
+        from ..phase import TabulatedPolarizedPhaseFunction
+
         w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
-        tab = TabulatedPhaseFunction(
-            mu=self.dataset.mu,
-            data=self.dataset.phase,
-            wavelengths=self.dataset.w,
-        )
+        ds = self.dataset
+        if mode().is_polarized and getattr(ds, "phase_12", None) is not None:
+            # polarized modes consume the dataset's Mueller rows (Mie
+            # datasets ship 12/33/34; spheres: m22 = m11, m44 = m33)
+            tab = TabulatedPolarizedPhaseFunction(
+                mu=ds.mu,
+                m11=ds.phase,
+                m12=ds.phase_12,
+                m33=ds.phase_33,
+                m34=ds.phase_34,
+                wavelengths=ds.w,
+            )
+        else:
+            tab = TabulatedPhaseFunction(
+                mu=ds.mu,
+                data=ds.phase,
+                wavelengths=ds.w,
+            )
         kind, params = tab.compile(w, zgrid.n_layers)
         weights = np.ones((w.size, 1, zgrid.n_layers))
         return (kind,), (params,), weights

@@ -31,6 +31,12 @@ class ParticleDataset:
     albedo: np.ndarray  # [W]
     mu: np.ndarray  # [M]
     phase: np.ndarray  # [W, M]
+    #: optional polarized Mueller rows (block-diagonal, randomly-oriented
+    #: particles); spheres have m22 = m11 and m44 = m33, so Mie datasets
+    #: ship only 12/33/34
+    phase_12: np.ndarray = None  # [W, M]
+    phase_33: np.ndarray = None
+    phase_34: np.ndarray = None
 
     def eval_sigma_t_ratio(self, w_nm, w_ref_nm) -> np.ndarray:
         """sigma_t(w) / sigma_t(w_ref): spectral extinction shape."""
@@ -118,5 +124,8 @@ def load_particle_dataset(identifier: str) -> ParticleDataset:
             albedo=d["albedo"],
             mu=d["mu"],
             phase=d["phase"],
+            phase_12=d["phase_12"] if "phase_12" in d.files else None,
+            phase_33=d["phase_33"] if "phase_33" in d.files else None,
+            phase_34=d["phase_34"] if "phase_34" in d.files else None,
         )
     return _surrogate(identifier)

@@ -137,6 +137,96 @@ class TabulatedPhaseFunction(PhaseFunction):
         return "tab", {"mu": mu, "values": v, "cdf": cdf}
 
 
+@phase_function_factory.register("tab_phase_polarized")
+@attrs.define(eq=False, slots=False)
+class TabulatedPolarizedPhaseFunction(PhaseFunction):
+    """Tabulated POLARIZED phase matrix over mu = cos(theta)
+    (``scenes/phase/_tabulated.py:208-255``; kernel plugin
+    ``tabphase_polarized``).
+
+    Rows for a block-diagonal Mueller matrix of randomly-oriented
+    particles: ``m11`` (the scalar phase), ``m12``, ``m22``, ``m33``,
+    ``m34``, ``m44`` — each [W, M] (or [M]). Spheres (Mie) have
+    m22 = m11 and m44 = m33; omit those to default accordingly. All rows
+    share the m11 normalization (phase integrates to 1 over the sphere,
+    ratios preserved). Scalar modes see the m11 row only; polarized
+    tracers consume the full matrix (``ops/tracer_polarized.
+    _tab_polarized_mueller``).
+    """
+
+    mu: np.ndarray = attrs.field(default=None)
+    m11: np.ndarray = attrs.field(default=None)
+    m12: np.ndarray = attrs.field(default=None)
+    m22: np.ndarray = attrs.field(default=None)
+    m33: np.ndarray = attrs.field(default=None)
+    m34: np.ndarray = attrs.field(default=None)
+    m44: np.ndarray = attrs.field(default=None)
+    wavelengths: np.ndarray = attrs.field(default=None)
+
+    def __attrs_post_init__(self):
+        self.mu = np.asarray(self.mu, dtype=np.float64)
+        self.m11 = np.atleast_2d(np.asarray(self.m11, dtype=np.float64))
+        z = np.zeros_like(self.m11)
+        self.m12 = (
+            z if self.m12 is None
+            else np.atleast_2d(np.asarray(self.m12, dtype=np.float64))
+        )
+        self.m22 = (
+            self.m11 if self.m22 is None
+            else np.atleast_2d(np.asarray(self.m22, dtype=np.float64))
+        )
+        self.m33 = (
+            z if self.m33 is None
+            else np.atleast_2d(np.asarray(self.m33, dtype=np.float64))
+        )
+        self.m34 = (
+            z if self.m34 is None
+            else np.atleast_2d(np.asarray(self.m34, dtype=np.float64))
+        )
+        self.m44 = (
+            self.m33 if self.m44 is None
+            else np.atleast_2d(np.asarray(self.m44, dtype=np.float64))
+        )
+        if self.wavelengths is None:
+            self.wavelengths = np.array([550.0])
+        else:
+            self.wavelengths = np.atleast_1d(
+                np.asarray(self.wavelengths, dtype=np.float64)
+            )
+
+    def compile(self, w_nm, n_layers: int) -> tuple:
+        from ...ops.phase_ops import tab_phase_tables
+
+        w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
+        S = w.size
+        M = self.mu.size
+
+        def interp_rows(data):
+            vals = np.empty((S, M))
+            for j in range(M):
+                vals[:, j] = np.interp(
+                    w, self.wavelengths, data[:, j],
+                    left=data[0, j], right=data[-1, j],
+                )
+            return vals
+
+        m11 = interp_rows(self.m11)
+        v, cdf = tab_phase_tables(self.mu, m11)
+        # one normalization factor per (row, mu): keep the Mueller ratios
+        ratio = np.divide(v, m11, out=np.ones_like(v), where=m11 != 0)
+        params = {
+            "mu": np.broadcast_to(self.mu[None, :], (S, M)).copy(),
+            "values": v,
+            "cdf": cdf,
+            "m12": interp_rows(self.m12) * ratio,
+            "m22": interp_rows(self.m22) * ratio,
+            "m33": interp_rows(self.m33) * ratio,
+            "m34": interp_rows(self.m34) * ratio,
+            "m44": interp_rows(self.m44) * ratio,
+        }
+        return "tab_polarized", params
+
+
 @phase_function_factory.register("blend_phase")
 @attrs.define(eq=False, slots=False)
 class BlendPhaseFunction(PhaseFunction):
