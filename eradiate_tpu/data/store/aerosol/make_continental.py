@@ -48,7 +48,12 @@ W_NM = np.array(
     [300.0, 350.0, 400.0, 440.0, 490.0, 550.0, 610.0, 670.0, 740.0,
      870.0, 1020.0, 1240.0, 1600.0, 2130.0, 2400.0]
 )
-MU = np.linspace(-1.0, 1.0, 361)
+#: theta-uniform angle grid (1-degree steps): for Mie phase functions a
+#: cos-uniform grid wastes half its points on the slowly-varying side
+#: lobes while undersampling the forward diffraction peak; uniform theta
+#: resolves the peak at HALF the table length (the per-collision fetch
+#: cost in the tracers scales with the table length)
+MU = np.cos(np.radians(np.linspace(180.0, 0.0, 181)))
 
 
 def refractive_index(n550, k550, k_swir, w_um):
