@@ -37,12 +37,28 @@ import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-COMPONENTS = [
-    # (name, r_mod um, sigma_g, N cm^-3, n550, k550, k_swir_factor)
-    ("water_soluble", 0.0212, 2.24, 7000.0, 1.53, 0.006, 2.0),
-    ("insoluble", 0.471, 2.51, 0.4, 1.53, 0.008, 1.5),
-    ("soot", 0.0118, 2.00, 4000.0, 1.75, 0.44, 1.0),
-]
+#: per-model external mixtures: (name, r_mod um, sigma_g, N cm^-3,
+#: n550, k550, k_swir_factor). OPAC-style parameters from memory,
+#: approximate and labeled as such.
+MODELS = {
+    "continental": [
+        ("water_soluble", 0.0212, 2.24, 7000.0, 1.53, 0.006, 2.0),
+        ("insoluble", 0.471, 2.51, 0.4, 1.53, 0.008, 1.5),
+        ("soot", 0.0118, 2.00, 4000.0, 1.75, 0.44, 1.0),
+    ],
+    # OPAC desert: mineral nucleation/accumulation/coarse modes
+    "desert": [
+        ("mineral_nuc", 0.07, 1.95, 269.5, 1.53, 0.0055, 1.0),
+        ("mineral_acc", 0.39, 2.00, 30.5, 1.53, 0.0055, 1.0),
+        ("mineral_coa", 1.90, 2.15, 0.142, 1.53, 0.0055, 1.0),
+    ],
+}
+
+#: per-model sanity windows (ssa, g at 550 nm; Angstrom 440/870)
+SANITY = {
+    "continental": ((0.85, 0.98), (0.55, 0.78), (0.6, 1.8)),
+    "desert": ((0.85, 0.99), (0.65, 0.85), (-0.2, 0.6)),
+}
 
 W_NM = np.array(
     [300.0, 350.0, 400.0, 440.0, 490.0, 550.0, 610.0, 670.0, 740.0,
@@ -68,6 +84,11 @@ def main():
     sys.path.insert(
         0, os.path.abspath(os.path.join(HERE, "..", "..", "..", ".."))
     )
+    for model, comps in MODELS.items():
+        _generate(model, comps)
+
+
+def _generate(model, COMPONENTS):
     from eradiate_tpu.physics.mie import mie_lognormal
 
     W = W_NM.size
@@ -101,15 +122,16 @@ def main():
     i440 = int(np.argmin(np.abs(W_NM - 440.0)))
     i870 = int(np.argmin(np.abs(W_NM - 870.0)))
     alpha = -np.log(sigma_t[i440] / sigma_t[i870]) / np.log(440.0 / 870.0)
-    print(f"550 nm: albedo {albedo[i550]:.4f}, g {g550:.4f}; "
+    print(f"{model} 550 nm: albedo {albedo[i550]:.4f}, g {g550:.4f}; "
           f"Angstrom(440/870) {alpha:.3f}")
-    assert 0.85 < albedo[i550] < 0.98, albedo[i550]
-    assert 0.55 < g550 < 0.78, g550
-    assert 0.6 < alpha < 1.8, alpha
+    (ssa_lo, ssa_hi), (g_lo, g_hi), (a_lo, a_hi) = SANITY[model]
+    assert ssa_lo < albedo[i550] < ssa_hi, albedo[i550]
+    assert g_lo < g550 < g_hi, g550
+    assert a_lo < alpha < a_hi, alpha
 
     # store with the sphere-normalized convention the factory expects
     # (integral of phase over the sphere = 1, like the HG surrogate)
-    path = os.path.join(HERE, "govaerts_2021-continental.npz")
+    path = os.path.join(HERE, f"govaerts_2021-{model}.npz")
     np.savez(
         path,
         w=W_NM,
@@ -122,10 +144,10 @@ def main():
         phase_34=p34 / (4.0 * np.pi),
         synthetic=np.asarray(True),
         provenance=np.asarray(
-            "Mie-computed OPAC-style continental-average mixture "
-            "(Hess 1998 parameters from memory, approximate); stands in "
-            "for the reference's measured govaerts_2021-continental — "
-            "NOT the Govaerts 2021 data"
+            f"Mie-computed OPAC-style {model} mixture (Hess 1998 "
+            "parameters from memory, approximate); stands in for the "
+            f"reference's measured govaerts_2021-{model} — NOT the "
+            "Govaerts 2021 data"
         ),
     )
     print("wrote", path)

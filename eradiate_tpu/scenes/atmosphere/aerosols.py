@@ -94,9 +94,14 @@ def particle_dataset_from_xarray(ds, ident="from_xarray") -> ParticleDataset:
     the format produced by
     :func:`eradiate_tpu.data.io.load_aerosol_libradtran` and by the
     reference's aerosol files (``data/schemas/particle_dataset_v1.yml``).
-    4x4 phase data keeps the scalar (1, 1) Mueller component."""
+    4x4 phase data additionally carries the block-diagonal Mueller rows
+    (P12/P33/P34) consumed by polarized modes."""
     phase = np.asarray(ds["phase"].values, dtype=np.float64)
+    p12 = p33 = p34 = None
     if phase.ndim == 4:
+        p12 = phase[:, :, 0, 1]
+        p33 = phase[:, :, 2, 2]
+        p34 = phase[:, :, 2, 3]
         phase = phase[:, :, 0, 0]
     mu = np.asarray(ds["mu"].values, dtype=np.float64)
     order = np.argsort(mu)
@@ -107,6 +112,9 @@ def particle_dataset_from_xarray(ds, ident="from_xarray") -> ParticleDataset:
         albedo=np.asarray(ds["albedo"].values, dtype=np.float64),
         mu=mu[order],
         phase=phase[:, order],
+        phase_12=None if p12 is None else p12[:, order],
+        phase_33=None if p33 is None else p33[:, order],
+        phase_34=None if p34 is None else p34[:, order],
     )
 
 
