@@ -57,6 +57,16 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
     tau_top = tau_levels[-1]
     z_bottom = z_levels[0]
     z_top = z_levels[-1]
+    # likelihood-ratio flight (see ops/tracer._make_bounce): sampling
+    # geometry is DETACHED and the medium's parameter dependence
+    # re-enters through primal-neutral ratio weights, making forward-
+    # mode extinction derivatives unbiased. The DEM estimator adds one
+    # event family over the plane-parallel tracer: a terrain hit at
+    # depth tau_path occurs with probability exp(-tau_path), so its
+    # ratio weight is exp(-(tau_path - sg(tau_path))) — primal 1.0.
+    _lr = bool(getattr(config, "lr_flight", False))
+    sg = jax.lax.stop_gradient if _lr else (lambda x: x)
+    dtau_layers = jnp.diff(tau_levels)
 
     d_sun = illum_row.direction
     mu_sun = clamp_mu(-d_sun[2])
@@ -110,12 +120,16 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         z = pos[:, 2]
         mu = clamp_mu(d[:, 2])
         tau_here = tau_z(z)
-        tau_exit = jnp.where(mu > 0.0, (tau_top - tau_here) / mu, tau_here / (-mu))
+        tau_here_s = sg(tau_here)
+        tau_top_s = sg(tau_top)
+        tau_exit = jnp.where(
+            mu > 0.0, (tau_top_s - tau_here_s) / mu, tau_here_s / (-mu)
+        )
         tau_s = -jnp.log1p(-u_dist)
         collide_med = tau_s < tau_exit
 
-        tau_new = jnp.clip(tau_here + mu * tau_s, 0.0, tau_top)
-        z_med, layer = z_at_tau(tau_new, z_levels, tau_levels)
+        tau_new = jnp.clip(tau_here_s + mu * tau_s, 0.0, tau_top_s)
+        z_med, layer = z_at_tau(tau_new, z_levels, sg(tau_levels))
         z_edge = jnp.where(mu > 0.0, z_top, z_bottom)
         t_cand = jnp.where(collide_med, (z_med - z) / mu, (z_edge - z) / mu)
         t_cand = jnp.maximum(t_cand, eps)
@@ -138,6 +152,23 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         pos_dem = pos + d * t_dem[:, None]
         pos_med = pos + d * t_cand[:, None]
 
+        if _lr:
+            # collision density sigma(z) exp(-tau_path) at the FIXED
+            # sampled altitude (sigma ratio via the layer's attached
+            # dtau: dz is theta-independent and constants cancel in the
+            # primal-neutral exp(g - sg(g)) form); terrain-hit
+            # probability exp(-tau_path_to_hit). All path depths use the
+            # attached tau(z) profile at detached geometry.
+            abs_mu = jnp.abs(mu)
+            dtau_att = take_1d(dtau_layers, layer)
+            tau_path_col = jnp.abs(tau_z(z_med) - tau_here) / abs_mu
+            g_col = jnp.log(jnp.maximum(dtau_att, 1e-30)) - tau_path_col
+            r_col = jnp.exp(g_col - sg(g_col))  # primal exactly 1.0
+            tau_path_dem = jnp.abs(tau_z(pos_dem[:, 2]) - tau_here) / abs_mu
+            r_dem = jnp.exp(-(tau_path_dem - sg(tau_path_dem)))
+        else:
+            r_col = r_dem = 1.0
+
         # ---- medium collision ------------------------------------------
         albedo_col = take_1d(medium_row.albedo, layer)
         cos_nee = jnp.einsum("j,ij->i", d_sun, -d)
@@ -147,14 +178,14 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
                 medium_row.phase_weights, l, c,
             )
         )(layer, cos_nee)
-        L_med = beta * albedo_col * p_nee * sun_T(pos_med) * E_sun
+        L_med = beta * r_col * albedo_col * p_nee * sun_T(pos_med) * E_sun
         d_med = jax.vmap(
             lambda l, dd, us, uc, up: phase_sample_from_uniforms(
                 config.phase_kinds, medium_row.phase_params,
                 medium_row.phase_weights, l, dd, us, uc, up,
             )
         )(layer, d, u_sel, u_cos, u_phi)
-        beta_med = beta * albedo_col
+        beta_med = beta * r_col * albedo_col
 
         # ---- terrain hit ------------------------------------------------
         if tris is not None:
@@ -169,13 +200,13 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
         f_nee = bsdf_eval(config.surface_kind, surface_row.params, wi_sun_l, wo_l, pos_dem[:, :2])
         cos_sun = jnp.maximum(jnp.einsum("ij,j->i", n_srf, w_sun), 0.0)
         pos_dem_off = pos_dem + n_srf * eps
-        L_dem = beta * f_nee * cos_sun * sun_T(pos_dem_off) * E_sun
+        L_dem = beta * r_dem * f_nee * cos_sun * sun_T(pos_dem_off) * E_sun
         d_srf_l, w_srf = bsdf_sample_from_uniforms(
             config.surface_kind, surface_row.params, wo_l, u_srf,
             pos_dem[:, :2],
         )
         d_srf = _to_world(n_srf, d_srf_l)
-        beta_srf = beta * w_srf
+        beta_srf = beta * r_dem * w_srf
 
         # ---- combine ----------------------------------------------------
         L_add = jnp.where(event_dem, L_dem, jnp.where(event_med, L_med, 0.0))

@@ -45,7 +45,9 @@ flag changes production output by zero bits; it is off by default
 because the extra tangent plumbing costs ~7% on c1-class scenes.
 ``medium.tau_scale`` is accepted for every base-dispatch geometry:
 plane-parallel and spherical-shell experiments, both polarizations
-(the spherical polarized tracer grew the estimator in round 5).
+(the spherical polarized tracer grew the estimator in round 5), and
+DEM experiments (the DEM tracer's terrain-hit events carry their own
+likelihood-ratio weight, round 5).
 
 Implementation notes:
 
@@ -66,10 +68,14 @@ Implementation notes:
   (``compile_canopy_scene`` / ``_render_canopy_raw``), adding
   ``canopy.reflectance`` / ``canopy.transmittance`` leaf channels (round
   5); their extinction channel stays refused (no likelihood-ratio
-  flight in the canopy tracers). DEM experiments are refused
-  (NotImplementedError): their render dispatch drops the heightfield
-  arrays from the base ``_render_one`` — a silent wrong-result trap
-  rather than a differentiation limitation.
+  flight in the canopy tracers). DEM experiments differentiate through
+  :func:`~eradiate_tpu.ops.tracer_dem.render_dem` with the heightfield
+  (or its triangulation) attached; the DEM tracer implements the
+  likelihood-ratio flight — terrain hits carry an extra
+  ``exp(-(tau_path - sg(tau_path)))`` event weight — so every built-in
+  channel (throughput AND extinction) is available over terrain. The
+  refusal now guards only third-party experiment subclasses with
+  unknown render dispatches.
 
 Reference context: retrieval users of the reference compute BRF
 Jacobians by re-running ``eradiate.run`` per parameter offset
@@ -353,9 +359,11 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
     ----------
     exp
         A constructed experiment rendering through the base dispatch
-        (atmosphere experiments, plane-parallel or spherical). Canopy
-        and DEM experiments are refused (their dedicated render dispatch
-        is not reflected here — see the raise below).
+        (atmosphere experiments, plane-parallel or spherical), a canopy
+        experiment (dedicated canopy dispatch, leaf channels), or a DEM
+        experiment (terrain-attached dispatch, all channels). Unknown
+        third-party ``process()`` overrides are refused (see the raise
+        below).
     wrt
         Sequence of channel names (see :func:`channel_names`) and/or
         callables ``apply(scene, theta)``.
@@ -396,15 +404,27 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
     import jax.numpy as jnp
 
     from .experiments._core import EarthObservationExperiment, resolve_mesh
+    from .scenes.surface import DEMSurface
 
     is_canopy = getattr(exp, "canopy", None) is not None
+    is_dem = False
+    try:
+        from .experiments import DEMExperiment
+
+        is_dem = isinstance(exp, DEMExperiment) and isinstance(
+            exp.surface, DEMSurface
+        )
+    except Exception:  # pragma: no cover
+        pass
     # Experiments that override process() with a dispatch this module
-    # does not reflect (DEM) would silently render WITHOUT their terrain
+    # does not reflect would silently render WITHOUT their extra scene
     # arrays — plausible-looking wrong Jacobians — so refuse loudly.
     # Canopy experiments render through compile_canopy_scene /
-    # _render_canopy_raw below (round 5, VERDICT r4 task #5b).
+    # _render_canopy_raw below, DEM experiments through render_dem with
+    # the heightfield (and optional triangulation) attached (round 5).
     if (
         not is_canopy
+        and not is_dem
         and type(exp).process is not EarthObservationExperiment.process
         and not _delegates_to_base(exp)
     ):
@@ -417,6 +437,25 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
         )
 
     mesh = resolve_mesh(mesh)
+    dem = dem_tris = None
+    if is_dem:
+        from .core.modes import mode
+
+        dem = exp.surface.dem_arrays(dtype=mode().device_dtype)
+        if getattr(exp.surface, "triangulate", False):
+            from .ops.dem import mesh_from_dem
+
+            dem_tris = mesh_from_dem(
+                exp.surface.elevation, exp.surface.x0, exp.surface.y0,
+                exp.surface.dx, exp.surface.dy,
+                dtype=mode().device_dtype,
+            )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "triangulated DEM sensitivities are single-device "
+                    "only (pass mesh=None); the marched heightfield "
+                    "path shards"
+                )
     channels = []
     for name in wrt:
         theta0, apply, target = _resolve_channel(name)
@@ -488,6 +527,23 @@ def sensitivities(exp, wrt, spp=None, seed=0, mesh=None):
                         scene_p, leaf_p, leaves, sensor, config, n,
                         seed + i, mesh, tris, tri_params,
                     )
+                elif is_dem:
+                    if mesh is not None:
+                        from .parallel import render_dem_sharded
+
+                        raw = render_dem_sharded(
+                            scene_p, dem, sensor, config, spp=n,
+                            seed=seed + i, mesh=mesh,
+                        )
+                    else:
+                        from .ops.tracer_dem import render_dem
+
+                        raw = render_dem(
+                            scene_p, dem, sensor, config, n, seed + i,
+                            tris=dem_tris,
+                            n_march=getattr(exp.surface, "march_steps", 128),
+                            n_bisect=getattr(exp.surface, "bisect_steps", 16),
+                        )
                 else:
                     raw = exp._render_one(
                         scene_p, sensor, config, n, seed + i, mesh=mesh

@@ -534,28 +534,215 @@ class TestGasChannels:
         assert exp.geometry.layer_merge_tol == before
 
 
-class TestScopeAndErrors:
+def _make_dem(surface, atmosphere, spp=512,
+              zeniths=(-45.0, 0.0, 45.0)):
+    from eradiate_tpu.experiments import DEMExperiment
 
-    def test_dem_experiment_refused(self):
-        """DEM experiments bypass the base render dispatch; silently
-        rendering without the terrain would give plausible wrong
-        Jacobians — refuse loudly instead."""
-        from eradiate_tpu.experiments import DEMExperiment
+    return DEMExperiment(
+        illumination={"type": "directional", "zenith": 30.0,
+                      "azimuth": 0.0},
+        measures={"type": "mdistant", "construct": "hplane",
+                  "zeniths": np.array(zeniths), "azimuth": 0.0,
+                  "spp": spp},
+        surface=surface,
+        atmosphere=atmosphere,
+    )
+
+
+class TestDEMChannels:
+    """DEM experiments differentiate through render_dem with the
+    terrain attached (round 5, VERDICT r4 task #5 stretch): the DEM
+    tracer implements the likelihood-ratio flight, with terrain hits
+    carrying their own exp(-(tau_path - sg(tau_path))) event weight, so
+    throughput AND extinction channels are available over terrain."""
+
+    def test_dem_tau_scale_analytic_flat(self):
+        """Flat zero-elevation terrain over a pure absorber reduces the
+        DEM estimator to the plane-parallel closed form: relative
+        d/d(tau scale) = -tau (1/mu0 + 1/mu). The terrain-hit
+        likelihood-ratio weight carries the -tau/mu leg; NEE
+        transmittance carries -tau/mu0; the JVP is zero-variance and
+        must hit the closed form to float precision."""
         from eradiate_tpu.scenes.surface import DEMSurface
 
-        exp = DEMExperiment(
+        tau = 0.4
+        surf = DEMSurface(
+            elevation=np.zeros((8, 8)), x0=-50.0, y0=-50.0,
+            bsdf={"type": "lambertian", "reflectance": 0.5},
+        )
+        exp = _make_dem(
+            surf,
+            {"type": "homogeneous", "top": 10.0, "sigma_s": 0.0,
+             "sigma_a": tau / 10.0},
+            spp=2048,
+        )
+        res = sensitivities(exp, wrt=["medium.tau_scale"], seed=4)
+        e = res[exp.measures[0].id]
+        mu0 = np.cos(np.radians(30.0))
+        mus = np.cos(np.radians([45.0, 0.0, 45.0]))
+        rel = (
+            e["jac"]["medium.tau_scale"]["radiance"] / e["radiance"]
+        ).ravel()
+        np.testing.assert_allclose(
+            rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=1e-4
+        )
+
+    def test_dem_tau_scale_analytic_triangulated(self):
+        """Same closed form through the triangulated (Moeller-Trumbore)
+        terrain path — the likelihood-ratio weights are shared by both
+        intersectors inside _make_bounce_dem."""
+        from eradiate_tpu.scenes.surface import DEMSurface
+
+        tau = 0.3
+        surf = DEMSurface(
+            elevation=np.zeros((6, 6)), x0=-50.0, y0=-50.0,
+            bsdf={"type": "lambertian", "reflectance": 0.5},
+            triangulate=True,
+        )
+        exp = _make_dem(
+            surf,
+            {"type": "homogeneous", "top": 10.0, "sigma_s": 0.0,
+             "sigma_a": tau / 10.0},
+            spp=512, zeniths=(0.0, 45.0),
+        )
+        res = sensitivities(exp, wrt=["medium.tau_scale"], seed=2)
+        e = res[exp.measures[0].id]
+        mu0 = np.cos(np.radians(30.0))
+        mus = np.cos(np.radians([0.0, 45.0]))
+        rel = (
+            e["jac"]["medium.tau_scale"]["radiance"] / e["radiance"]
+        ).ravel()
+        np.testing.assert_allclose(
+            rel, -tau * (1.0 / mu0 + 1.0 / mus), rtol=1e-4
+        )
+
+    def test_dem_reflectance_matches_crn_fd(self):
+        """Throughput channel over a Gaussian hill: detached JVP ==
+        common-random-number centered difference through the same DEM
+        dispatch (RR off both ways)."""
+        import dataclasses
+
+        from eradiate_tpu.core.modes import mode
+        from eradiate_tpu.ops.tracer_dem import render_dem
+        from eradiate_tpu.scenes.surface import DEMSurface
+
+        surf = DEMSurface.gaussian_hill(
+            height_km=0.5, sigma_km=2.0, extent_km=10.0, n=33,
+            bsdf={"type": "lambertian", "reflectance": 0.4},
+        )
+        exp = _make_dem(surf, {"type": "molecular"}, spp=512)
+        res = sensitivities(exp, wrt=["surface.reflectance"], seed=7)
+        jvp = res[exp.measures[0].id]["jac"]["surface.reflectance"][
+            "radiance"
+        ]
+
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        scene, sensor, config = exp.compile_scene(m, ctx)
+        config = dataclasses.replace(config, rr_depth=config.max_depth)
+        dem = exp.surface.dem_arrays(dtype=mode().device_dtype)
+        eps = 1e-3
+
+        def at(drho):
+            params = dict(scene.surface.params)
+            params["reflectance"] = params["reflectance"] + drho
+            s = dataclasses.replace(
+                scene,
+                surface=dataclasses.replace(scene.surface, params=params),
+            )
+            return np.asarray(
+                render_dem(s, dem, sensor, config, 512, 7)["radiance"]
+            )
+
+        fd = (at(+eps) - at(-eps)) / (2 * eps)
+        np.testing.assert_allclose(jvp, fd, rtol=5e-3, atol=5e-4)
+
+    def test_dem_lr_flight_primal_bit_identical(self):
+        """lr_flight changes DEM production output by ZERO bits — the
+        collision and terrain-hit correction factors are primal-neutral
+        (exercised over a hill so terrain hits occur mid-slab)."""
+        import dataclasses
+
+        from eradiate_tpu.core.modes import mode
+        from eradiate_tpu.ops.tracer_dem import render_dem
+        from eradiate_tpu.scenes.surface import DEMSurface
+
+        surf = DEMSurface.gaussian_hill(
+            height_km=1.0, sigma_km=2.0, extent_km=10.0, n=17,
+            bsdf={"type": "lambertian", "reflectance": 0.4},
+        )
+        exp = _make_dem(surf, {"type": "molecular"}, spp=256)
+        m = exp.measures[0]
+        ctx = exp.spectral_context(m)
+        scene, sensor, config = exp.compile_scene(m, ctx)
+        dem = exp.surface.dem_arrays(dtype=mode().device_dtype)
+        off = np.asarray(
+            render_dem(scene, dem, sensor, config, 256, 3)["radiance"]
+        )
+        on = np.asarray(
+            render_dem(
+                scene, dem, sensor,
+                dataclasses.replace(config, lr_flight=True), 256, 3,
+            )["radiance"]
+        )
+        assert np.array_equal(off, on)
+
+    def test_dem_sharded_jacobian_equals_single_device(self):
+        """DEM sensitivities ride the sharded render path like the base
+        dispatch: global-sample-id seeding makes the mesh Jacobian
+        EQUAL the single-device one."""
+        from eradiate_tpu.parallel import make_render_mesh
+        from eradiate_tpu.scenes.surface import DEMSurface
+
+        surf = DEMSurface.gaussian_hill(
+            height_km=0.5, sigma_km=2.0, extent_km=10.0, n=17,
+            bsdf={"type": "lambertian", "reflectance": 0.4},
+        )
+
+        def make():
+            return _make_dem(surf, {"type": "molecular"}, spp=512,
+                             zeniths=(0.0, 45.0))
+
+        wrt = ["surface.reflectance", "medium.tau_scale"]
+        res_m = sensitivities(make(), wrt=wrt, seed=6,
+                              mesh=make_render_mesh(1, 8))
+        res_1 = sensitivities(make(), wrt=wrt, seed=6)
+        e_m = next(iter(res_m.values()))
+        e_1 = next(iter(res_1.values()))
+        np.testing.assert_allclose(
+            e_m["radiance"], e_1["radiance"], rtol=1e-5
+        )
+        for ch in wrt:
+            np.testing.assert_allclose(
+                e_m["jac"][ch]["radiance"], e_1["jac"][ch]["radiance"],
+                rtol=1e-4, atol=1e-7,
+            )
+
+
+class TestScopeAndErrors:
+
+    def test_unknown_dispatch_refused(self):
+        """Experiment subclasses overriding process() with a dispatch
+        sensitivities() does not reflect would silently render through
+        the base path — plausible wrong Jacobians — so they are refused
+        loudly. (Canopy and DEM dispatches are supported; this guard
+        protects third-party overrides.)"""
+
+        class ThirdPartyExperiment(AtmosphereExperiment):
+            def process(self, *args, **kwargs):
+                return super().process(*args, **kwargs)
+
+        exp = ThirdPartyExperiment(
             illumination={"type": "directional", "zenith": 30.0,
                           "azimuth": 0.0},
             measures={"type": "mdistant", "construct": "hplane",
                       "zeniths": np.array([0.0]), "azimuth": 0.0,
                       "spp": 16},
-            surface=DEMSurface(
-                elevation=np.zeros((8, 8)), x0=-1.0, y0=-1.0,
-                bsdf={"type": "lambertian", "reflectance": 0.3},
-            ),
+            surface={"type": "lambertian", "reflectance": 0.3},
             atmosphere=None,
         )
-        with pytest.raises(NotImplementedError, match="DEMExperiment"):
+        with pytest.raises(NotImplementedError,
+                           match="ThirdPartyExperiment"):
             sensitivities(exp, wrt=["surface.reflectance"])
 
     def test_unknown_channel(self):
