@@ -215,14 +215,37 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 table_flag = (
                     getattr(self.illumination, "zenith", 0.0) <= 80.0
                 )
+            sun_r_grid = sun_mu_warp = None
             if table_flag and np.dtype(dtype) == np.float32:
-                from ..ops.spherical import sun_mu_grid, sun_tau_table
+                from ..ops.spherical import (
+                    sun_mu_grid_warped,
+                    sun_tau_table_grid,
+                )
 
-                mu_grid_dev = jnp.asarray(sun_mu_grid(), dtype=dtype)
+                # round-5 fast-fetch grids (ops/spherical.
+                # sun_tau_fetch_fast): UNIFORM 128-level radius axis and
+                # the asinh-warped 128-point mu axis — cell location is
+                # arithmetic per event (no compare-sum index reductions)
+                # and the [128, 128] hi/lo-bf16 table needs two matmuls
+                # instead of three over [233, 226]. Measured vs the
+                # exact slant on c4-like event states: p99 |dT| 4.9e-3
+                # in the limb band vs 0.12 for the legacy piecewise
+                # grids (the warp resolves the terminator band better).
+                mu_np, warp = sun_mu_grid_warped(128)
+                mu_grid_dev = jnp.asarray(mu_np, dtype=dtype)
+                r0g = np.linspace(
+                    float(self.geometry.planet_radius + levels[0]),
+                    float(self.geometry.planet_radius + levels[-1]),
+                    128,
+                )
+                sun_r_grid = jnp.asarray(r0g, dtype=dtype)
+                sun_mu_warp = warp
                 # r_ground=0: blockage is NOT baked into the table (it
                 # would poison the bilinear near the terminator); the
                 # tracers apply the exact cross-product blocked test
-                sun_tau = sun_tau_table(sig, radii, mu_grid_dev, r_ground=0.0)
+                sun_tau = sun_tau_table_grid(
+                    sig, radii, sun_r_grid, mu_grid_dev, r_ground=0.0
+                )
             medium = SphericalMediumArrays(
                 radii=radii,
                 sigma_t=sig,
@@ -234,6 +257,8 @@ class AtmosphereExperiment(EarthObservationExperiment):
                 phase_params=phase_params_dev,
                 sun_tau=sun_tau,
                 mu_grid=mu_grid_dev,
+                sun_r_grid=sun_r_grid,
+                sun_mu_warp=sun_mu_warp,
             )
         else:
             # host-side cumulative tau: under a remote-device tunnel every

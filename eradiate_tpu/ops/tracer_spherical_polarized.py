@@ -125,17 +125,19 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
                 axis=-1,
             )
             blocked = (mu_ev < 0.0) & (b2w <= r_ground * r_ground)
-            tau_sun = jnp.where(
-                blocked,
-                TAU_BLOCKED,
-                sun_tau_fetch(
-                    medium_row.sun_tau,
-                    radii,
-                    medium_row.mu_grid,
-                    r_ev,
-                    mu_ev,
-                ),
-            )
+            if medium_row.sun_r_grid is not None:
+                from .spherical import sun_tau_fetch_fast
+
+                tau_fetch = sun_tau_fetch_fast(
+                    medium_row.sun_tau, medium_row.sun_r_grid,
+                    medium_row.sun_mu_warp, r_ev, mu_ev,
+                )
+            else:
+                tau_fetch = sun_tau_fetch(
+                    medium_row.sun_tau, radii, medium_row.mu_grid,
+                    r_ev, mu_ev,
+                )
+            tau_sun = jnp.where(blocked, TAU_BLOCKED, tau_fetch)
         else:
             accept, t_col, layer, tau_sun = shell_event(
                 p, d, t_max, radii, medium_row.sigma_t, tau_s, w_sun
@@ -458,6 +460,8 @@ def render_batch_impl(
             phase_params=mr_part[4],
             sun_tau=mr_part[5] if len(mr_part) > 5 else None,
             mu_grid=medium.mu_grid,
+            sun_r_grid=medium.sun_r_grid,
+            sun_mu_warp=medium.sun_mu_warp,
         )
         ir = IlluminationArrays(
             direction=illum.direction,

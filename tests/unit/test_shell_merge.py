@@ -282,6 +282,58 @@ class TestPlaneParallelMerge:
 
 
 class TestSunTauFetchMXU:
+
+    def test_fast_fetch_matches_exact_slant(self):
+        """The round-5 arithmetic-index fetch (uniform radius axis +
+        asinh-warped mu axis, single-bf16 weights) agrees with the exact
+        closed-form slant depth away from the terminator band, and with
+        the table's own bilinear (lookup on the same grid) everywhere —
+        pinning both the warp inversion and the hi/lo matmul plumbing."""
+        import jax.numpy as jnp
+
+        from eradiate_tpu.ops.spherical import (
+            _slant_tau_exact_xla,
+            sun_mu_grid_warped,
+            sun_tau_fetch_fast,
+            sun_tau_table_grid,
+        )
+
+        R6 = 6378.1
+        z = np.linspace(0.0, 100.0, 101)
+        radii = jnp.asarray(R6 + z, jnp.float32)
+        sigma = jnp.asarray(
+            0.012 * np.exp(-z[:-1] / 8.0)[None, :], jnp.float32
+        )
+        mu_np, warp = sun_mu_grid_warped(128)
+        mu_grid = jnp.asarray(mu_np, jnp.float32)
+        r_grid = jnp.asarray(np.linspace(R6, R6 + 100.0, 128), jnp.float32)
+        table = sun_tau_table_grid(
+            sigma, radii, r_grid, mu_grid, r_ground=0.0
+        )[0]
+        rng = np.random.default_rng(3)
+        B = 4096
+        r = jnp.asarray(R6 + rng.uniform(0, 100, B), jnp.float32)
+        mu = jnp.asarray(rng.uniform(-1.0, 1.0, B), jnp.float32)
+        got = np.asarray(sun_tau_fetch_fast(table, r_grid, warp, r, mu))
+        smu = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, 1.0))
+        p = jnp.stack([jnp.zeros(B), jnp.zeros(B), r], 1)
+        w = jnp.stack([smu, jnp.zeros(B), mu], 1)
+        ref = np.asarray(
+            _slant_tau_exact_xla(p, w, radii, sigma[0], r_ground=0.0)
+        )
+        # production consults the table only off the exact-blocked set;
+        # the limb-grazing band (near-horizontal descending, tangent in
+        # the lower atmosphere) keeps the documented sqrt-cusp limit —
+        # gate it loosely, and the rest tightly
+        b = np.asarray(r) * np.asarray(smu)
+        band = (np.asarray(mu) < 0.1) & (b - R6 < 30.0)
+        ok = ~band
+        T_got, T_ref = np.exp(-np.minimum(got, 80)), np.exp(-np.minimum(ref, 80))
+        err = np.abs(T_got - T_ref)
+        assert err[ok].max() < 5e-3
+        assert err[ok].mean() < 2e-4
+        assert err.max() < 3e-2  # cusp band itself stays bounded
+
     def test_matches_lookup_at_off_node_points(self):
         """The two-hot MXU bilinear fetch reproduces the gather-based
         lookup_sun_tau on the same table (the fetch is exact bilinear;
