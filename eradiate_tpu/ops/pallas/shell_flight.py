@@ -407,6 +407,7 @@ def shell_flight_pallas(
     block_b: int = _BLOCK_B,
     interpret: bool = False,
     exit_clipped: bool = False,
+    lanes_2d: bool = False,
 ):
     """Fused exact shell free flight (see ops.spherical.shell_flight).
 
@@ -414,6 +415,15 @@ def shell_flight_pallas(
     ``exit_clipped=True`` asserts the tracer contract that ``t_max`` is
     the exact boundary-exit distance (ground or TOA), which replaces the
     endpoint g_at sweep with a select on the total column depth.
+    ``lanes_2d`` ships lane scalars as [B, 1] columns like the fused
+    event kernel. Default FALSE here (round-5 measurement): standalone-
+    chained the column form wins ~10% (no in-kernel relayouts), but
+    inside the real regenerative loop XLA inserts per-iteration
+    broadcast_in_dim copies to build the [B, 1] operands from the loop's
+    1D lane state ("data formatting" at ~22% of device time in the c4
+    xprof) — a net ~25% end-to-end LOSS. The fused event kernel keeps
+    columns because its x0/b2/pw/dw/b2w0 operands are fresh products
+    there, not loop state.
     Returns (collide bool [B], t_col [B], layer int32 [B]).
     """
     B = x0.shape[0]
@@ -421,10 +431,18 @@ def shell_flight_pallas(
     Bp = nb * block_b
     r2_lo, r2_hi, sigma_p, Lp1 = _prep_levels(radii2, sigma)
 
-    def padb(x, fill=0.0):
-        return jnp.pad(x, (0, Bp - B), constant_values=fill)
+    if lanes_2d:
+        def padb(x, fill=0.0):
+            return jnp.pad(x, (0, Bp - B), constant_values=fill)[:, None]
 
-    lane_spec = pl.BlockSpec((block_b,), lambda i: (i,))
+        lane_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0))
+        out_dim = (Bp, 1)
+    else:
+        def padb(x, fill=0.0):
+            return jnp.pad(x, (0, Bp - B), constant_values=fill)
+
+        lane_spec = pl.BlockSpec((block_b,), lambda i: (i,))
+        out_dim = (Bp,)
     full_spec = pl.BlockSpec((r2_lo.shape[0],), lambda i: (0,))
 
     col, t_col, layer = pl.pallas_call(
@@ -435,9 +453,9 @@ def shell_flight_pallas(
         in_specs=[lane_spec] * 4 + [full_spec] * 3,
         out_specs=(lane_spec,) * 3,
         out_shape=(
-            jax.ShapeDtypeStruct((Bp,), x0.dtype),
-            jax.ShapeDtypeStruct((Bp,), x0.dtype),
-            jax.ShapeDtypeStruct((Bp,), jnp.int32),
+            jax.ShapeDtypeStruct(out_dim, x0.dtype),
+            jax.ShapeDtypeStruct(out_dim, x0.dtype),
+            jax.ShapeDtypeStruct(out_dim, jnp.int32),
         ),
         # the [TB, Lpad] working set (~25 MB at TB=1024, L=1200) exceeds
         # the default 16 MB scoped-VMEM budget; v5e has 128 MB VMEM
@@ -447,6 +465,8 @@ def shell_flight_pallas(
         padb(x0), padb(b2), padb(t_max), padb(tau_s, 1e30),
         r2_lo, r2_hi, sigma_p,
     )
+    if lanes_2d:
+        col, t_col, layer = col[:, 0], t_col[:, 0], layer[:, 0]
     return col[:B] > 0.5, t_col[:B], layer[:B]
 
 
