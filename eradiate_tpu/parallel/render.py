@@ -102,8 +102,13 @@ def _medium_specs(medium):
     vals = {}
     for f in dataclasses.fields(type(medium)):
         v = getattr(medium, f.name)
-        if f.name in ("z_levels", "radii", "mu_grid"):
-            vals[f.name] = P()
+        if f.name in ("z_levels", "radii", "mu_grid", "sun_r_grid",
+                      "sun_mu_warp"):
+            vals[f.name] = (
+                jax.tree_util.tree_map(lambda _: P(), v)
+                if isinstance(v, tuple)
+                else P()
+            )
         else:
             vals[f.name] = _spectral_specs(v)
     return type(medium)(**vals)
