@@ -28,8 +28,10 @@ __all__ = [
 def square_to_uniform_disk(sample):
     xp = _np(sample)
     r = xp.sqrt(sample[..., 0])
-    phi = 2.0 * np.pi * sample[..., 1]
-    return xp.stack([r * xp.cos(phi), r * xp.sin(phi)], axis=-1)
+    from ..ops.fastmath import cos_sin_2pi
+
+    cp, sp = cos_sin_2pi(sample[..., 1])
+    return xp.stack([r * cp, r * sp], axis=-1)
 
 
 def uniform_disk_to_square(p):
@@ -53,11 +55,17 @@ def square_to_uniform_disk_concentric(sample):
         xp.where(x != 0.0, y / xp.where(x == 0.0, 1.0, x), 0.0),
         xp.where(y != 0.0, x / xp.where(y == 0.0, 1.0, y), 0.0),
     )
-    phi = xp.where(
-        quadrant_x, (np.pi / 4.0) * ratio, (np.pi / 2.0) - (np.pi / 4.0) * ratio
+    # azimuth in TURNS (phi / 2pi): the quadrant-reduced polynomial pair
+    # (ops/fastmath.cos_sin_2pi) replaces libm cos+sin — measured at 40%
+    # of c1 transport device time through the sampling call sites (r5)
+    u_phi = xp.where(
+        quadrant_x, (1.0 / 8.0) * ratio, 0.25 - (1.0 / 8.0) * ratio
     )
     r = xp.where(is_zero, 0.0, r)
-    return xp.stack([r * xp.cos(phi), r * xp.sin(phi)], axis=-1)
+    from ..ops.fastmath import cos_sin_2pi
+
+    cp, sp = cos_sin_2pi(u_phi)
+    return xp.stack([r * cp, r * sp], axis=-1)
 
 
 def uniform_disk_to_square_concentric(p):
@@ -119,8 +127,10 @@ def square_to_uniform_sphere(sample):
     xp = _np(sample)
     z = 1.0 - 2.0 * sample[..., 0]
     r = xp.sqrt(xp.clip(1.0 - z * z, 0.0, 1.0))
-    phi = 2.0 * np.pi * sample[..., 1]
-    return xp.stack([r * xp.cos(phi), r * xp.sin(phi), z], axis=-1)
+    from ..ops.fastmath import cos_sin_2pi
+
+    cp, sp = cos_sin_2pi(sample[..., 1])
+    return xp.stack([r * cp, r * sp, z], axis=-1)
 
 
 def square_to_uniform_cone(sample, cos_cutoff):
@@ -129,7 +139,7 @@ def square_to_uniform_cone(sample, cos_cutoff):
     xp = _np(sample)
     cos_theta = (1.0 - sample[..., 0]) + sample[..., 0] * cos_cutoff
     sin_theta = xp.sqrt(xp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0))
-    phi = 2.0 * np.pi * sample[..., 1]
-    return xp.stack(
-        [sin_theta * xp.cos(phi), sin_theta * xp.sin(phi), cos_theta], axis=-1
-    )
+    from ..ops.fastmath import cos_sin_2pi
+
+    cp, sp = cos_sin_2pi(sample[..., 1])
+    return xp.stack([sin_theta * cp, sin_theta * sp, cos_theta], axis=-1)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 __all__ = [
     "ortho_frame",
     "direction_from_cos",
+    "direction_from_cos_u",
     "phase_eval",
     "phase_sample",
     "tab_phase_tables",
@@ -56,13 +57,34 @@ def direction_from_cos(d_in, cos_theta, phi):
     TPU note: replacing ``sin(phi)`` with ``sign * sqrt(1 - cos^2)`` was
     measured (round 4) to change c1/c2 by < run variance — the cos+sin
     pair fuses as cheaply as cos+sqrt+select on the VPU — so the plain
-    transcendental form stays.
+    transcendental form stays. The TRANSPORT loop instead calls
+    :func:`direction_from_cos_u` (round 5): libm cos+sin of the azimuth
+    measured at 40% of c1 device time, and at ``phi = 2*pi*u`` the
+    quadrant-reduced polynomial pair (:func:`eradiate_tpu.ops.fastmath.
+    cos_sin_2pi`) is ~2.5x cheaper at f32-eps accuracy.
     """
     t1, t2 = ortho_frame(d_in)
     sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0))
     return (
         t1 * (sin_theta * jnp.cos(phi))[..., None]
         + t2 * (sin_theta * jnp.sin(phi))[..., None]
+        + d_in * cos_theta[..., None]
+    )
+
+
+def direction_from_cos_u(d_in, cos_theta, u_phi):
+    """:func:`direction_from_cos` with the azimuth given in TURNS
+    (``phi = 2*pi*u_phi``): the unit-uniform argument makes the
+    cos/sin pair a quadrant floor + two degree-4 polynomials
+    (:func:`~eradiate_tpu.ops.fastmath.cos_sin_2pi`)."""
+    from .fastmath import cos_sin_2pi
+
+    t1, t2 = ortho_frame(d_in)
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0))
+    cp, sp = cos_sin_2pi(u_phi)
+    return (
+        t1 * (sin_theta * cp)[..., None]
+        + t2 * (sin_theta * sp)[..., None]
         + d_in * cos_theta[..., None]
     )
 
@@ -225,7 +247,6 @@ def phase_sample_from_uniforms(
     """
     from .medium import take_1d
 
-    phi = 2.0 * jnp.pi * u_phi
     C = len(phase_kinds)
     ws = [take_1d(phase_weights[c], layer) for c in range(C)]
     total = sum(ws)
@@ -237,7 +258,7 @@ def phase_sample_from_uniforms(
         selected = (u_sel < cdf) if c == 0 else (u_sel < cdf) & ~prev_cdf_hit
         cos_theta = jnp.where(selected, cos_c, cos_theta)
         prev_cdf_hit = u_sel < cdf
-    return direction_from_cos(d_in, cos_theta, phi)
+    return direction_from_cos_u(d_in, cos_theta, u_phi)
 
 
 def phase_sample(phase_kinds, phase_params, phase_weights, layer, d_in, key):
@@ -331,7 +352,6 @@ def phase_sample_at(
 ):
     """Sample a scattered direction from the blend with prefetched data
     (prefetched counterpart of :func:`phase_sample_from_uniforms`)."""
-    phi = 2.0 * jnp.pi * u_phi
     total = 0.0
     for c in range(len(phase_kinds)):
         total = total + weights_at[c]
@@ -343,4 +363,4 @@ def phase_sample_at(
         selected = (u_sel < cdf) if c == 0 else (u_sel < cdf) & ~prev_cdf_hit
         cos_theta = jnp.where(selected, cos_c, cos_theta)
         prev_cdf_hit = u_sel < cdf
-    return direction_from_cos(d_in, cos_theta, phi)
+    return direction_from_cos_u(d_in, cos_theta, u_phi)
