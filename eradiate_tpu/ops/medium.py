@@ -163,6 +163,41 @@ def interp_fetch(x, x_table, y_tables):
     return idx, frac, [(out[..., 2 * k], out[..., 2 * k + 1]) for k in range(K)]
 
 
+def fetch_pairs_at(idx, y_tables):
+    """(y[idx], y[idx+1] - y[idx]) per table — :func:`interp_fetch`'s
+    MXU pair fetch with the bracket index SUPPLIED by the caller.
+
+    For arithmetic grids (uniform, theta-uniform, equal-probability
+    inverse tables) the index is a floor, not a [B, L] compare-sum — the
+    round-5 c2 xprof put those bracket reductions at ~27% of device
+    time. The hi/lo-bf16 one-hot matmul (~1.5e-5 relative) stays.
+    """
+    L = y_tables[0].shape[-1]
+    if not (_dense_lookup() and y_tables[0].dtype == jnp.float32):
+        out = []
+        for yt in y_tables:
+            y0 = jnp.take(yt, idx, axis=-1)
+            y1 = jnp.take(yt, jnp.minimum(idx + 1, L - 1), axis=-1)
+            out.append((y0, y1 - y0))
+        return out
+    iota = jnp.arange(L, dtype=jnp.int32)
+    m0 = iota == idx[..., None]
+    pad = jnp.zeros((1,), y_tables[0].dtype)
+    cols = []
+    for yt in y_tables:
+        cols.append(yt)
+        cols.append(jnp.concatenate([jnp.diff(yt), pad]))
+    stacked = jnp.stack(cols, axis=1)  # [L, 2K]
+    mh = m0.astype(jnp.bfloat16)
+    hi = stacked.astype(jnp.bfloat16)
+    lo = (stacked - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.matmul(mh, hi, preferred_element_type=jnp.float32) + jnp.matmul(
+        mh, lo, preferred_element_type=jnp.float32
+    )
+    K = len(y_tables)
+    return [(out[..., 2 * k], out[..., 2 * k + 1]) for k in range(K)]
+
+
 def tau_at_z(z, z_levels, tau_levels):
     """Interpolate tau(z); z: [...], z_levels: [L+1], tau_levels: [L+1]."""
     _, frac, ((t0, t1),) = _interp_tables(z, z_levels, (tau_levels,))

@@ -163,12 +163,44 @@ def tab_phase_tables(mu, values):
     return v, cdf
 
 
-def tab_eval(params, cos_theta):
-    # MXU-ridden fetch (ops/medium.interp_fetch): the per-bounce masked
-    # reductions over the [M] mu grid were the dominant share of the c2
-    # transport fusions
-    from .medium import interp_fetch
+def theta_grid_params(mu):
+    """(theta0, inv_dtheta) when ``mu`` is uniform in theta, else None.
 
+    A theta-uniform grid (the Mie datasets since round 5) lets
+    :func:`tab_eval` locate its cell as ``k = (theta0 - acos(c)) *
+    inv_dtheta`` — one arccos instead of a [B, M] compare-sum."""
+    import numpy as np
+
+    theta = np.arccos(np.clip(np.asarray(mu, np.float64), -1.0, 1.0))
+    d = np.diff(theta)
+    if d.size and np.allclose(d, d[0], rtol=1e-6, atol=1e-9) and d[0] < 0:
+        return float(theta[0]), float(1.0 / (-d[0]))
+    return None
+
+
+def tab_eval(params, cos_theta):
+    # MXU-ridden fetch: the per-bounce masked reductions over the [M] mu
+    # grid were the dominant share of the c2 transport fusions. On a
+    # theta-uniform grid (params["tg0"]/["itg"] present, the Mie
+    # datasets) the cell index is ARITHMETIC — one arccos + a poly cos
+    # replace the [B, M] compare-sum and the masked x0/dx reductions;
+    # the (values, mu) pair fetch keeps the one-hot hi/lo-bf16 matmul.
+    from .medium import fetch_pairs_at, interp_fetch
+
+    if params.get("tg0") is not None:
+        M = params["mu"].shape[-1]
+        c = jnp.clip(cos_theta, -1.0, 1.0)
+        theta = jnp.arccos(c)
+        k = jnp.clip(
+            ((params["tg0"] - theta) * params["itg"]).astype(jnp.int32),
+            0,
+            M - 2,
+        )
+        (v0, dv), (m0, dm) = fetch_pairs_at(
+            k, (params["values"], params["mu"])
+        )
+        frac = jnp.clip((c - m0) / jnp.where(dm == 0.0, 1.0, dm), 0.0, 1.0)
+        return v0 + frac * dv
     _, frac, ((v0, dv),) = interp_fetch(
         cos_theta, params["mu"], (params["values"],)
     )
@@ -176,6 +208,13 @@ def tab_eval(params, cos_theta):
 
 
 def tab_sample_cos(params, u):
+    # NOTE (round-5 negative result): replacing the CDF compare-sum with
+    # an equal-probability inverse table (arithmetic u index, [Nu] fetch)
+    # measured 11-13% SLOWER end-to-end on c2 at Nu = 128 and 256 — the
+    # bracket reductions fuse into the surrounding transport passes,
+    # while the inverse-table one-hot matmul is new standalone work. The
+    # same rework on the EVAL side (theta-uniform arccos index,
+    # tab_eval above) wins ~11%; sampling keeps the CDF inversion.
     from .medium import interp_fetch
 
     u1 = u[..., 0]

@@ -120,7 +120,7 @@ class TabulatedPhaseFunction(PhaseFunction):
             )
 
     def compile(self, w_nm, n_layers: int) -> tuple:
-        from ...ops.phase_ops import tab_phase_tables
+        from ...ops.phase_ops import tab_phase_tables, theta_grid_params
 
         w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
         S = w.size
@@ -134,7 +134,14 @@ class TabulatedPhaseFunction(PhaseFunction):
             )
         v, cdf = tab_phase_tables(self.mu, vals)
         mu = np.broadcast_to(self.mu[None, :], (S, M)).copy()
-        return "tab", {"mu": mu, "values": v, "cdf": cdf}
+        params = {"mu": mu, "values": v, "cdf": cdf}
+        tg = theta_grid_params(self.mu)
+        if tg is not None:
+            # arithmetic eval index on theta-uniform grids (ops/phase_ops
+            # .tab_eval); [S]-shaped so the per-row lax.map slices them
+            params["tg0"] = np.full(S, tg[0])
+            params["itg"] = np.full(S, tg[1])
+        return "tab", params
 
 
 @phase_function_factory.register("tab_phase_polarized")
@@ -195,7 +202,7 @@ class TabulatedPolarizedPhaseFunction(PhaseFunction):
             )
 
     def compile(self, w_nm, n_layers: int) -> tuple:
-        from ...ops.phase_ops import tab_phase_tables
+        from ...ops.phase_ops import tab_phase_tables, theta_grid_params
 
         w = np.atleast_1d(np.asarray(w_nm, dtype=np.float64))
         S = w.size
@@ -224,6 +231,10 @@ class TabulatedPolarizedPhaseFunction(PhaseFunction):
             "m34": interp_rows(self.m34) * ratio,
             "m44": interp_rows(self.m44) * ratio,
         }
+        tg = theta_grid_params(self.mu)
+        if tg is not None:
+            params["tg0"] = np.full(S, tg[0])
+            params["itg"] = np.full(S, tg[1])
         return "tab_polarized", params
 
 
