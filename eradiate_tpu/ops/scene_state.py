@@ -155,3 +155,7 @@ class SceneConfig:
     #: emitter family: "directional" (sun/astroobject/constant) or "spot"
     #: (point source with conical beam; canopy tracer only)
     illumination_kind: str = "directional"
+    #: per-bounce uniform expansion: "pcg4d" (TPU-native hash, ~10x
+    #: cheaper, default) | "threefry" (legacy bit stream). Key
+    #: *derivation* is threefry either way — see ops/fastrng.py.
+    rng: str = "pcg4d"

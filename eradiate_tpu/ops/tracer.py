@@ -33,6 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .medium import clamp_mu, collision_fetch, tau_at_z
 from .phase_ops import (
@@ -128,8 +130,7 @@ def _make_bounce(config: SceneConfig, medium_row, surface_row, illum_row):
             slot, pix_seed = ld
             U = padded_bounce_uniforms(slot, pix_seed, depth_b)
         else:
-            k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-            U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
+            U = bounce_uniforms(config.rng, keys, depth_b, 10)
         u_dist = U[:, 0]
         u_sun = U[:, 1:3]
         u_ph_sel, u_ph_cos, u_ph_phi = U[:, 3], U[:, 4:6], U[:, 6]

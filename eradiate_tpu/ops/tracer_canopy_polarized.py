@@ -30,6 +30,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import (
     bilambertian_eval,
     bilambertian_sample_from_uniforms,
@@ -70,8 +72,7 @@ def _make_bounce_canopy_polarized(
     def bounce(depth_b, pos, d, P, b, beta, keys):
         B = pos.shape[0]
         # same slot layout as the scalar canopy tracer
-        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        U = bounce_uniforms(config.rng, keys, depth_b, 8)
         u_dist = U[:, 0]
         u_sel, u_cos, u_phi = U[:, 1], U[:, 2:4], U[:, 4]
         u_srf = U[:, 5:7]

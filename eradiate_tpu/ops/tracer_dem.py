@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .dem import DemArrays, dem_intersect, dem_normal
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
@@ -110,8 +112,7 @@ def _make_bounce_dem(config: SceneConfig, medium_row, surface_row, dem, illum_ro
 
     def bounce(depth_b, pos, d, beta, keys):
         # one batched threefry draw per bounce (see ops/tracer._make_bounce)
-        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        U = bounce_uniforms(config.rng, keys, depth_b, 8)
         u_dist = U[:, 0]
         u_sel, u_cos, u_phi = U[:, 1], U[:, 2:4], U[:, 4]
         u_srf = U[:, 5:7]

@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import bsdf_sample_from_uniforms
 from .bsdf_polarized import surface_mueller
 from .medium import clamp_mu, take_1d, tau_at_z, z_at_tau
@@ -134,8 +136,7 @@ def _make_bounce_polarized(config: SceneConfig, medium_row, surface_row, illum_r
         # one batched threefry draw per bounce, SAME slot layout as the
         # scalar tracer (ops/tracer._make_bounce) so scalar/polarized runs
         # with the same seed trace identical sample paths
-        k_iter = jax.vmap(jax.random.fold_in)(keys, depth_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (10,)))(k_iter)
+        U = bounce_uniforms(config.rng, keys, depth_b, 10)
         u_dist = U[:, 0]
         u_ph_sel, u_ph_cos, u_ph_phi = U[:, 3], U[:, 4:6], U[:, 6]
         u_srf = U[:, 7:9]

@@ -24,6 +24,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .medium import fetch_at_index
 from .phase_ops import (
@@ -131,8 +133,7 @@ def _make_event(config: SceneConfig, medium_row, surface_row, illum_row):
 
     def event(evt_b, p, d, beta, depth, keys):
         # one batched threefry draw per event (see ops/tracer._make_bounce)
-        k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        U = bounce_uniforms(config.rng, keys, evt_b, 8)
         u_dist = U[:, 0]
         u_ph_sel, u_ph_cos, u_ph_phi = U[:, 1], U[:, 2:4], U[:, 4]
         u_srf = U[:, 5:7]

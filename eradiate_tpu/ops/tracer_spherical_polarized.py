@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .fastrng import bounce_uniforms
+
 from .bsdf_ops import bsdf_sample_from_uniforms
 from .bsdf_polarized import surface_mueller
 from .mueller import default_basis, rotate_basis_angle, rotator
@@ -57,8 +59,7 @@ def _make_event_polarized(config: SceneConfig, medium_row, surface_row, illum_ro
         B = p.shape[0]
         # one batched threefry draw per event, same slot layout as the
         # scalar spherical tracer (ops/tracer_spherical._make_event)
-        k_iter = jax.vmap(jax.random.fold_in)(keys, evt_b)
-        U = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(k_iter)
+        U = bounce_uniforms(config.rng, keys, evt_b, 8)
         u_dist = U[:, 0]
         u_ph_sel, u_ph_cos, u_ph_phi = U[:, 1], U[:, 2:4], U[:, 4]
         u_srf = U[:, 5:7]
