@@ -82,7 +82,7 @@ def pcg4d(a, b, c, d):
 
 def _to_unit(x, dtype):
     # top 24 bits -> [0, 1) on the 2^-24 grid; strictly < 1 in f32.
-    return (x >> jnp.uint32(8)).astype(dtype) * dtype(_INV24)
+    return (x >> jnp.uint32(8)).astype(dtype) * jnp.asarray(_INV24, dtype)
 
 
 def uniforms_from_keys(keys, ctr, n, dtype=jnp.float32):
@@ -103,6 +103,44 @@ def uniforms_from_keys(keys, ctr, n, dtype=jnp.float32):
         cols.extend([a, b, c, d])
     x = jnp.stack(cols[:n], axis=-1)
     return _to_unit(x, dtype)
+
+
+#: domain salt for per-sample key derivation (golden-ratio word) — keeps
+#: the derive hash inputs disjoint from bounce blocks (4th word is a
+#: small block index there) and origin jitter (4th word 0x7A19).
+_DERIVE_SALT = 0x9E3779B9
+#: counter for the per-sample origin-jitter draw; bounce counters are
+#: path depths (< max_depth ~ 64), so this never collides.
+_ORIGIN_CTR = 0x7A19
+
+
+def derive_keys(impl, row_keys_b, sid):
+    """Per-sample lane keys from a broadcast row key and sample ids.
+
+    The regenerative loops call this once per iteration; with
+    ``impl == "pcg4d"`` the threefry ``fold_in`` is replaced by one pcg4d
+    mix whose four output words fold into the 2-word key data (still a
+    pure function of (row_key, global sample id): lane/quota/shard
+    invariance is unchanged).
+    """
+    if impl == "threefry":
+        return jax.vmap(jax.random.fold_in)(row_keys_b, sid)
+    kd = jax.random.key_data(row_keys_b).astype(jnp.uint32)
+    a, b, c, d = pcg4d(
+        kd[..., 0], kd[..., 1], _u32(sid), jnp.uint32(_DERIVE_SALT)
+    )
+    return jax.random.wrap_key_data(jnp.stack([a ^ c, b ^ d], axis=-1))
+
+
+def origin_uniforms(impl, keys, n=2, dtype=jnp.float32):
+    """Per-sample origin-jitter uniforms [B, n] (rectangle targets)."""
+    B = keys.shape[0]
+    ctr = jnp.full(B, _ORIGIN_CTR, jnp.uint32)
+    if impl == "threefry":
+        return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(
+            jax.vmap(jax.random.fold_in)(keys, ctr)
+        )
+    return uniforms_from_keys(keys, ctr, n, dtype=dtype)
 
 
 def bounce_uniforms(impl, keys, depth_b, n, dtype=jnp.float32):

@@ -33,7 +33,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .fastrng import bounce_uniforms
+from .fastrng import bounce_uniforms, derive_keys, origin_uniforms
 
 from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .medium import clamp_mu, collision_fetch, tau_at_z
@@ -374,14 +374,12 @@ def trace_paths_regen(
     row_keys_b = jnp.broadcast_to(row_key, (B,))
 
     def sample_key(s_local):
-        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+        return derive_keys(config.rng, row_keys_b, lane_first + s_local)
 
     def origin_xy(keys):
         if ext is None:
             return init_xy
-        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
-            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
-        )
+        u = origin_uniforms(config.rng, keys, 2, dtype=dtype)
         return init_xy + (u - 0.5) * ext
 
     def body(carry):
@@ -632,9 +630,9 @@ def _render_row(
         target_extent, with_jitter=True,
     )
 
-    keys = jax.vmap(jax.random.fold_in)(
-        jnp.broadcast_to(key, (B,)), path_ids
-    )
+    # same derivation as the regenerative loop's sample_key — the
+    # one-shot == regenerative equality gate depends on it
+    keys = derive_keys(config.rng, jnp.broadcast_to(key, (B,)), path_ids)
 
     if config.sampler != "independent":
         from .samplers import primary_samples

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .fastrng import bounce_uniforms
+from .fastrng import bounce_uniforms, derive_keys, origin_uniforms
 
 from .bsdf_ops import (
     bilambertian_eval,
@@ -487,16 +487,14 @@ def trace_paths_canopy_regen(
     )
 
     def sample_key(lane_first, s_local):
-        return jax.vmap(jax.random.fold_in)(
-            jnp.broadcast_to(row_key, (B,)), lane_first + s_local
+        return derive_keys(
+            config.rng, jnp.broadcast_to(row_key, (B,)), lane_first + s_local
         )
 
     def origin(keys, init_pos, ext_l):
         if ext is None:
             return init_pos
-        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
-            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
-        )
+        u = origin_uniforms(config.rng, keys, 2, dtype=dtype)
         jit = (u - 0.5) * ext_l
         return init_pos + jnp.concatenate(
             [jit, jnp.zeros((B, 1), dtype)], axis=-1

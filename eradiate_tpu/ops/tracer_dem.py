@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .fastrng import bounce_uniforms
+from .fastrng import bounce_uniforms, derive_keys, origin_uniforms
 
 from .bsdf_ops import bsdf_eval, bsdf_sample_from_uniforms
 from .dem import DemArrays, dem_intersect, dem_normal
@@ -294,14 +294,12 @@ def trace_paths_dem_regen(
     row_keys_b = jnp.broadcast_to(row_key, (B,))
 
     def sample_key(s_local):
-        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+        return derive_keys(config.rng, row_keys_b, lane_first + s_local)
 
     def origin(keys):
         if ext is None:
             return init_pos
-        u = jax.vmap(lambda k: jax.random.uniform(k, (2,), dtype=dtype))(
-            jax.vmap(jax.random.fold_in)(keys, jnp.full(B, 0x7A19))
-        )
+        u = origin_uniforms(config.rng, keys, 2, dtype=dtype)
         jit = (u - 0.5) * ext
         return init_pos + jnp.concatenate(
             [jit, jnp.zeros((B, 1), dtype)], axis=-1

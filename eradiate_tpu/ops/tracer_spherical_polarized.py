@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .fastrng import bounce_uniforms
+from .fastrng import bounce_uniforms, derive_keys, origin_uniforms
 
 from .bsdf_ops import bsdf_sample_from_uniforms
 from .bsdf_polarized import surface_mueller
@@ -360,7 +360,7 @@ def trace_paths_spherical_polarized_regen(
     row_keys_b = jnp.broadcast_to(row_key, (B,))
 
     def sample_key(s_local):
-        return jax.vmap(jax.random.fold_in)(row_keys_b, lane_first + s_local)
+        return derive_keys(config.rng, row_keys_b, lane_first + s_local)
 
     def body(carry):
         (s_local, evt, depth, p, d, P, b, beta, S_cur, keys, done,
